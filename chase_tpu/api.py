@@ -1,0 +1,77 @@
+"""User-facing API.
+
+The idiomatic surface replacing the reference's C/Fortran singleton tables
+(interface/chase_c_interface.h: {s,d,c,z}chase_init/.../_finalize_).  One
+function, dtype-dispatched by the input array, grid-parallel when a Grid2D
+is supplied:
+
+    evals, evecs, info = chase_tpu.eigsh(H, nev=100, nex=40)
+
+Sequences of correlated problems (the reference's mode='A' warm start):
+
+    r1 = eigsh(H1, nev, nex, return_info=True)
+    r2 = eigsh(H2, nev, nex, v0=r1.V, ritzv0=r1.ritzv_full, approx=True)
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+from .config import ChaseConfig
+from .parallel.mesh import Grid2D
+from .parallel.operator import DenseOperator
+from .perf import PerfData
+from .solver import solve, SolveResult
+
+__all__ = ["eigsh", "EigshResult"]
+
+
+def eigsh(H, nev: int, nex: Optional[int] = None, *,
+          tol: Optional[float] = None,
+          v0=None, ritzv0=None, approx: bool = False,
+          config: Optional[ChaseConfig] = None,
+          grid: Optional[Grid2D] = None,
+          collect_perf: bool = False,
+          key=None) -> SolveResult:
+    """Compute the ``nev`` lowest eigenpairs of a (dense) Hermitian matrix.
+
+    Args:
+      H: (N, N) Hermitian array (numpy or jax), or a DenseOperator.
+      nev: number of wanted eigenpairs.
+      nex: extra search-space size (default: max(nev//4, 8), reference
+           examples use ~0.2–0.6·nev).
+      tol: residual tolerance (default per dtype: 1e-10 DP / 1e-5 SP).
+      v0: optional (N, nev+nex) starting subspace.
+      ritzv0: previous Ritz values (required with approx=True).
+      approx: warm-start mode ('A' in the reference C interface).
+      config: full ChaseConfig for everything else.
+      grid: Grid2D to shard H/V over a device mesh.
+      collect_perf: attach a PerfData with phase timings to the result.
+
+    Returns:
+      SolveResult with .ritzv (nev,), .V (N, nev+nex) device array whose
+      first nev columns are the eigenvectors, .resid, .converged, ...
+    """
+    if nex is None:
+        nex = max(nev // 4, 8)
+    cfg = config or ChaseConfig()
+    if tol is not None or approx:
+        import dataclasses
+        updates = {}
+        if tol is not None:
+            updates["tol"] = tol
+        if approx:
+            updates["approx"] = True
+        cfg = dataclasses.replace(cfg, **updates)
+
+    op = H if isinstance(H, DenseOperator) else DenseOperator(H, grid=grid)
+    perf = PerfData() if collect_perf else None
+    res = solve(op, nev, nex, config=cfg, V0=v0, ritzv0=ritzv0,
+                perf=perf, key=key)
+    return res
+
+
+# Back-compat style alias matching scipy naming
+EigshResult = SolveResult

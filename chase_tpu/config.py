@@ -1,0 +1,119 @@
+"""Solver configuration.
+
+TPU-native analogue of ``algorithm/configuration.hpp`` (ChaseConfig<T>) plus
+the runtime env-var knobs scattered through the reference
+(CHASE_DISABLE_CHOLQR, CHASE_CHOLQR1_THLD, ... — see SURVEY §5 "Config").
+Defaults follow configuration.hpp:174-188 and the type-dispatched tables at
+configuration.hpp:34-129.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Optional
+
+from . import types as _t
+
+__all__ = ["ChaseConfig"]
+
+
+def _env_int(name: str, default):
+    v = os.environ.get(name)
+    return default if v is None else int(v)
+
+
+def _env_float(name: str, default):
+    v = os.environ.get(name)
+    return default if v is None else float(v)
+
+
+@dataclasses.dataclass
+class ChaseConfig:
+    """All tunables of the solver.
+
+    Geometry (N, nev, nex) lives at the call site (`eigsh`), not here —
+    unlike the reference's ChaseConfig(N, nev, nex) — so one config object
+    can drive a whole sequence of problems.
+    """
+
+    # --- convergence -----------------------------------------------------
+    tol: Optional[float] = None          # default: 1e-10 DP / 1e-5 SP per dtype
+    max_iter: int = 25                   # configuration.hpp:177
+
+    # --- Chebyshev filter ------------------------------------------------
+    deg: Optional[int] = None            # initial degree (20 DP / 10 SP)
+    max_deg: Optional[int] = None        # degree cap (36 DP / 18 SP)
+    deg_extra: int = 2                   # configuration.hpp:176
+    optimization: bool = True            # per-vector degree optimization ('S' mode)
+    mixed_precision: bool = False        # SP filter inside DP solve (P10)
+    mixed_precision_threshold: float = 1e-3  # chase_cpu.hpp:395 resid cutoff
+
+    # --- spectral estimator ----------------------------------------------
+    lanczos_iter: Optional[int] = None   # 25 DP / 12 SP
+    num_lanczos: int = 4                 # stochastic probe vectors
+    decaying_rate: float = 1.0           # lowerb scale (configuration.hpp:178)
+    upperb_scale: float = 1.0
+
+    # --- orthogonalization -------------------------------------------------
+    cholqr: bool = True                  # False => Householder QR always
+    cholqr1_threshold: Optional[float] = None  # cond below which CholQR1 is enough
+    qr_hi_prec: bool = True              # QR in wider dtype for SP problems
+                                         # (QR_DOUBLE_PRECISION analogue)
+
+    # --- warm start / sequences -------------------------------------------
+    approx: bool = False                 # mode='A': reuse caller's V as subspace
+
+    # --- misc ---------------------------------------------------------------
+    cluster_aware_degrees: bool = True   # pseudo-Hermitian degree clustering
+    sym_check: bool = True               # randomized (pseudo-)hermiticity probe
+    seed: int = 1337                     # RNG seed for initVecs (reference: mt19937(1337))
+
+    # --- TPU-specific -------------------------------------------------------
+    # Column-width bucket for the filter window: active widths are padded up
+    # to a multiple of this so XLA sees few distinct shapes (SURVEY §7 risk 1).
+    col_block: int = 64
+    # matmul precision for f32 inputs: "highest" -> f32 accumulate on MXU.
+    matmul_precision: str = "highest"
+    # Run the small dense eigensolve (RR) / cholesky on host via callback when
+    # the device would emulate 64-bit arithmetic. "auto" | "device" | "host".
+    small_dense_backend: str = "device"
+
+    def resolve(self, dtype) -> "ResolvedConfig":
+        """Bind dtype-dependent defaults and env overrides."""
+        tol = self.tol if self.tol is not None else _t.default_tol(dtype)
+        deg = self.deg if self.deg is not None else _t.default_deg(dtype)
+        max_deg = self.max_deg if self.max_deg is not None else _t.default_max_deg(dtype)
+        lanczos_iter = (self.lanczos_iter if self.lanczos_iter is not None
+                        else _t.default_lanczos_iter(dtype))
+        cholqr = self.cholqr
+        if os.environ.get("CHASE_DISABLE_CHOLQR"):
+            cholqr = not bool(int(os.environ["CHASE_DISABLE_CHOLQR"]))
+        is_dp = _t.is_double_base(dtype)
+        chol1_thld = self.cholqr1_threshold
+        if chol1_thld is None:
+            chol1_thld = 2e1 if is_dp else 1e1   # chase_cpu.hpp:668-671
+        chol1_thld = _env_float("CHASE_CHOLQR1_THLD", chol1_thld)
+        chol_upper = 1e8 if is_dp else 1e4       # shiftedCholQR2 threshold
+        return ResolvedConfig(
+            base=self, tol=float(tol), deg=int(deg), max_deg=int(max_deg),
+            lanczos_iter=int(lanczos_iter), cholqr=cholqr,
+            cholqr1_threshold=float(chol1_thld),
+            cholqr_shift_threshold=float(chol_upper),
+        )
+
+
+@dataclasses.dataclass
+class ResolvedConfig:
+    """ChaseConfig with dtype-dependent defaults materialized."""
+    base: ChaseConfig
+    tol: float
+    deg: int
+    max_deg: int
+    lanczos_iter: int
+    cholqr: bool
+    cholqr1_threshold: float
+    cholqr_shift_threshold: float
+
+    def __getattr__(self, name):
+        return getattr(self.base, name)

@@ -1,0 +1,143 @@
+"""Orthonormalization: CholQR1/2, shifted CholQR2, Householder fallback.
+
+TPU-native redesign of the reference's QR stack
+(linalg/internal/cpu/cholqr1.hpp:41-215 and the condition-number-driven
+selection in Impl/chase_cpu/chase_cpu.hpp:590-776):
+
+* Gram matrix ``G = VᴴV`` is a single sharded matmul (GSPMD inserts the
+  column-communicator allreduce of mpi/cholqr.hpp:197 automatically when V
+  is row-sharded).
+* Cholesky of the small k×k Gram is replicated (reference: redundant potrf
+  on every rank).
+* ``potrf`` failure (reference: LAPACK info != 0) is detected through NaNs
+  in the Cholesky factor; the solver falls back to Householder QR
+  (jnp.linalg.qr) exactly like chase_cpu.hpp:725-751.
+* Locked columns: the reference runs CholQR over the *full* block and then
+  restores the locked columns from backup (chase_cpu.hpp:601-607, 754-775);
+  we do the same with a functional column mask.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..logger import get_logger
+from ..types import real_dtype, is_double_base
+
+__all__ = ["cholqr", "householder_qr", "restore_locked", "orthonormalize"]
+
+
+def _gram(V, precision):
+    return jnp.matmul(V.conj().T, V, precision=precision)
+
+
+def _trsm_right(L, V):
+    """V @ L^{-H} for lower-triangular L (BLAS trsm 'R','U','N' analogue)."""
+    return jax.lax.linalg.triangular_solve(
+        L, V, left_side=False, lower=True, transpose_a=True, conjugate_a=True)
+
+
+@partial(jax.jit, static_argnames=("passes", "shifted", "precision", "upcast"))
+def cholqr(V, *, passes=2, shifted=False, precision="highest", upcast=None):
+    """``passes`` rounds of Cholesky QR; optional diagonal shift on round 0.
+
+    Returns (V_orthonormal, ok) where ``ok`` is False if any Cholesky failed
+    (non-PD Gram → NaNs).  Mirrors cholQR1/cholQR2/shiftedcholQR2
+    (cpu/cholqr1.hpp:41-189).
+    """
+    in_dtype = V.dtype
+    if upcast is not None:
+        V = V.astype(upcast)
+    m = V.shape[0]
+    rt = real_dtype(V.dtype)
+    ok = jnp.bool_(True)
+    for p in range(passes):
+        G = _gram(V, precision)
+        if p == 0 and shifted:
+            # shift = sqrt(m)·Σ|diag(G)|·eps (DP) / 10·Σ|diag(G)|·eps (SP)
+            nrmf = jnp.sum(jnp.abs(jnp.diagonal(G).real))
+            epsv = jnp.asarray(np.finfo(rt).eps, rt)
+            coef = np.sqrt(m) if is_double_base(V.dtype) else 10.0
+            shift = (coef * epsv) * nrmf
+            G = G + shift * jnp.eye(G.shape[0], dtype=G.dtype)
+        L = jnp.linalg.cholesky(G)
+        pass_ok = jnp.isfinite(L.real).all()
+        ok = ok & pass_ok
+        # Replace NaN factor by identity so the trsm stays finite; the caller
+        # discards the result when ok is False.
+        L = jnp.where(pass_ok, L, jnp.eye(G.shape[0], dtype=G.dtype))
+        V = _trsm_right(L, V)
+    return V.astype(in_dtype), ok
+
+
+@partial(jax.jit, static_argnames=("upcast",))
+def householder_qr(V, *, upcast=None):
+    """Dense Householder QR (reference houseHoulderQR: geqrf + gqr)."""
+    in_dtype = V.dtype
+    if upcast is not None:
+        V = V.astype(upcast)
+    Q, _ = jnp.linalg.qr(V, mode="reduced")
+    return Q.astype(in_dtype)
+
+
+@jax.jit
+def restore_locked(V_new, V_old, locked):
+    """Keep columns [0, locked) from V_old (reference lacpy restore)."""
+    cols = jnp.arange(V_new.shape[1])
+    return jnp.where(cols[None, :] < locked, V_old, V_new)
+
+
+def orthonormalize(V, locked, cond, rcfg, perf_note=None):
+    """Condition-number-driven QR of the full block, locked cols preserved.
+
+    Host-side driver mirroring Impl/chase_cpu/chase_cpu.hpp:629-776:
+    cond > upper-threshold → shiftedCholQR2; cond < lower-threshold →
+    CholQR1; otherwise CholQR2; Householder on Cholesky failure or when
+    CholQR is disabled (and cond != 1.0).
+
+    Args:
+      V: (N, nevex) device array (full block, locked columns at front).
+      locked: host int — number of locked columns to preserve.
+      cond: host float — condition estimate of the filtered basis.
+      rcfg: ResolvedConfig.
+    Returns:
+      (N, nevex) device array.
+    """
+    log = get_logger()
+    precision = rcfg.matmul_precision
+    upcast = None
+    if rcfg.qr_hi_prec and not is_double_base(V.dtype):
+        # QR_DOUBLE_PRECISION analogue — only when x64 is actually on.
+        if jax.config.jax_enable_x64:
+            upcast = np.complex128 if np.issubdtype(V.dtype, np.complexfloating) \
+                else np.float64
+    V_old = V
+
+    if (not rcfg.cholqr) and cond != 1.0:
+        Q = householder_qr(V, upcast=upcast)
+        return restore_locked(Q, V_old, jnp.int32(locked))
+
+    if cond > rcfg.cholqr_shift_threshold:
+        Q, ok = cholqr(V, passes=3, shifted=True, precision=precision,
+                       upcast=upcast)
+        variant = "shiftedCholQR2"
+    elif cond < rcfg.cholqr1_threshold:
+        Q, ok = cholqr(V, passes=1, shifted=False, precision=precision,
+                       upcast=upcast)
+        variant = "cholQR1"
+    else:
+        Q, ok = cholqr(V, passes=2, shifted=False, precision=precision,
+                       upcast=upcast)
+        variant = "cholQR2"
+
+    if not bool(ok):
+        log.warn(f"{variant} failed (non-PD Gram), falling back to "
+                 f"Householder QR", "linalg")
+        Q = householder_qr(V, upcast=upcast)
+    else:
+        log.debug(f"QR: {variant}, cond(V) ≈ {cond:.2e}", "linalg")
+    return restore_locked(Q, V_old, jnp.int32(locked))

@@ -1,0 +1,391 @@
+"""Chebyshev-accelerated subspace iteration driver (Hermitian path).
+
+TPU-native redesign of ``algorithm/algorithm.inc:1376-1788``
+(Algorithm<T>::solve): degrees → filter → QR → RR → residuals → locking
+until ``unconverged ≤ nex``.  The control flow stays on host exactly like
+the reference's replicated scalar driver (SURVEY §3.1: "the driver itself
+is replicated scalar control flow on every rank"); device work happens in
+a handful of jitted phase programs with *static* shapes:
+
+* V is always the full N×(nev+nex) block; locked columns stay in place and
+  are protected by masks (no shrinking GEMM widths — SURVEY §7 risk 1).
+* The filter runs on a right-aligned window whose width is padded up to a
+  multiple of ``config.col_block``; the few locked columns caught in the
+  window get degree 0 (untouched).  One XLA program per width bucket.
+* Per iteration exactly one small device→host transfer (ritz values +
+  residuals) feeds the locking/degree decisions.
+
+Host-side bookkeeping (calc_degrees, locking, DoS quantile) mirrors the
+reference's semantics including its quirks (stable-ordering aside); column
+swaps become one functional gather per iteration.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import ChaseConfig
+from .logger import get_logger
+from .perf import PerfData
+from .types import is_double_base
+from .parallel.operator import DenseOperator
+from .ops import filter as filt
+from .ops import lanczos as lz
+from .ops import qr as qrops
+from .ops import rr as rrops
+
+__all__ = ["solve", "SolveResult"]
+
+
+# --------------------------------------------------------------------------
+# jitted glue (shape-stable helpers)
+# --------------------------------------------------------------------------
+
+@jax.jit
+def _permute_cols(V, perm):
+    return jnp.take(V, perm, axis=1)
+
+
+@partial(jax.jit, static_argnames=("w",))
+def _slice_cols(V, start, w):
+    return jax.lax.dynamic_slice(V, (jnp.int32(0), start), (V.shape[0], w))
+
+
+@jax.jit
+def _update_cols(V, X, start):
+    return jax.lax.dynamic_update_slice(V, X.astype(V.dtype),
+                                        (jnp.int32(0), start))
+
+
+@jax.jit
+def _set_head_cols(V, Vd, mask):
+    m = Vd.shape[1]
+    head = jnp.where(mask[None, :], Vd.astype(V.dtype), V[:, :m])
+    return V.at[:, :m].set(head)
+
+
+# --------------------------------------------------------------------------
+# host-side algorithm bookkeeping
+# --------------------------------------------------------------------------
+
+def _rho(t: float) -> float:
+    """Chebyshev ellipse radius max|t ± sqrt(t²-1)| (complex-safe)."""
+    z = complex(t) ** 2 - 1.0
+    s = np.sqrt(z)
+    return float(max(abs(complex(t) - s), abs(complex(t) + s)))
+
+
+def calc_degrees_host(unconverged, nex, upperb, lowerb, tol,
+                      ritzv_a, resid_a, degrees_a, rcfg, is_sp):
+    """Per-vector optimal filter degrees + sort-by-degree permutation.
+
+    In-place on the active views; mirrors algorithm.inc:136-193.
+    Returns (deg_of_last_column, perm_over_active).
+    """
+    c = (upperb + lowerb) / 2
+    e = (upperb - lowerb) / 2
+    n_opt = unconverged - nex
+    max_deg = rcfg.max_deg
+    for i in range(n_opt):
+        t = (ritzv_a[i] - c) / e
+        rho = max(abs(t - np.sqrt(abs(t * t - 1))),
+                  abs(t + np.sqrt(abs(t * t - 1))))
+        with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
+            val = abs(np.log(resid_a[i] / tol) / np.log(rho))
+        deg = max_deg if not np.isfinite(val) else int(np.ceil(val))
+        if is_sp:
+            deg = max(deg, 8)
+        degrees_a[i] = min(deg + rcfg.deg_extra, max_deg)
+    degrees_a[n_opt:unconverged] = degrees_a[max(n_opt - 1, 0)]
+    for i in range(unconverged):
+        degrees_a[i] += degrees_a[i] % 2
+    perm = np.argsort(degrees_a[:unconverged], kind="stable")
+    degrees_a[:unconverged] = degrees_a[:unconverged][perm]
+    ritzv_a[:unconverged] = ritzv_a[:unconverged][perm]
+    resid_a[:unconverged] = resid_a[:unconverged][perm]
+    # NOTE: residLast intentionally NOT permuted — mirrors the commented-out
+    # swap at algorithm.inc:188.
+    return int(degrees_a[unconverged - 1]), perm
+
+
+def locking_host(ritzv_a, resid_a, resid_last_a, n_examine, tol,
+                 is_sym=True):
+    """Residual-based locking with early-lock of stagnating pairs.
+
+    In-place on the active views; literal functional mirror of
+    algorithm.inc:519-578 including its walk-while-swapping aliasing.
+    Returns (new_converged, perm_over_active, early_locked_residuals).
+    """
+    w = len(ritzv_a)
+    index = np.argsort(ritzv_a[:n_examine], kind="stable")
+    perm = np.arange(w)
+    converged = 0
+    early = []
+    for k in range(n_examine):
+        j = int(index[k])
+        rj = resid_a[j]
+        stagnating = (is_sym and rj >= resid_last_a[j] and rj < 100.0 * tol)
+        if rj <= tol or stagnating:
+            if is_sym and rj > tol and stagnating:
+                early.append(float(rj))
+            if j != converged:
+                for arr in (resid_a, resid_last_a, ritzv_a):
+                    arr[j], arr[converged] = arr[converged], arr[j]
+                perm[j], perm[converged] = perm[converged], perm[j]
+            converged += 1
+    return converged, perm, early
+
+
+# --------------------------------------------------------------------------
+# result container
+# --------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class SolveResult:
+    ritzv: np.ndarray          # (nev,) converged eigenvalues, ascending
+    V: jax.Array               # (N, nev+nex) device block; first nev = evecs
+    resid: np.ndarray          # (nev,) residual norms
+    iterations: int
+    locked: int
+    converged: bool
+    upperb: float
+    lowerb: float
+    perf: Optional[PerfData] = None
+    ritzv_full: Optional[np.ndarray] = None   # all nev+nex Ritz values
+    early_locked: Optional[list] = None
+
+
+# --------------------------------------------------------------------------
+# main driver
+# --------------------------------------------------------------------------
+
+def solve(op: DenseOperator, nev: int, nex: int,
+          config: Optional[ChaseConfig] = None,
+          V0=None, ritzv0=None, perf: Optional[PerfData] = None,
+          key=None) -> SolveResult:
+    """Compute the nev lowest eigenpairs of the Hermitian operator `op`.
+
+    Args:
+      op: DenseOperator (possibly grid-sharded).
+      nev, nex: wanted eigenpairs / extra search directions.
+      config: ChaseConfig (defaults per dtype).
+      V0: optional (N, nev+nex) starting subspace.  With
+          ``config.approx=True`` this is the warm start of a problem
+          sequence and ``ritzv0`` must hold the previous Ritz values.
+      perf: optional PerfData to fill with phase timings/FLOPs.
+
+    Returns: SolveResult.
+    """
+    cfg = config or ChaseConfig()
+    rcfg = cfg.resolve(op.dtype)
+    log = get_logger()
+    N, nevex = op.N, nev + nex
+    if nevex > N:
+        raise ValueError(f"nev+nex = {nevex} exceeds N = {N}")
+    precision = rcfg.matmul_precision
+    is_sp = not is_double_base(op.dtype)
+    tol = rcfg.tol
+    timing = perf is not None
+
+    def toc(phase, t0, *arrays):
+        if timing:
+            for a in arrays:
+                if hasattr(a, "block_until_ready"):
+                    a.block_until_ready()
+            perf.add_time(phase, time.perf_counter() - t0)
+        return time.perf_counter()
+
+    t_all0 = time.perf_counter()
+
+    # ---- initVecs (chase_cpu.hpp:296-327) --------------------------------
+    t0 = time.perf_counter()
+    approx = rcfg.approx and V0 is not None
+    if key is None:
+        key = jax.random.key(rcfg.seed)
+    if V0 is not None:
+        V = op.place_block(jnp.asarray(V0, op.dtype))
+    else:
+        V = op.place_block(jax.random.normal(key, (N, nevex), dtype=op.dtype))
+    if not approx:
+        V = qrops.orthonormalize(V, 0, 1.0, rcfg)
+    t0 = toc("InitVecs", t0, V)
+
+    deg0 = min(rcfg.deg + rcfg.deg % 2, rcfg.max_deg)
+    degrees = np.full(nevex, deg0, dtype=np.int64)
+    resid = np.full(nevex, np.finfo(np.float64).max)
+    resid_last = np.full(nevex, np.finfo(np.float64).max)
+
+    # ---- Lanczos spectral estimation (algorithm.inc:1438-1446) ------------
+    m = min(nevex, N // 2, rcfg.lanczos_iter)
+    m -= m % 2
+    m = max(m, 2)
+    numvec = rcfg.num_lanczos
+    if not approx:
+        alphas, betas, basis = lz.lanczos_scan(
+            op.H, V[:, :numvec], m=m, precision=precision, want_basis=True)
+        a_np, b_np = np.asarray(alphas, np.float64), np.asarray(betas, np.float64)
+        t0 = toc("Lanczos", t0, alphas)
+        theta, tau, ritzV_last = lz.lanczos_tridiag_host(a_np, b_np)
+        upperb = lz.upper_bound(theta, b_np[-1])
+        lam, lowerb = lz.dos_lower_bound(theta, tau, nevex, N)
+        # extract DoS vectors below lowerb (algorithm.inc:1160-1189)
+        theta_last = theta[-1]
+        idx = 0
+        for i in range(m):
+            if theta_last[i] > lowerb:
+                idx = i - 1
+                break
+        idx = max(idx, 0)
+        idx = min(idx, nevex - 1)
+        if idx > 0:
+            mask = jnp.asarray(np.arange(m) < idx)
+            Vd = lz.lanczos_dos_vectors(basis, jnp.asarray(ritzV_last),
+                                        mask, precision=precision)
+            V = _set_head_cols(V, Vd, mask)
+        ritzv = np.empty(nevex, np.float64)
+        ritzv[:idx] = theta_last[:idx]
+        ritzv[idx:nevex - 1] = lam
+        ritzv[nevex - 1] = lowerb
+        if idx > 1:
+            perm = np.arange(nevex)
+            for i in range(1, idx):
+                j = i * (nevex // idx)
+                perm[i], perm[j] = perm[j], perm[i]
+                ritzv[i], ritzv[j] = ritzv[j], ritzv[i]
+            V = _permute_cols(V, jnp.asarray(perm))
+        log.debug(f"Lanczos: m={m} numvec={numvec} idx={idx} "
+                  f"upperb={upperb:.6e} lowerb={lowerb:.6e}")
+    else:
+        if ritzv0 is None:
+            raise ValueError("approx mode needs ritzv0 from a previous solve")
+        alphas, betas, _ = lz.lanczos_scan(
+            op.H, V[:, :1], m=m, precision=precision, want_basis=False)
+        a_np, b_np = np.asarray(alphas, np.float64), np.asarray(betas, np.float64)
+        t0 = toc("Lanczos", t0, alphas)
+        theta, _, _ = lz.lanczos_tridiag_host(a_np, b_np, want_vectors=False)
+        upperb = lz.upper_bound(theta, b_np[-1])
+        ritzv = np.asarray(ritzv0, np.float64).copy()
+        lowerb = float(np.max(ritzv))
+    upperb *= rcfg.upperb_scale
+
+    lowerb = float(np.max(ritzv)) * rcfg.decaying_rate
+    lam_filter = float(np.min(ritzv))
+
+    locked = 0
+    unconverged = nevex
+    iteration = 0
+    early_all: list = []
+
+    # ---- main loop (algorithm.inc:1491-1722) ------------------------------
+    while unconverged > nex and iteration < rcfg.max_iter:
+        act = slice(locked, nevex)
+
+        # lowerb refresh once everything is somewhat converged (isSym branch)
+        if np.all(resid[act] <= 0.5):
+            lowerb = float(ritzv[nevex - 1])
+        log.info(f"iteration {iteration}: lambda={lam_filter:.6e} "
+                 f"lowerb={lowerb:.6e} upperb={upperb:.6e} "
+                 f"unconverged={unconverged}")
+        if lowerb > upperb:
+            log.warn("lowerb > upperb — clamping (algorithm.inc:1524)")
+            lowerb = upperb
+
+        resid_last[act] = np.minimum(resid_last[act], resid[act])
+
+        # -- degrees (algorithm.inc:1540) --
+        if rcfg.optimization and iteration != 0:
+            _, perm = calc_degrees_host(
+                unconverged, nex, upperb, lowerb, tol,
+                ritzv[act], resid[act], degrees[act], rcfg, is_sp)
+            if not np.array_equal(perm, np.arange(unconverged)):
+                full_perm = np.concatenate(
+                    [np.arange(locked), locked + perm])
+                V = _permute_cols(V, jnp.asarray(full_perm))
+
+        # -- filter (algorithm.inc:1546) --
+        B = max(1, min(rcfg.col_block, nevex))
+        w_pad = min(nevex, -(-unconverged // B) * B)
+        start = nevex - w_pad
+        offset = locked - start
+        deg_win = np.zeros(w_pad, np.int32)
+        deg_win[offset:] = degrees[act]
+        use_low = (rcfg.mixed_precision and not is_sp
+                   and float(np.min(resid[locked:nev])) >
+                   rcfg.mixed_precision_threshold) if locked < nev else False
+        H_f = op.H_low if use_low else op.H
+        X = _slice_cols(V, jnp.int32(start), w_pad)
+        X = filt.chebyshev_filter(
+            H_f, X, jnp.asarray(deg_win),
+            np.asarray(lam_filter, op.real_dtype),
+            np.asarray(lowerb, op.real_dtype),
+            np.asarray(upperb, op.real_dtype),
+            jnp.int32(int(deg_win.max())), precision=precision)
+        V = _update_cols(V, X, jnp.int32(start))
+        if perf is not None:
+            perf.add_filtered_vecs(int(np.sum(degrees[act])))
+            perf.add_iter_blocksize(unconverged)
+        t0 = toc("Filter", t0, V)
+
+        # -- condition estimate for QR selection (algorithm.inc:1549-1565) --
+        cc = (upperb + lowerb) / 2
+        ee = (upperb - lowerb) / 2
+        rho_1 = _rho((float(ritzv[0]) - cc) / ee)
+        rho_k = _rho((float(ritzv[locked]) - cc) / ee)
+        with np.errstate(over="ignore"):
+            cond = float(rho_k ** degrees[locked]
+                         * rho_1 ** (int(np.max(degrees[act]))
+                                     - degrees[locked]))
+        if not np.isfinite(cond):
+            cond = np.finfo(np.float64).max
+
+        # -- QR --
+        V = qrops.orthonormalize(V, locked, cond, rcfg)
+        t0 = toc("Qr", t0, V)
+
+        # -- RR + residuals (fused) --
+        V, ritz_dev, resid_dev = rrops.rayleigh_ritz_residuals(
+            op.H, V, jnp.int32(locked), precision=precision)
+        ritzv[act] = np.asarray(ritz_dev, np.float64)[act]
+        resid[act] = np.asarray(resid_dev, np.float64)[act]
+        t0 = toc("Rr", t0, V)
+
+        # -- locking (algorithm.inc:1692-1718) --
+        n_examine = unconverged - nex
+        new_converged, perm, early = locking_host(
+            ritzv[act], resid[act], resid_last[act], n_examine, tol,
+            is_sym=True)
+        early_all.extend(early)
+        if new_converged and not np.array_equal(perm, np.arange(unconverged)):
+            full_perm = np.concatenate([np.arange(locked), locked + perm])
+            V = _permute_cols(V, jnp.asarray(full_perm))
+        locked += new_converged
+        unconverged -= new_converged
+        iteration += 1
+        t0 = toc("Resids_Locking", t0, V)
+        log.info(f"  -> new_converged={new_converged} locked={locked}")
+
+    # ---- final eigenvalue sort (algorithm.inc:1726-1774) -------------------
+    order = np.argsort(ritzv[:nev], kind="stable")
+    if not np.array_equal(order, np.arange(nev)):
+        full_perm = np.concatenate([order, np.arange(nev, nevex)])
+        V = _permute_cols(V, jnp.asarray(full_perm))
+        ritzv[:nev] = ritzv[order]
+        resid[:nev] = resid[order]
+
+    if timing:
+        V.block_until_ready()
+        perf.add_time("All", time.perf_counter() - t_all0)
+
+    return SolveResult(
+        ritzv=ritzv[:nev].copy(), V=V, resid=resid[:nev].copy(),
+        iterations=iteration, locked=locked,
+        converged=bool(unconverged <= nex),
+        upperb=float(upperb), lowerb=float(lowerb), perf=perf,
+        ritzv_full=ritzv.copy(), early_locked=early_all)

@@ -1,0 +1,90 @@
+"""Dtype traits and type-dependent algorithm defaults.
+
+TPU-native analogue of the reference's ``algorithm/types.hpp`` (Base<T>,
+SP/DP traits) and the type-dispatched defaults in
+``algorithm/configuration.hpp:34-129`` (deg/maxDeg/lanczosIter/tol per
+precision).  Instead of C++ template dispatch we key everything off the
+numpy/JAX dtype of the problem matrix.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+__all__ = [
+    "real_dtype",
+    "is_complex_dtype",
+    "is_double_base",
+    "low_precision_dtype",
+    "default_tol",
+    "default_deg",
+    "default_max_deg",
+    "default_lanczos_iter",
+    "eps",
+]
+
+
+def real_dtype(dtype) -> np.dtype:
+    """Base<T> analogue: the real scalar type underlying ``dtype``."""
+    dtype = np.dtype(dtype)
+    if dtype == np.complex64:
+        return np.dtype(np.float32)
+    if dtype == np.complex128:
+        return np.dtype(np.float64)
+    if dtype in (np.dtype(np.float32), np.dtype(np.float64)):
+        return dtype
+    if dtype == np.dtype(jnp.bfloat16):
+        return dtype
+    raise TypeError(f"unsupported dtype for eigensolver: {dtype}")
+
+
+def is_complex_dtype(dtype) -> bool:
+    return np.issubdtype(np.dtype(dtype), np.complexfloating)
+
+
+def is_double_base(dtype) -> bool:
+    """True for float64 / complex128 problems ("DP" in the reference)."""
+    return real_dtype(dtype).itemsize == 8
+
+
+def low_precision_dtype(dtype):
+    """The reduced-precision dtype used by the mixed-precision filter.
+
+    Reference: DP problems run the filter HEMM in SP while residuals are
+    large (Impl/chase_cpu/chase_cpu.hpp:384-447).  TPU analogue: f64→f32,
+    c128→c64 and additionally f32→bf16 when explicitly requested (the MXU's
+    native input type).
+    """
+    dtype = np.dtype(dtype)
+    if dtype == np.complex128:
+        return np.dtype(np.complex64)
+    if dtype == np.float64:
+        return np.dtype(np.float32)
+    if dtype == np.float32:
+        return np.dtype(jnp.bfloat16)
+    return dtype
+
+
+def eps(dtype) -> float:
+    return float(np.finfo(real_dtype(dtype)).eps)
+
+
+def default_tol(dtype) -> float:
+    # configuration.hpp:53-62 — 1e-10 DP / 1e-5 SP
+    return 1e-10 if is_double_base(dtype) else 1e-5
+
+
+def default_deg(dtype) -> int:
+    # configuration.hpp — deg 20 DP / 10 SP
+    return 20 if is_double_base(dtype) else 10
+
+
+def default_max_deg(dtype) -> int:
+    # configuration.hpp — maxDeg 36 DP / 18 SP
+    return 36 if is_double_base(dtype) else 18
+
+
+def default_lanczos_iter(dtype) -> int:
+    # configuration.hpp — 25 DP / 12 SP
+    return 25 if is_double_base(dtype) else 12

@@ -1,0 +1,98 @@
+"""CholQR / orthonormalization tests.
+
+Mirrors tests/linalg/internal/*/cholqr.cpp: orthonormality after CholQR1/2
+and shifted CholQR2 on increasingly ill-conditioned bases, Householder
+fallback on Cholesky breakdown, and locked-column preservation.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from chase_tpu.config import ChaseConfig
+from chase_tpu.ops.qr import cholqr, householder_qr, orthonormalize
+from conftest import ALL_DTYPES, kernel_tol
+
+
+def _make_cond(N, k, cond, dtype, seed=0):
+    """Random N×k basis with prescribed condition number."""
+    rng = np.random.default_rng(seed)
+    A = rng.standard_normal((N, k))
+    B = rng.standard_normal((k, k))
+    if np.issubdtype(np.dtype(dtype), np.complexfloating):
+        A = A + 1j * rng.standard_normal((N, k))
+        B = B + 1j * rng.standard_normal((k, k))
+    Q, _ = np.linalg.qr(A)
+    P, _ = np.linalg.qr(B)
+    s = np.logspace(0, -np.log10(cond), k)
+    return (Q * s) @ P.conj().T
+
+
+def _ortho_err(V):
+    V = np.asarray(V)
+    G = V.conj().T @ V
+    return np.max(np.abs(G - np.eye(V.shape[1])))
+
+
+@pytest.mark.parametrize("dtype", ALL_DTYPES, ids=["f32", "f64", "c64", "c128"])
+@pytest.mark.parametrize("passes", [1, 2])
+def test_cholqr_orthonormalizes(dtype, passes):
+    # CholQR squares the condition number: keep cond(V) well inside
+    # 1/sqrt(eps) for the raw kernel (the solver upcasts SP via qr_hi_prec —
+    # the QR_DOUBLE_PRECISION analogue — before pushing harder cases here).
+    sp = np.dtype(dtype).itemsize <= 8
+    cond = 10.0 if passes == 1 else (3e2 if sp else 1e4)
+    V = _make_cond(200, 16, cond, dtype).astype(dtype)
+    Q, ok = cholqr(jnp.asarray(V), passes=passes)
+    assert bool(ok)
+    assert _ortho_err(Q) < kernel_tol(dtype) * 10
+
+
+@pytest.mark.parametrize("dtype", [np.float64, np.complex128], ids=["f64", "c128"])
+def test_shifted_cholqr_ill_conditioned(dtype):
+    # cond ~1e9: plain CholQR1's Gram is numerically singular in DP
+    V = _make_cond(400, 24, 1e9, dtype).astype(dtype)
+    Q, ok = cholqr(jnp.asarray(V), passes=3, shifted=True)
+    assert bool(ok)
+    assert _ortho_err(Q) < 1e-10
+
+
+def test_cholqr_detects_breakdown():
+    # exactly rank-deficient basis → Cholesky must fail, flag must report it
+    V = np.zeros((100, 8))
+    V[:, :4] = np.random.default_rng(0).standard_normal((100, 4))
+    V[:, 4:] = V[:, :4]
+    _, ok = cholqr(jnp.asarray(V), passes=1)
+    assert not bool(ok)
+
+
+@pytest.mark.parametrize("dtype", ALL_DTYPES, ids=["f32", "f64", "c64", "c128"])
+def test_householder_qr(dtype):
+    V = _make_cond(150, 12, 1e6, dtype).astype(dtype)
+    Q = householder_qr(jnp.asarray(V))
+    tol = kernel_tol(dtype)
+    assert _ortho_err(Q) < tol
+
+
+def test_orthonormalize_preserves_locked_and_orthogonalizes_rest():
+    rng = np.random.default_rng(1)
+    N, k, locked = 120, 10, 4
+    Qfull, _ = np.linalg.qr(rng.standard_normal((N, k)))
+    V = np.concatenate(
+        [Qfull[:, :locked], rng.standard_normal((N, k - locked))], axis=1)
+    rcfg = ChaseConfig().resolve(np.float64)
+    out = np.asarray(orthonormalize(jnp.asarray(V), locked, 50.0, rcfg))
+    # locked columns bit-identical
+    np.testing.assert_array_equal(out[:, :locked], V[:, :locked])
+    assert _ortho_err(out) < 1e-10
+
+
+def test_orthonormalize_falls_back_to_householder():
+    # rank-deficient active block: CholQR fails, Householder must rescue
+    rng = np.random.default_rng(2)
+    N, k = 80, 6
+    V = rng.standard_normal((N, k))
+    V[:, 3:] = V[:, :3]
+    rcfg = ChaseConfig().resolve(np.float64)
+    out = np.asarray(orthonormalize(jnp.asarray(V), 0, 10.0, rcfg))
+    assert _ortho_err(out) < 1e-10

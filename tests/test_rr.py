@@ -1,0 +1,70 @@
+"""Rayleigh–Ritz + residual kernel tests (mirrors */rayleighRitz.cpp and
+*/residuals.cpp), including the masked-locked-columns static-shape scheme."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from chase_tpu.models import clement, random_hermitian
+from chase_tpu.ops.rr import rayleigh_ritz_residuals
+from chase_tpu.ops.residuals import residuals
+from conftest import ALL_DTYPES, kernel_tol
+
+
+@pytest.mark.parametrize("dtype", ALL_DTYPES, ids=["f32", "f64", "c64", "c128"])
+def test_rr_recovers_eigenpairs_from_exact_subspace(dtype):
+    dtype = np.dtype(dtype)
+    N, k = 150, 12
+    if np.issubdtype(dtype, np.complexfloating):
+        H = random_hermitian(N, dtype=dtype, seed=5)
+    else:
+        H = clement(N).astype(dtype)
+    wide = np.complex128 if np.issubdtype(dtype, np.complexfloating) else np.float64
+    evals, evecs = np.linalg.eigh(H.astype(wide))
+    # subspace spanning the k lowest eigenvectors, randomly rotated
+    rng = np.random.default_rng(0)
+    R = rng.standard_normal((k, k))
+    Q, _ = np.linalg.qr(evecs[:, :k] @ R)
+    V = Q.astype(dtype)
+
+    V_out, ritz, resid = rayleigh_ritz_residuals(
+        jnp.asarray(H), jnp.asarray(V), jnp.int32(0))
+    tol = kernel_tol(dtype)
+    np.testing.assert_allclose(np.asarray(ritz), evals[:k], rtol=0,
+                               atol=tol * max(1.0, abs(evals[0])))
+    assert np.all(np.asarray(resid) < tol * 50 * max(1.0, abs(evals[0])))
+
+
+def test_rr_locked_columns_untouched_and_consistent():
+    N, k, locked = 100, 10, 4
+    H = clement(N)
+    evals, evecs = np.linalg.eigh(H)
+    # locked = exact lowest eigenvectors; active = rotated span of the next 6
+    rng = np.random.default_rng(1)
+    act = evecs[:, locked:k] @ rng.standard_normal((k - locked, k - locked))
+    act, _ = np.linalg.qr(act)
+    V = np.concatenate([evecs[:, :locked], act], axis=1)
+
+    V_out, ritz, resid = rayleigh_ritz_residuals(
+        jnp.asarray(H), jnp.asarray(V), jnp.int32(locked))
+    V_out = np.asarray(V_out)
+    np.testing.assert_array_equal(V_out[:, :locked], V[:, :locked])
+    np.testing.assert_allclose(np.asarray(ritz)[locked:], evals[locked:k],
+                               atol=1e-8)
+    assert np.all(np.asarray(resid)[locked:] < 1e-8 * N)
+
+
+@pytest.mark.parametrize("dtype", ALL_DTYPES, ids=["f32", "f64", "c64", "c128"])
+def test_standalone_residuals(dtype):
+    dtype = np.dtype(dtype)
+    N, k = 80, 6
+    H = (random_hermitian(N, dtype=np.complex128, seed=7)
+         if np.issubdtype(dtype, np.complexfloating) else clement(N))
+    wide = np.complex128 if np.issubdtype(dtype, np.complexfloating) else np.float64
+    evals, evecs = np.linalg.eigh(H.astype(wide))
+    r = residuals(jnp.asarray(H.astype(dtype)),
+                  jnp.asarray(evecs[:, :k].astype(dtype)),
+                  jnp.asarray(evals[:k].astype(np.float64 if dtype.itemsize >= 8
+                                               else np.float32)))
+    scale = max(1.0, float(abs(evals).max()))
+    assert np.all(np.asarray(r) < kernel_tol(dtype) * scale)

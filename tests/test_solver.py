@@ -1,0 +1,107 @@
+"""End-to-end solver tests.
+
+Mirrors tests/chase_serial_solve.cpp: Clement N=256 (+1e-6 random Hermitian
+perturbation), nev=24 nex=16, convergence asserted to 1e-8 DP / 1e-3 SP for
+all four scalar types; golden eigenvalues from numpy instead of shipped
+binaries (SURVEY §4).
+"""
+
+import numpy as np
+import pytest
+
+import chase_tpu
+from chase_tpu.models import clement, clement_eigenvalues, random_hermitian
+
+
+E2E_TOL = {np.dtype(np.float32): 1e-3, np.dtype(np.complex64): 1e-3,
+           np.dtype(np.float64): 1e-8, np.dtype(np.complex128): 1e-8}
+
+
+def _perturbed_clement(N, dtype, seed=0):
+    rng = np.random.default_rng(seed)
+    H = clement(N)
+    E = rng.standard_normal((N, N))
+    if np.issubdtype(np.dtype(dtype), np.complexfloating):
+        E = E + 1j * rng.standard_normal((N, N))
+    H = H + 1e-6 * (E + E.conj().T) / 2
+    return H.astype(dtype)
+
+
+@pytest.mark.parametrize(
+    "dtype", [np.float32, np.float64, np.complex64, np.complex128],
+    ids=["f32", "f64", "c64", "c128"])
+def test_clement_solve(dtype):
+    dtype = np.dtype(dtype)
+    N, nev, nex = 256, 24, 16
+    tol = E2E_TOL[dtype]
+    H = _perturbed_clement(N, dtype)
+    res = chase_tpu.eigsh(H, nev, nex, tol=tol)
+    assert res.converged
+    wide = np.complex128 if np.issubdtype(dtype, np.complexfloating) else np.float64
+    exact = np.linalg.eigvalsh(H.astype(wide))[:nev]
+    scale = float(N)  # eigenvalue scale of the Clement matrix
+    np.testing.assert_allclose(res.ritzv, exact, atol=tol * scale * 10)
+    assert np.all(res.resid < tol * scale * 10)
+    # eigenvectors: residual check against the true matrix
+    V = np.asarray(res.V)[:, :nev]
+    R = H @ V - V * res.ritzv[None, :].astype(V.dtype)
+    assert np.linalg.norm(R, axis=0).max() < tol * scale * 10
+
+
+def test_clement_exact_spectrum_found():
+    """Unperturbed Clement: eigenvalues are exactly ±(N-1), ±(N-3), ..."""
+    N, nev, nex = 200, 20, 20
+    res = chase_tpu.eigsh(clement(N), nev, nex, tol=1e-10)
+    assert res.converged
+    np.testing.assert_allclose(res.ritzv, clement_eigenvalues(N)[:nev],
+                               atol=1e-7)
+
+
+def test_random_hermitian_complex():
+    N, nev, nex = 300, 30, 20
+    H = random_hermitian(N, dtype=np.complex128, seed=11)
+    res = chase_tpu.eigsh(H, nev, nex, tol=1e-10)
+    assert res.converged
+    exact = np.linalg.eigvalsh(H)[:nev]
+    np.testing.assert_allclose(res.ritzv, exact, atol=1e-8 * N)
+
+
+def test_no_degree_optimization():
+    """opt='N' path: uniform degrees."""
+    N, nev, nex = 200, 16, 12
+    cfg = chase_tpu.ChaseConfig(optimization=False)
+    res = chase_tpu.eigsh(clement(N), nev, nex, tol=1e-9, config=cfg)
+    assert res.converged
+    np.testing.assert_allclose(res.ritzv, clement_eigenvalues(N)[:nev],
+                               atol=1e-6)
+
+
+def test_warm_start_sequence():
+    """mode='A': second solve of a perturbed problem reuses the subspace and
+    must converge in fewer iterations (the sequence feature)."""
+    from chase_tpu.models import hermitian_sequence
+    N, nev, nex = 256, 24, 16
+    H1, H2 = hermitian_sequence(N, 2, dtype=np.float64, seed=4, drift=0.005)
+    r1 = chase_tpu.eigsh(H1, nev, nex, tol=1e-9, collect_perf=True)
+    assert r1.converged
+    cold = chase_tpu.eigsh(H2, nev, nex, tol=1e-9)
+    warm = chase_tpu.eigsh(H2, nev, nex, tol=1e-9,
+                           v0=np.asarray(r1.V), ritzv0=r1.ritzv_full,
+                           approx=True)
+    assert warm.converged
+    exact = np.linalg.eigvalsh(H2)[:nev]
+    np.testing.assert_allclose(warm.ritzv, exact, atol=1e-6)
+    assert warm.iterations <= cold.iterations
+
+
+def test_perf_data_populated():
+    N, nev, nex = 128, 12, 8
+    res = chase_tpu.eigsh(clement(N), nev, nex, tol=1e-9, collect_perf=True)
+    assert res.converged
+    p = res.perf
+    assert p.timings["All"] > 0
+    assert p.timings["Filter"] > 0
+    assert p.filtered_vecs > 0
+    assert p.get_filter_flops(N, np.float64) > 0
+    assert p.get_flops(N, 20, 4, np.float64) > 0
+    assert "GFLOPS" in p.report(N, 20, 4, np.float64)
