@@ -25,7 +25,7 @@ from .parallel.operator import DenseOperator
 from .perf import PerfData
 from .solver import solve, SolveResult
 
-__all__ = ["eigsh", "EigshResult"]
+__all__ = ["eigsh", "eigsh_pseudo", "EigshResult"]
 
 
 def eigsh(H, nev: int, nex: Optional[int] = None, *,
@@ -71,6 +71,42 @@ def eigsh(H, nev: int, nex: Optional[int] = None, *,
     res = solve(op, nev, nex, config=cfg, V0=v0, ritzv0=ritzv0,
                 perf=perf, key=key)
     return res
+
+
+def eigsh_pseudo(H, nev: int, nex: Optional[int] = None, *,
+                 tol: Optional[float] = None,
+                 v0=None, ritzv0=None, approx: bool = False,
+                 config: Optional[ChaseConfig] = None,
+                 grid: Optional[Grid2D] = None,
+                 collect_perf: bool = False,
+                 key=None) -> SolveResult:
+    """Compute the ``nev`` smallest-*positive* eigenpairs of a
+    pseudo-Hermitian (BSE) matrix H = S·M (spectrum real, symmetric about 0).
+
+    The reference's Solve_pseudo / *chase_pseudo_* C entry points
+    (interface/chase_c_interface.h:163-175).  The search subspace holds
+    2·(nev+nex) vectors (the negative mirrors ride along via
+    K-conjugation).
+    """
+    from .solver_pseudo import solve_pseudo
+    if nex is None:
+        nex = max(nev // 4, 8)
+    cfg = config or ChaseConfig()
+    if tol is not None or approx:
+        import dataclasses
+        updates = {}
+        if tol is not None:
+            updates["tol"] = tol
+        if approx:
+            updates["approx"] = True
+        cfg = dataclasses.replace(cfg, **updates)
+    op = H if isinstance(H, DenseOperator) else DenseOperator(
+        H, grid=grid, pseudo_hermitian=True)
+    perf = PerfData() if collect_perf else None
+    if perf is not None:
+        perf.matrix_type = 1
+    return solve_pseudo(op, nev, nex, config=cfg, V0=v0, ritzv0=ritzv0,
+                        perf=perf, key=key)
 
 
 # Back-compat style alias matching scipy naming

@@ -57,26 +57,44 @@ def random_hermitian(N: int, dtype=np.complex128, seed: int = 0,
 
 
 def random_pseudo_hermitian(N: int, dtype=np.complex128, seed: int = 0,
-                            gap: float = 1.0) -> np.ndarray:
-    """Random BSE-structured pseudo-Hermitian matrix H = S·M.
+                            gap: float = 1.0, coupling: float = 0.2,
+                            spread: float = 2.0) -> np.ndarray:
+    """Random Bethe–Salpeter-structured pseudo-Hermitian matrix.
 
-    M is Hermitian positive definite (shifted), S = diag(I_{N/2}, -I_{N/2}).
-    Then Sᴴ H S = Hᴴ (pseudo-Hermitian) and the spectrum is real and
-    symmetric about 0 — the structure of Bethe–Salpeter Hamiltonians the
-    reference's solve_pseudo targets (README.md:7-20).
+        H = [[A, B], [-conj(B), -conj(A)]],  A = Aᴴ,  B = Bᵀ
+
+    This is the full BSE structure the reference's solve_pseudo exploits:
+    Sᴴ H S = Hᴴ (S = diag(I, −I)), the spectrum is real and symmetric about
+    0 (eigenpair (λ, x) ↔ (−λ, Kx) with K x = conj([x₂; x₁]) — the
+    K-conjugation of chase_cpu.hpp:557-588), and M = S·H is Hermitian
+    positive definite (the beyond-Tamm-Dancoff stability condition) as long
+    as ``coupling`` keeps ‖B‖ below A's smallest eigenvalue.
+
+    ``gap`` shifts A's spectrum away from 0; ``spread`` scales the width of
+    A's spectrum (well-separated positive eigenvalues for solver tests).
     """
     if N % 2:
         raise ValueError("pseudo-Hermitian test matrices need even N")
+    n = N // 2
     rng = np.random.default_rng(seed)
     cplx = np.issubdtype(np.dtype(dtype), np.complexfloating)
-    A = rng.standard_normal((N, N))
+    C = rng.standard_normal((n, n))
     if cplx:
-        A = A + 1j * rng.standard_normal((N, N))
-    M = (A @ A.conj().T) / N + gap * np.eye(N)   # HPD
-    S = np.ones(N)
-    S[N // 2:] = -1.0
-    H = (S[:, None] * M).astype(dtype)
-    return H
+        C = C + 1j * rng.standard_normal((n, n))
+    Q, _ = np.linalg.qr(C)
+    w = gap + spread * (np.arange(n) + rng.random(n)) / n
+    A = (Q * w) @ Q.conj().T
+    A = (A + A.conj().T) / 2
+    B = rng.standard_normal((n, n))
+    if cplx:
+        B = B + 1j * rng.standard_normal((n, n))
+    B = coupling * gap * (B + B.T) / (2 * np.sqrt(n))   # complex-symmetric
+    H = np.zeros((N, N), dtype=np.complex128 if cplx else np.float64)
+    H[:n, :n] = A
+    H[:n, n:] = B
+    H[n:, :n] = -np.conj(B)
+    H[n:, n:] = -np.conj(A)
+    return H.astype(dtype)
 
 
 def hermitian_sequence(N: int, count: int, dtype=np.complex128, seed: int = 0,

@@ -7,4 +7,4 @@ from GSPMD sharding annotations supplied by :mod:`chase_tpu.parallel`, not
 from per-backend reimplementations.
 """
 
-from . import filter, lanczos, qr, rr, residuals  # noqa: F401
+from . import blocks, filter, lanczos, pseudo, qr, rr, residuals  # noqa: F401

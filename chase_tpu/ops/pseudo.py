@@ -1,0 +1,242 @@
+"""Pseudo-Hermitian (BSE) kernels: S-metric ops, H² filter, K-conjugation,
+S-Lanczos and the pseudo Rayleigh–Ritz pencil solve.
+
+TPU-native redesign of the reference's BSE machinery:
+
+* ``flipLowerHalfMatrixSign`` (cpu/utils.hpp:99-120, flipSign.cu) — applying
+  the metric S = diag(I_{N/2}, −I_{N/2}) — becomes a row-mask multiply that
+  XLA fuses into the adjacent matmul.
+* ``HEMM_H2`` (chase_cpu.hpp:510-555): two back-to-back matmuls + axpy; the
+  Chebyshev recurrence on H² lives here with the same degree-mask /
+  traced-trip-count structure as the Hermitian filter.
+* ``ApplyKconjugate`` (chase_cpu.hpp:557-588): the mirror eigenvector
+  x(λ) → K x = conj(swap_halves(x)) for −λ becomes a gather with host-built
+  index/mask arrays — one XLA program for every (locked, unconverged).
+* Pseudo-Lanczos in the M = S·H inner product (cpu/lanczos.hpp:330-510,
+  per Grüning et al.), batched over probes in one lax.scan.
+* ``rayleighRitz_v2`` (cpu/rayleighRitz.hpp:284-392): Hermitianized pencil
+  QᴴSHQ y = θ QᴴSQ y via Cholesky + two triangular solves; here with
+  static full width and identity/-identity padding of the masked (locked)
+  slots so one XLA program serves every `locked`; fused with residuals.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..types import real_dtype
+
+__all__ = [
+    "flip_lower_half", "apply_s", "chebyshev_filter_h2", "k_conjugate_cols",
+    "lanczos_scan_pseudo", "rayleigh_ritz_residuals_pseudo",
+    "flip_locked_cols", "residuals_pseudo",
+]
+
+
+def apply_s(X):
+    """S·X where S = diag(I_{N/2}, −I_{N/2}) — fused sign flip, no copy of S."""
+    n2 = X.shape[0] // 2
+    rows = jnp.arange(X.shape[0])
+    return jnp.where((rows >= n2)[:, None], -X, X)
+
+
+flip_lower_half = apply_s
+
+
+@jax.jit
+def flip_locked_cols(V, nflip):
+    """Flip the lower-half sign of the first ``nflip`` columns (traced).
+
+    The S-orthogonalization trick of the pseudo QR (chase_cpu.hpp:597-626):
+    CholQR against S·x_locked makes the active block S-orthogonal to the
+    locked eigenvectors.
+    """
+    n2 = V.shape[0] // 2
+    rows = jnp.arange(V.shape[0])[:, None]
+    cols = jnp.arange(V.shape[1])[None, :]
+    flip = (rows >= n2) & (cols < nflip)
+    return jnp.where(flip, -V, V)
+
+
+@jax.jit
+def k_conjugate_cols(V, src_idx, write_mask):
+    """out[:, j] = K(V[:, src_idx[j]]) where write_mask[j], else V[:, j].
+
+    K x = conj([x_lower; x_upper]) maps the eigenvector of λ to the one of
+    −λ (BSE symmetry).  src_idx/write_mask are data, so a single XLA
+    program covers every (locked, unconverged) geometry.
+    """
+    src = jnp.take(V, src_idx, axis=1)
+    n2 = V.shape[0] // 2
+    Ks = jnp.concatenate([src[n2:], src[:n2]], axis=0).conj()
+    return jnp.where(write_mask[None, :], Ks, V)
+
+
+def _h2_shift(H, X, c, precision):
+    """(H² − c·I) @ X via two matmuls (HEMM_H2 with γ = −αc folded)."""
+    return jnp.matmul(H, jnp.matmul(H, X, precision=precision),
+                      precision=precision) - c * X
+
+
+@partial(jax.jit, static_argnames=("precision",), donate_argnums=(1,))
+def chebyshev_filter_h2(H, X, degrees, lam1, lower, upper, deg_max, *,
+                        precision="highest"):
+    """Degree-masked Chebyshev filter on H² (algorithm.inc:1012-1064).
+
+    ``lam1/lower/upper`` are H²-spectrum quantities (μ₁, μ_nev+nex, b_sup).
+    No shift of H: the interval shift is folded into the matmul epilogue.
+    """
+    out_dtype = X.dtype
+    rt = real_dtype(H.dtype)
+    Xc = X.astype(H.dtype)
+
+    lam1 = jnp.asarray(lam1, rt)
+    lo = jnp.minimum(jnp.asarray(lower, rt), jnp.asarray(upper, rt))
+    up = jnp.maximum(jnp.asarray(lower, rt), jnp.asarray(upper, rt))
+    c = (up + lo) / 2
+    e = (up - lo) / 2
+    sigma1 = e / (lam1 - c)
+
+    alpha1 = sigma1 / e
+    Y = alpha1 * _h2_shift(H, Xc, c, precision)
+    Y = jnp.where(degrees[None, :] >= 1, Y, Xc)
+
+    def body(t, carry):
+        Xp, Yc, sigma = carry
+        tau = 1.0 / (2.0 / sigma1 - sigma)
+        alpha = 2.0 * tau / e
+        beta = -sigma * tau
+        Z = alpha * _h2_shift(H, Yc, c, precision) + beta * Xp
+        upd = degrees[None, :] >= t
+        Z = jnp.where(upd, Z, Yc)
+        return (Yc, Z, tau)
+
+    deg_max = jnp.asarray(deg_max, jnp.int32)
+    _, Y, _ = jax.lax.fori_loop(2, deg_max + 1, body, (Xc, Y, sigma1))
+    return Y.astype(out_dtype)
+
+
+@partial(jax.jit, static_argnames=("m", "precision", "want_basis"))
+def lanczos_scan_pseudo(H, V0, *, m, precision="highest", want_basis=True):
+    """Batched Lanczos of the pseudo-Hermitian H in the M = S·H inner
+    product (HPD for BSE).  Mirrors cpu/lanczos.hpp:330-510 in scaled form:
+
+      β²_k = Re(v₁ᴴ S H v₁)  (M-norm²),  α_k = Re(wᴴ S w)  with w = H v₁.
+
+    Returns (alphas (m,nv), betas (m,nv) [betas[:-1] = e], basis (m,N) of
+    the last probe).  The Ritz values of (d,e) approximate the *signed*
+    spectrum of H.
+    """
+    rt = real_dtype(H.dtype)
+
+    def s_dot(a, b):
+        return jnp.sum(a.conj() * apply_s(b), axis=0).real.astype(rt)
+
+    v1 = V0.astype(H.dtype)
+    w = jnp.matmul(H, v1, precision=precision)
+    b2 = s_dot(v1, w)
+    b = jnp.sqrt(jnp.abs(b2))
+    safe = jnp.where(b > 0, b, jnp.ones((), rt))
+    v1 = v1 / safe[None, :].astype(v1.dtype)
+    w = w / safe[None, :].astype(w.dtype)
+    v0 = jnp.zeros_like(v1)
+    e_prev = jnp.zeros((v1.shape[1],), rt)
+
+    def step(carry, _):
+        v0, v1, w, e_prev = carry
+        alpha = s_dot(w, w)
+        w2 = w - alpha[None, :].astype(w.dtype) * v1 \
+               - e_prev[None, :].astype(w.dtype) * v0
+        # next basis vector (unnormalized) and its M-norm
+        Hw = jnp.matmul(H, w2, precision=precision)
+        b2 = s_dot(w2, Hw)
+        e_k = jnp.sqrt(jnp.abs(b2))
+        safe = jnp.where(e_k > 0, e_k, jnp.ones((), rt))
+        v1n = w2 / safe[None, :].astype(w2.dtype)
+        wn = Hw / safe[None, :].astype(Hw.dtype)
+        out = (alpha, e_k, v1[:, -1]) if want_basis else (alpha, e_k)
+        return (v1, v1n, wn, e_k), out
+
+    _, outs = jax.lax.scan(step, (v0, v1, w, e_prev), None, length=m)
+    if want_basis:
+        alphas, betas, basis = outs
+        return alphas, betas, basis
+    alphas, betas = outs
+    return alphas, betas, None
+
+
+@partial(jax.jit, static_argnames=("precision",))
+def rayleigh_ritz_residuals_pseudo(H, V, locked, *, precision="highest"):
+    """Pseudo-Hermitian Rayleigh–Ritz (v2, Hermitianized pencil) fused with
+    residuals, static full width.
+
+    V: (N, 2·nevex) block laid out [locked_L | active 2u | locked_R] with
+    u = nevex − locked.  Columns outside the active range are masked out
+    and their pencil slots padded (A←+1, B←−1 on the diagonal) so the
+    padded eigenvalues w = +1 sort after every wanted (positive-θ) w < 0.
+
+    Returns:
+      V_out: V with columns [locked, locked+u) replaced by the positive
+             Ritz vectors (ascending θ).
+      theta: (2·nevex,) — positions [locked, locked+u) hold the positive
+             Ritz values ascending.
+      resid: same layout; ‖H v − θ v‖₂.
+    """
+    K2 = V.shape[1]
+    rt = real_dtype(V.dtype)
+    cols = jnp.arange(K2)
+    active = (cols >= locked) & (cols < K2 - locked)
+    u = K2 // 2 - locked   # number of kept (positive) Ritz pairs
+
+    Q = jnp.where(active[None, :], V, jnp.zeros((), V.dtype))
+    W = jnp.matmul(H, Q, precision=precision)          # H·Q (reused for resid)
+    T = apply_s(W)                                     # S·H·Q
+    A = jnp.matmul(Q.conj().T, T, precision=precision)  # QᴴSHQ (HPD on active)
+    pad_p = jnp.where(active, jnp.zeros((), rt), jnp.ones((), rt))
+    A = A + jnp.diag(pad_p).astype(A.dtype)
+
+    L = jnp.linalg.cholesky(A)
+    ok = jnp.isfinite(L.real).all()
+    L = jnp.where(ok, L, jnp.eye(K2, dtype=A.dtype))
+
+    SQ = apply_s(Q)
+    B = jnp.matmul(Q.conj().T, SQ, precision=precision)  # QᴴSQ
+    B = B - jnp.diag(pad_p).astype(B.dtype)               # pad −1
+
+    C = jax.lax.linalg.triangular_solve(L, B, left_side=True, lower=True)
+    C = jax.lax.linalg.triangular_solve(L, C, left_side=False, lower=True,
+                                        transpose_a=True, conjugate_a=True)
+    M = -(C + C.conj().T) / 2                             # Hermitize −L⁻¹BL⁻ᴴ
+
+    w, Z = jnp.linalg.eigh(M)                             # ascending
+    w = w.real.astype(rt)
+    theta = -1.0 / jnp.where(jnp.abs(w) > 0, w, jnp.ones((), rt))
+
+    X = jax.lax.linalg.triangular_solve(L, Z, left_side=True, lower=True,
+                                        transpose_a=True, conjugate_a=True)
+    nrm = jnp.linalg.norm(X, axis=0).real.astype(rt)
+    X = X / jnp.where(nrm > 0, nrm, jnp.ones((), rt))[None, :].astype(X.dtype)
+
+    Vrot = jnp.matmul(Q, X, precision=precision)
+    Wrot = jnp.matmul(W, X, precision=precision)          # = H·Vrot
+    R = Wrot - Vrot * theta[None, :].astype(V.dtype)
+    resid = jnp.linalg.norm(R, axis=0).real.astype(rt)
+
+    # wanted pairs live at eigh positions [0, u); roll to [locked, locked+u)
+    Vrot = jnp.roll(Vrot, locked, axis=1)
+    theta = jnp.roll(theta, locked)
+    resid = jnp.roll(resid, locked)
+    write = (cols >= locked) & (cols < locked + u)
+    V_out = jnp.where(write[None, :], Vrot, V)
+    return V_out, theta, resid, ok
+
+
+@partial(jax.jit, static_argnames=("precision",))
+def residuals_pseudo(H, V, theta, *, precision="highest"):
+    """Standalone ‖H v − θ v‖ for pseudo-Hermitian verification."""
+    W = jnp.matmul(H, V, precision=precision)
+    R = W - V * theta[None, :].astype(V.dtype)
+    return jnp.linalg.norm(R, axis=0).real.astype(real_dtype(V.dtype))

@@ -28,7 +28,8 @@ import numpy as np
 from ..logger import get_logger
 from ..types import real_dtype, is_double_base
 
-__all__ = ["cholqr", "householder_qr", "restore_locked", "orthonormalize"]
+__all__ = ["cholqr", "householder_qr", "restore_locked", "orthonormalize",
+           "orthonormalize_pseudo"]
 
 
 def _gram(V, precision):
@@ -89,6 +90,33 @@ def restore_locked(V_new, V_old, locked):
     """Keep columns [0, locked) from V_old (reference lacpy restore)."""
     cols = jnp.arange(V_new.shape[1])
     return jnp.where(cols[None, :] < locked, V_old, V_new)
+
+
+def orthonormalize_pseudo(V, locked, cond, rcfg):
+    """S-aware QR for the pseudo-Hermitian path.
+
+    Mirrors the pseudo branch of Impl/chase_cpu/chase_cpu.hpp:597-626 and
+    754-775: rearrange the block [L | active | R] → [L | R | active], flip
+    the lower-half sign of the 2·locked locked columns (so CholQR
+    S-orthogonalizes the active block against them), orthonormalize, restore
+    the unflipped locked columns, and undo the rearrangement.  All layout
+    moves are gathers with host-built (traced) index arrays.
+    """
+    from .blocks import permute_cols
+    from .pseudo import flip_locked_cols
+
+    if locked == 0:
+        return orthonormalize(V, 0, cond, rcfg)
+    K2 = V.shape[1]
+    perm_to = np.concatenate([
+        np.arange(locked), np.arange(K2 - locked, K2),
+        np.arange(locked, K2 - locked)])
+    inv = np.argsort(perm_to)
+    Vp = permute_cols(V, jnp.asarray(perm_to))
+    Vf = flip_locked_cols(Vp, jnp.int32(2 * locked))
+    Q = orthonormalize(Vf, 0, cond, rcfg)
+    Q = restore_locked(Q, Vp, jnp.int32(2 * locked))
+    return permute_cols(Q, jnp.asarray(inv))
 
 
 def orthonormalize(V, locked, cond, rcfg, perf_note=None):

@@ -44,31 +44,12 @@ from .ops import rr as rrops
 __all__ = ["solve", "SolveResult"]
 
 
-# --------------------------------------------------------------------------
-# jitted glue (shape-stable helpers)
-# --------------------------------------------------------------------------
-
-@jax.jit
-def _permute_cols(V, perm):
-    return jnp.take(V, perm, axis=1)
-
-
-@partial(jax.jit, static_argnames=("w",))
-def _slice_cols(V, start, w):
-    return jax.lax.dynamic_slice(V, (jnp.int32(0), start), (V.shape[0], w))
-
-
-@jax.jit
-def _update_cols(V, X, start):
-    return jax.lax.dynamic_update_slice(V, X.astype(V.dtype),
-                                        (jnp.int32(0), start))
-
-
-@jax.jit
-def _set_head_cols(V, Vd, mask):
-    m = Vd.shape[1]
-    head = jnp.where(mask[None, :], Vd.astype(V.dtype), V[:, :m])
-    return V.at[:, :m].set(head)
+from .ops.blocks import (
+    permute_cols as _permute_cols,
+    slice_cols as _slice_cols,
+    update_cols as _update_cols,
+    set_head_cols as _set_head_cols,
+)
 
 
 # --------------------------------------------------------------------------

@@ -1,0 +1,448 @@
+"""Pseudo-Hermitian (BSE) solver driver.
+
+TPU-native redesign of ``Algorithm<T>::solve_pseudo``
+(algorithm/algorithm.inc:1834-2220): subspace of 2·(nev+nex) columns laid
+out [locked_L | positive candidates u | K-mirrors u | locked_R], Chebyshev
+filtering on H², S-orthogonalizing QR, Hermitianized-pencil Rayleigh–Ritz
+keeping the positive half, index-order locking (v3) with mirror
+regeneration via K-conjugation.
+
+Same static-shape discipline as the Hermitian driver (solver.py): filter on
+a bucketed window, RR/QR at full width with masks/pads, host-side
+bookkeeping, one small device→host transfer per iteration.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import ChaseConfig
+from .logger import get_logger
+from .perf import PerfData
+from .types import is_double_base
+from .parallel.operator import DenseOperator
+from .solver import SolveResult
+from .ops.blocks import (permute_cols, slice_cols, update_cols,
+                         set_head_cols, scale_lower_rows)
+from .ops import lanczos as lz
+from .ops import pseudo as ps
+from .ops.qr import orthonormalize, orthonormalize_pseudo
+
+__all__ = ["solve_pseudo"]
+
+
+# --------------------------------------------------------------------------
+# host-side bookkeeping (pseudo variants)
+# --------------------------------------------------------------------------
+
+def detect_eigenvalue_clusters(ritzv, resid, tol, n, upperb, lowerb):
+    """Residual-weighted spatial clustering → per-vector degree factors in
+    [0.5, 3.0], 1-2-1 smoothed.  Port of algorithm.inc:19-133."""
+    if n <= 0:
+        return np.ones(0)
+    factors = np.ones(n)
+    cluster_threshold = abs(upperb - lowerb) * 1e-6
+    mean_res = float(np.mean(resid[:n]))
+    rel = resid[:n] / (mean_res + 1e-14)
+    weights = np.minimum(1.0 + np.log(1.0 + rel), 2.5)
+    for i in range(n):
+        d = np.abs(ritzv[i] - ritzv[:n])
+        near = (d < cluster_threshold)
+        near[i] = False
+        neighbors = int(np.sum(near))
+        spatial = 1.0
+        if neighbors > 0:
+            local_density = float(np.sum(weights[near] / (d[near] + 1e-14)))
+            spatial = 1.0 + np.log(1.0 + local_density * 0.1)
+        combined = spatial * weights[i]
+        if neighbors > 2 and resid[i] > 2.0 * mean_res:
+            combined *= 1.2
+        if resid[i] > 10.0 * tol:
+            combined *= 1.15
+        factors[i] = min(3.0, max(0.5, combined))
+    smoothed = factors.copy()
+    for i in range(1, n - 1):
+        smoothed[i] = 0.25 * factors[i - 1] + 0.5 * factors[i] \
+            + 0.25 * factors[i + 1]
+    return np.minimum(3.0, np.maximum(0.5, smoothed))
+
+
+def calc_degrees_pseudo_h2_host(u, nex, b_sup, lower, tol, ritzv_a, resid_a,
+                                resid_last_a, degrees_a, rcfg, is_sp):
+    """λ²-based optimal degrees with cluster/stagnation/near-zero bonuses.
+
+    In-place on the active views; port of calc_degrees_pseudo_H2
+    (algorithm.inc:196-317).  Returns (deg_max_active, perm_over_active).
+    """
+    max_deg = rcfg.max_deg
+    cluster = rcfg.cluster_aware_degrees
+    factors = (detect_eigenvalue_clusters(ritzv_a, resid_a, tol, u - nex,
+                                          b_sup, lower)
+               if cluster else None)
+    c_h2 = (b_sup + lower) / 2
+    e_h2 = (b_sup - lower) / 2
+    if e_h2 <= 0:
+        degrees_a[:u] = max_deg + max_deg % 2
+        return max_deg + max_deg % 2, np.arange(u)
+    for i in range(u):
+        lam2 = float(ritzv_a[i]) ** 2
+        r = float(resid_a[i])
+        t = (lam2 - c_h2) / e_h2
+        z = complex(t) ** 2 - 1.0
+        s = np.sqrt(z)
+        rho = max(abs(complex(t) - s), abs(complex(t) + s))
+        if not np.isfinite(rho) or rho <= 1.0:
+            deg = max_deg
+        else:
+            with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
+                lr = np.log(r / tol) / np.log(rho)
+            if not np.isfinite(lr):
+                deg = max_deg
+            else:
+                deg = int(np.ceil(abs(float(lr))))
+                if cluster:
+                    f = factors[i] if i < len(factors) else 1.0
+                    deg = int(deg * f)
+                    if r <= 10.0 * tol:
+                        rel_change = abs(r - float(resid_last_a[i])) / (r + 1e-14)
+                        if rel_change < 0.1:
+                            deg += 6     # stagnation bonus
+                    if abs(float(ritzv_a[i])) < abs(b_sup - lower) * 0.1:
+                        deg += 2         # near-zero-λ bonus
+                deg = min(deg + rcfg.deg_extra, max_deg)
+        if is_sp:
+            deg = max(deg, 8)
+        degrees_a[i] = deg + deg % 2
+    perm = np.argsort(degrees_a[:u], kind="stable")
+    degrees_a[:u] = degrees_a[:u][perm]
+    ritzv_a[:u] = ritzv_a[:u][perm]
+    resid_a[:u] = resid_a[:u][perm]
+    return int(np.max(degrees_a[:u])), perm
+
+
+def locking_pseudo_v3_host(ritzv_a, resid_a, resid_last_a, u, nex, tol,
+                           iteration):
+    """Index-order locking with 1000·tol stagnation early-lock after
+    iteration ≥ 4.  Port of locking_pseudo_v3 (algorithm.inc:730-816)
+    including its residLast reshuffle.  In-place; returns
+    (new_converged, perm_over_u, early_locked)."""
+    resid_last_unconv = resid_a[:u].copy()
+    perm = np.arange(u)
+    converged = 0
+    early = []
+    index_unconverged = []
+    for k in range(u - nex):
+        j = k
+        rj = float(resid_a[j])
+        stag = (rj > tol and rj >= float(resid_last_a[k])
+                and rj <= 1000.0 * tol and iteration >= 4)
+        if rj <= tol or stag:
+            if stag:
+                early.append(rj)
+            if j != converged:
+                for arr in (resid_a, ritzv_a):
+                    arr[j], arr[converged] = arr[converged], arr[j]
+                perm[j], perm[converged] = perm[converged], perm[j]
+            converged += 1
+        else:
+            index_unconverged.append(j)
+    for k in range(u - nex, u):
+        index_unconverged.append(k)
+    for i in range(converged, u):
+        resid_last_a[i] = resid_last_unconv[index_unconverged[i - converged]]
+    return converged, perm, early
+
+
+# --------------------------------------------------------------------------
+# driver
+# --------------------------------------------------------------------------
+
+def solve_pseudo(op: DenseOperator, nev: int, nex: int,
+                 config: Optional[ChaseConfig] = None,
+                 V0=None, ritzv0=None, perf: Optional[PerfData] = None,
+                 key=None) -> SolveResult:
+    """Compute the nev smallest-positive eigenpairs of the pseudo-Hermitian
+    (BSE) operator H = S·M (spectrum real, symmetric about 0)."""
+    cfg = config or ChaseConfig()
+    rcfg = cfg.resolve(op.dtype)
+    log = get_logger()
+    N, nevex = op.N, nev + nex
+    K2 = 2 * nevex
+    if N % 2:
+        raise ValueError("pseudo-Hermitian problems need even N")
+    if nevex > N // 2:
+        raise ValueError(f"nev+nex = {nevex} exceeds N/2 = {N // 2}")
+    precision = rcfg.matmul_precision
+    is_sp = not is_double_base(op.dtype)
+    tol = rcfg.tol
+    timing = perf is not None
+    if perf is not None:
+        perf.matrix_type = 1
+
+    def toc(phase, t0, *arrays):
+        if timing:
+            for a in arrays:
+                if hasattr(a, "block_until_ready"):
+                    a.block_until_ready()
+            perf.add_time(phase, time.perf_counter() - t0)
+        return time.perf_counter()
+
+    t_all0 = time.perf_counter()
+    t0 = time.perf_counter()
+
+    # ---- initVecs: random 2·nevex block, lower rows ×0.001, QR ------------
+    approx = rcfg.approx and V0 is not None
+    if key is None:
+        key = jax.random.key(rcfg.seed)
+    if V0 is not None:
+        V = op.place_block(jnp.asarray(V0, op.dtype))
+    else:
+        V = op.place_block(jax.random.normal(key, (N, K2), dtype=op.dtype))
+        V = scale_lower_rows(V, 0.001)
+    if not approx:
+        V = orthonormalize(V, 0, 1.0, rcfg)
+    t0 = toc("InitVecs", t0, V)
+
+    deg0 = min(rcfg.deg + rcfg.deg % 2, rcfg.max_deg)
+    degrees = np.full(K2, deg0, dtype=np.int64)
+    resid = np.full(K2, np.finfo(np.float64).max)
+    resid_last = np.full(K2, np.finfo(np.float64).max)
+    ritzv = np.zeros(K2, np.float64)
+
+    # ---- Lanczos on H (S-metric) → H² bounds (algorithm.inc:1217-1373) ----
+    m = min(nevex, N // 2, rcfg.lanczos_iter)
+    m -= m % 2
+    m = max(m, 2)
+    numvec = rcfg.num_lanczos
+    alphas, betas, basis = ps.lanczos_scan_pseudo(
+        op.H, V[:, :numvec], m=m, precision=precision, want_basis=True)
+    a_np = np.asarray(alphas, np.float64)
+    b_np = np.asarray(betas, np.float64)
+    t0 = toc("Lanczos", t0, alphas)
+    theta, tau, ritzV_last = lz.lanczos_tridiag_host(a_np, b_np)
+
+    abs_t = np.abs(theta)
+    b_sup = float(abs_t.max()) ** 2
+    mu_1 = float(abs_t.min()) ** 2
+    upperb = b_sup
+
+    # DoS quantile in H-space: search_hi = (N/2 - nev - nex - 1)/N
+    search_hi = (N / 2 - nev - nex - 1) / N
+    search_hi = min(max(search_hi, 0.0), 1.0)
+    theta_flat = theta.reshape(-1)
+    tau_flat = tau.reshape(-1)
+    order = np.argsort(theta_flat)
+    theta_sorted = theta_flat[order]
+    sigma = 0.25
+    thresh = 2 * sigma * sigma / 10
+    from scipy.special import erf
+
+    def G(x):
+        return 0.5 * (1 + erf(x / np.sqrt(2 * sigma * sigma)))
+
+    lam_nevnex = float(theta_sorted[-1])
+    prev = 0.0
+    n_dos = numvec * m
+    for i in range(n_dos):
+        x = theta_sorted[i]
+        lo = x < (theta_flat - thresh)
+        hi = x > (theta_flat + thresh)
+        mid = ~(lo | hi)
+        curr = float(np.sum(tau_flat[hi])
+                     + np.sum(tau_flat[mid] * G(x - theta_flat[mid])))
+        curr /= numvec
+        if curr > search_hi:
+            if abs(curr - search_hi) < abs(prev - search_hi):
+                lam_nevnex = float(theta_sorted[i])
+            else:
+                lam_nevnex = float(theta_sorted[i - 1] if i > 0
+                                   else theta_sorted[i])
+            break
+        prev = curr
+        lam_nevnex = float(theta_sorted[i])
+    mu_nevnex = lam_nevnex ** 2
+
+    # DoS starting vectors from the last probe's basis
+    theta_last = theta[-1]
+    idx = 0
+    for i in range(m):
+        if theta_last[i] > lam_nevnex:
+            idx = i - 1
+            break
+        idx = i + 1
+    idx = max(idx, 0)
+    idx = min(idx, nevex - 1)
+    if idx > 0:
+        mask = jnp.asarray(np.arange(m) < idx)
+        Vd = lz.lanczos_dos_vectors(basis, jnp.asarray(ritzV_last), mask,
+                                    precision=precision)
+        V = set_head_cols(V, Vd, mask)
+    ritzv[:idx] = theta_last[:idx] ** 2
+    ritzv[idx:nevex - 1] = mu_1
+    ritzv[nevex - 1] = mu_nevnex
+    if idx > 1:
+        perm = np.arange(K2)
+        for i in range(1, idx):
+            j = i * (nevex // idx)
+            perm[i], perm[j] = perm[j], perm[i]
+            ritzv[i], ritzv[j] = ritzv[j], ritzv[i]
+        V = permute_cols(V, jnp.asarray(perm))
+
+    mu_1 = float(np.min(ritzv[:nevex - 1])) if nevex > 1 else float(ritzv[0])
+    mu_nevnex = float(ritzv[nevex - 1])
+    upperb = upperb * rcfg.upperb_scale if upperb > 0 \
+        else upperb / rcfg.upperb_scale
+    lambda_1 = mu_1
+    lower = mu_nevnex
+    new_mu_nevex = lower
+    new_lambda_1 = lambda_1
+    b_sup = upperb
+    lower = lower * rcfg.decaying_rate
+    log.info(f"solve_pseudo H² bounds: lambda_1={lambda_1:.6e} "
+             f"lower={lower:.6e} b_sup={b_sup:.6e} (DoS idx={idx})")
+
+    locked = 0
+    unconverged = nevex
+    iteration = 0
+    early_all: list = []
+
+    # ---- main loop (algorithm.inc:1963-2170) -------------------------------
+    while locked < nev and unconverged > 0 and iteration < rcfg.max_iter:
+        u = unconverged
+        act = slice(locked, locked + u)
+
+        if iteration > 0:
+            nm2 = new_mu_nevex * new_mu_nevex
+            nl2 = new_lambda_1 * new_lambda_1
+            del nl2  # reference computes but leaves lambda_1 fixed
+            if lambda_1 < nm2 < lower:
+                lower = nm2
+        log.info(f"pseudo iteration {iteration}: lambda_1={lambda_1:.6e} "
+                 f"lower={lower:.6e} b_sup={b_sup:.6e} unconverged={u}")
+
+        # -- degrees --
+        if rcfg.optimization and iteration != 0:
+            _, perm = calc_degrees_pseudo_h2_host(
+                u, nex, b_sup, lower, tol, ritzv[act], resid[act],
+                resid_last[act], degrees[act], rcfg, is_sp)
+            if not np.array_equal(perm, np.arange(u)):
+                full_perm = np.arange(K2)
+                full_perm[act] = locked + perm
+                V = permute_cols(V, jnp.asarray(full_perm))
+
+        # -- filter on H² over the positive-candidate window --
+        B = max(1, min(rcfg.col_block, nevex))
+        w_pad = min(nevex, -(-u // B) * B)
+        # window right-aligned at locked+u
+        start = max(0, locked + u - w_pad)
+        offset = locked - start
+        deg_win = np.zeros(w_pad, np.int32)
+        deg_win[offset:] = degrees[act]
+        X = slice_cols(V, jnp.int32(start), w_pad)
+        X = ps.chebyshev_filter_h2(
+            op.H, X, jnp.asarray(deg_win),
+            np.asarray(lambda_1, op.real_dtype),
+            np.asarray(lower, op.real_dtype),
+            np.asarray(b_sup, op.real_dtype),
+            jnp.int32(int(deg_win.max())), precision=precision)
+        V = update_cols(V, X, jnp.int32(start))
+        if perf is not None:
+            perf.add_filtered_vecs(2 * int(np.sum(degrees[act])))
+            perf.add_iter_blocksize(u)
+        t0 = toc("Filter", t0, V)
+
+        # -- K-conjugation: mirror [locked, locked+u) → right of active --
+        src_idx = np.arange(K2)
+        wmask = np.zeros(K2, bool)
+        dst = np.arange(K2 - locked - u, K2 - locked)
+        src_idx[dst] = np.arange(locked, locked + u)
+        wmask[dst] = True
+        V = ps.k_conjugate_cols(V, jnp.asarray(src_idx), jnp.asarray(wmask))
+        t0 = toc("ApplyKconjugate", t0, V)
+
+        # -- cond estimate (squared space, algorithm.inc:2034-2060) --
+        cc = (b_sup + lower) / 2
+        ee = (b_sup - lower) / 2
+        if ee <= 0:
+            ee = abs(lower - b_sup) / 2 or 1.0
+        t_1 = (lambda_1 - cc) / ee
+        t_k = ((float(ritzv[locked]) ** 2 - cc) / ee) if iteration > 0 else t_1
+        from .solver import _rho
+        rho_1, rho_k = _rho(t_1), _rho(t_k)
+        dmax = int(np.max(degrees[act]))
+        with np.errstate(over="ignore"):
+            cond = float(rho_k ** degrees[locked]
+                         * rho_1 ** (dmax - degrees[locked]))
+        if not np.isfinite(cond):
+            cond = np.finfo(np.float64).max
+
+        # -- QR (S-orthogonalizing against locked) --
+        V = orthonormalize_pseudo(V, locked, cond, rcfg)
+        t0 = toc("Qr", t0, V)
+
+        # -- pseudo RR + residuals (fused) --
+        V, th_dev, rs_dev, ok = ps.rayleigh_ritz_residuals_pseudo(
+            op.H, V, jnp.int32(locked), precision=precision)
+        if not bool(ok):
+            log.warn("pseudo-RR Cholesky of QᴴSHQ failed — subspace drifted; "
+                     "results this iteration may be poor", "linalg")
+        ritzv[act] = np.asarray(th_dev, np.float64)[act]
+        resid[act] = np.asarray(rs_dev, np.float64)[act]
+        t0 = toc("Rr", t0, V)
+
+        # -- bound refresh from sorted active Ritz values --
+        srt = np.argsort(ritzv[act], kind="stable")
+        q95 = max(int(u * 0.95) - 1, 0)
+        new_mu_nevex = float(ritzv[act][srt[q95]]) * rcfg.decaying_rate
+        new_lambda_1 = float(ritzv[act][srt[0]])
+
+        # -- locking (v3) --
+        new_converged, perm, early = locking_pseudo_v3_host(
+            ritzv[act], resid[act], resid_last[act], u, nex, tol, iteration)
+        early_all.extend(early)
+        if new_converged:
+            if not np.array_equal(perm, np.arange(u)):
+                full_perm = np.arange(K2)
+                full_perm[act] = locked + perm
+                V = permute_cols(V, jnp.asarray(full_perm))
+            # mirror the newly locked pairs into the right-end locked region
+            src_idx = np.arange(K2)
+            wmask = np.zeros(K2, bool)
+            dst = np.arange(K2 - locked - new_converged, K2 - locked)
+            src_idx[dst] = np.arange(locked, locked + new_converged)
+            wmask[dst] = True
+            V = ps.k_conjugate_cols(V, jnp.asarray(src_idx),
+                                    jnp.asarray(wmask))
+        locked += new_converged
+        unconverged -= new_converged
+        iteration += 1
+        t0 = toc("Resids_Locking", t0, V)
+        log.info(f"  -> new_converged={new_converged} locked={locked}")
+
+    # ---- final reorder: positive ascending first (algorithm.inc:2175-2216)
+    n_reorder = max(locked + unconverged, 1)
+    vals = ritzv[:n_reorder]
+    keys = np.where(vals > 0, 0, 1)
+    order = np.lexsort((vals, keys))
+    if not np.array_equal(order, np.arange(n_reorder)):
+        full_perm = np.arange(K2)
+        full_perm[:n_reorder] = order
+        V = permute_cols(V, jnp.asarray(full_perm))
+        ritzv[:n_reorder] = vals[order]
+        resid[:n_reorder] = resid[:n_reorder][order]
+
+    if timing:
+        V.block_until_ready()
+        perf.add_time("All", time.perf_counter() - t_all0)
+
+    return SolveResult(
+        ritzv=ritzv[:nev].copy(), V=V, resid=resid[:nev].copy(),
+        iterations=iteration, locked=locked,
+        converged=bool(locked >= nev),
+        upperb=float(b_sup), lowerb=float(lower), perf=perf,
+        ritzv_full=ritzv.copy(), early_locked=early_all)
