@@ -25,7 +25,7 @@ from .parallel.operator import DenseOperator
 from .perf import PerfData
 from .solver import solve, SolveResult
 
-__all__ = ["eigsh", "eigsh_pseudo", "EigshResult"]
+__all__ = ["eigsh", "eigsh_fused", "eigsh_pseudo", "EigshResult"]
 
 
 def eigsh(H, nev: int, nex: Optional[int] = None, *,
@@ -71,6 +71,49 @@ def eigsh(H, nev: int, nex: Optional[int] = None, *,
     res = solve(op, nev, nex, config=cfg, V0=v0, ritzv0=ritzv0,
                 perf=perf, key=key)
     return res
+
+
+def eigsh_fused(H, nev: int, nex: Optional[int] = None, *,
+                tol: Optional[float] = None, v0=None,
+                config: Optional[ChaseConfig] = None,
+                grid: Optional[Grid2D] = None,
+                key=None) -> SolveResult:
+    """Device-resident Hermitian solve: the whole iteration runs as ONE
+    XLA program (`chase_tpu.fused.solve_fused`) — minimal host↔device
+    traffic, ideal for production serving and benchmarking.  Functionally
+    equivalent to :func:`eigsh` up to documented tie-order deltas.
+    """
+    import jax
+    import jax.numpy as jnp
+    from .fused import solve_fused
+
+    if nex is None:
+        nex = max(nev // 4, 8)
+    cfg = config or ChaseConfig()
+    op = H if isinstance(H, DenseOperator) else DenseOperator(H, grid=grid)
+    rcfg = cfg.resolve(op.dtype)
+    tol = tol if tol is not None else rcfg.tol
+    if key is None:
+        key = jax.random.key(rcfg.seed)
+    if v0 is None:
+        v0 = jax.random.normal(key, (op.N, nev + nex), dtype=op.dtype)
+    else:
+        v0 = op.place_block(jnp.asarray(v0, op.dtype))
+    out = solve_fused(
+        op.H, v0, nev=nev, nex=nex, tol=tol, deg0=rcfg.deg,
+        max_deg=rcfg.max_deg, deg_extra=rcfg.deg_extra,
+        max_iter=rcfg.max_iter, lanczos_iter=rcfg.lanczos_iter,
+        num_lanczos=rcfg.num_lanczos, optimization=rcfg.optimization,
+        precision=rcfg.matmul_precision)
+    ritzv = np.asarray(out["ritzv"], np.float64)
+    resid = np.asarray(out["resid"], np.float64)
+    locked = int(out["locked"])
+    return SolveResult(
+        ritzv=ritzv[:nev], V=out["V"], resid=resid[:nev],
+        iterations=int(out["iterations"]), locked=locked,
+        converged=bool(locked >= nev),
+        upperb=float(out["upperb"]), lowerb=float(out["lowerb"]),
+        perf=None, ritzv_full=ritzv, early_locked=None)
 
 
 def eigsh_pseudo(H, nev: int, nex: Optional[int] = None, *,

@@ -1,0 +1,301 @@
+"""Device-resident fused solver: the entire Hermitian solve as ONE XLA
+program.
+
+The reference (and our :mod:`chase_tpu.solver`) drives the iteration from
+host — fine when dispatch is cheap, but the TPU-native limit of the
+reference's "batch per-iteration device→host transfers" concern (SURVEY §7
+risk 4) is to keep *everything* resident: Lanczos, DoS bounds, the whole
+degrees→filter→QR→RR→locking `while` loop, and the final sort run inside a
+single `jax.jit` under `lax.while_loop`, with locking expressed as a
+stable group-sort column permutation instead of host-side swaps.  One
+dispatch per solve; scalars never leave the device.
+
+Semantics deltas vs the host driver (all documented, none affecting
+convergence guarantees):
+  * locking reorders converged-first via a stable sort (reference: walk
+    swaps — same set, slightly different tie order);
+  * the DoS starting vectors are injected without the i·(nevex/idx)
+    interspersing permutation (algorithm.inc:1202-1207);
+  * QR always uses shifted CholQR (shift applied only when the condition
+    estimate crosses the threshold) + an in-graph Householder rescue,
+    instead of the 3-way host selection;
+  * per-vector degrees are used as masks without the sort-by-degree column
+    permutation (the sort only enabled shrinking GEMMs, which static
+    shapes forgo anyway).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .types import real_dtype, is_double_base
+
+__all__ = ["solve_fused"]
+
+
+def _eigh_tridiag_batched(alphas, betas_off):
+    """Batched dense eigh of the (m×m) Lanczos tridiagonals. alphas:(m,nv)."""
+    m, nv = alphas.shape
+    T = (jnp.zeros((nv, m, m), alphas.dtype)
+         .at[:, jnp.arange(m), jnp.arange(m)].set(alphas.T))
+    if m > 1:
+        i = jnp.arange(m - 1)
+        T = T.at[:, i, i + 1].set(betas_off.T)
+        T = T.at[:, i + 1, i].set(betas_off.T)
+    w, Q = jnp.linalg.eigh(T)
+    return w, Q            # (nv, m), (nv, m, m)
+
+
+def _dos_bounds(theta, tau, betas_last, nevex, N):
+    """Gaussian-broadened DoS quantile on device (algorithm.inc:1096-1145)."""
+    rt = theta.dtype
+    nv, m = theta.shape
+    n = nv * m
+    tf = theta.reshape(-1)
+    wf = tau.reshape(-1)
+    order = jnp.argsort(tf)
+    ts = tf[order]
+    lam = ts[0]
+    sigma = 0.25
+    thresh = 2 * sigma * sigma / 10
+    search = jnp.asarray(nevex / N, rt)
+    x = ts[:, None] - tf[None, :]
+    g = 0.5 * (1 + jax.scipy.special.erf(x / np.sqrt(2 * sigma * sigma)))
+    contrib = jnp.where(x > thresh, 1.0, jnp.where(x < -thresh, 0.0, g))
+    cdf = (contrib * wf[None, :]).sum(axis=1) / nv
+    crossed = cdf > search
+    has = crossed.any()
+    i = jnp.argmax(crossed)
+    prev = jnp.where(i > 0, cdf[jnp.maximum(i - 1, 0)], jnp.zeros((), rt))
+    take_next = (jnp.abs(cdf[i] - search) < jnp.abs(prev - search)) \
+        & (i + 1 < n)
+    lowerb = jnp.where(take_next, ts[jnp.minimum(i + 1, n - 1)], ts[i])
+    lowerb = jnp.where(has, lowerb, ts[-1])
+    upperb = (jnp.maximum(jnp.abs(theta[:, 0]), jnp.abs(theta[:, -1]))
+              + jnp.abs(betas_last)).max()
+    return lam, lowerb, upperb
+
+
+def _cheb_rho(t):
+    z = t.astype(jnp.complex64 if t.dtype == jnp.float32 else jnp.complex128)
+    s = jnp.sqrt(z * z - 1)
+    return jnp.maximum(jnp.abs(z - s), jnp.abs(z + s)).real
+
+
+@partial(jax.jit,
+         static_argnames=("nev", "nex", "deg0", "max_deg", "deg_extra",
+                          "max_iter", "lanczos_iter", "num_lanczos",
+                          "optimization", "precision", "cholqr_passes"))
+def solve_fused(H, V0, *, nev, nex, tol, deg0, max_deg, deg_extra=2,
+                max_iter=25, lanczos_iter=25, num_lanczos=4,
+                optimization=True, precision="highest", cholqr_passes=3,
+                cond_shift_threshold=1e8):
+    """Fully device-resident Hermitian solve.
+
+    Args:
+      H: (N, N) Hermitian.
+      V0: (N, nev+nex) starting block (random or warm start).
+    Returns:
+      dict of device arrays: V (N, k) converged-first sorted, ritzv (k,),
+      resid (k,), locked, iterations, lowerb, upperb.
+    """
+    N = H.shape[0]
+    k = nev + nex
+    rt = real_dtype(H.dtype)
+    is_sp = not is_double_base(H.dtype)
+    tol = jnp.asarray(tol, rt)
+    cols = jnp.arange(k)
+    big = jnp.asarray(np.finfo(np.dtype(rt)).max / 4, rt)
+
+    def gram_qr(V, shift_on):
+        """shifted CholQR (cholqr_passes rounds) + Householder rescue."""
+        ok = jnp.bool_(True)
+        Q = V
+        for p in range(cholqr_passes):
+            G = jnp.matmul(Q.conj().T, Q, precision=precision)
+            if p == 0:
+                nrmf = jnp.sum(jnp.abs(jnp.diagonal(G).real))
+                coef = np.sqrt(N) if not is_sp else 10.0
+                shift = jnp.where(shift_on,
+                                  coef * np.finfo(np.dtype(rt)).eps * nrmf,
+                                  jnp.zeros((), rt))
+                G = G + shift.astype(G.dtype) * jnp.eye(k, dtype=G.dtype)
+            L = jnp.linalg.cholesky(G)
+            p_ok = jnp.isfinite(L.real).all()
+            ok = ok & p_ok
+            L = jnp.where(p_ok, L, jnp.eye(k, dtype=G.dtype))
+            Q = jax.lax.linalg.triangular_solve(
+                L, Q, left_side=False, lower=True, transpose_a=True,
+                conjugate_a=True)
+        Q = jax.lax.cond(ok, lambda q: q,
+                         lambda q: jnp.linalg.qr(q, mode="reduced")[0], Q)
+        return Q
+
+    # ---- init: orthonormalize V0 -----------------------------------------
+    V = gram_qr(V0.astype(H.dtype), jnp.bool_(False))
+
+    # ---- Lanczos + DoS (device) -------------------------------------------
+    m = max(2, min(k, N // 2, lanczos_iter) - (min(k, N // 2, lanczos_iter) % 2))
+    nv = num_lanczos
+
+    def lz_step(carry, _):
+        v0, v1, beta_prev = carry
+        w = jnp.matmul(H, v1, precision=precision)
+        alpha = jnp.sum(v1.conj() * w, axis=0).real.astype(rt)
+        w = w - alpha[None, :].astype(w.dtype) * v1 \
+              - beta_prev[None, :].astype(w.dtype) * v0
+        beta = jnp.linalg.norm(w, axis=0).real.astype(rt)
+        safe = jnp.where(beta > 0, beta, jnp.ones((), rt))
+        return (v1, w / safe[None, :].astype(w.dtype), beta), \
+            (alpha, beta, v1[:, -1])
+
+    probes = V[:, :nv]
+    nrm = jnp.linalg.norm(probes, axis=0).real
+    probes = probes / nrm[None, :].astype(probes.dtype)
+    _, (alphas, betas, basis) = jax.lax.scan(
+        lz_step, (jnp.zeros_like(probes), probes, jnp.zeros((nv,), rt)),
+        None, length=m)
+
+    theta, tvecs = _eigh_tridiag_batched(alphas, betas[:-1])
+    tau = jnp.abs(tvecs[:, 0, :]) ** 2
+    lam, lowerb0, upperb = _dos_bounds(theta, tau, betas[-1], k, N)
+
+    # DoS starting vectors from the last probe (no interspersing)
+    theta_last = theta[-1]
+    exceeds = theta_last > lowerb0
+    idx = jnp.where(exceeds.any(),
+                    jnp.maximum(jnp.argmax(exceeds) - 1, 0), 0)
+    idx = jnp.minimum(idx, k - 1)
+    dmask = jnp.arange(m) < idx
+    Vd = jnp.matmul(basis.T, (tvecs[-1] * dmask[None, :]).astype(H.dtype),
+                    precision=precision)
+    head = jnp.where(dmask[None, :], Vd, V[:, :m])
+    V = V.at[:, :m].set(head)
+    tl_pad = theta_last[jnp.minimum(cols, m - 1)]
+    ritzv = jnp.where(cols < idx, tl_pad, lam).astype(rt)
+    ritzv = ritzv.at[k - 1].set(lowerb0.astype(rt))
+
+    lowerb = jnp.max(ritzv)
+    resid = jnp.full((k,), big, rt)
+    resid_last = jnp.full((k,), big, rt)
+    degrees = jnp.full((k,), min(deg0 + deg0 % 2, max_deg), jnp.int32)
+
+    # ---- main while loop ---------------------------------------------------
+    def cond_fn(st):
+        V, ritzv, resid, resid_last, degrees, locked, it, lowerb = st
+        return (k - locked > nex) & (it < max_iter)
+
+    def body_fn(st):
+        V, ritzv, resid, resid_last, degrees, locked, it, lowerb = st
+        active = cols >= locked
+
+        # lowerb refresh + clamp
+        all_small = jnp.where(active, resid, jnp.zeros((), rt)).max() <= 0.5
+        lowerb = jnp.where(all_small, ritzv[k - 1], lowerb)
+        lowerb = jnp.minimum(lowerb, upperb)
+        resid_last = jnp.where(active, jnp.minimum(resid_last, resid),
+                               resid_last)
+
+        # -- degrees (vectorized calc_degrees, no sort) --
+        def new_degrees(_):
+            c = (upperb + lowerb) / 2
+            e = (upperb - lowerb) / 2
+            t = (ritzv - c) / e
+            rho = _cheb_rho(t)
+            with jax.numpy_dtype_promotion("standard"):
+                val = jnp.abs(jnp.log(resid / tol) / jnp.log(rho))
+            d = jnp.where(jnp.isfinite(val),
+                          jnp.ceil(val).astype(jnp.int32), max_deg)
+            if is_sp:
+                d = jnp.maximum(d, 8)
+            d = jnp.minimum(d + deg_extra, max_deg)
+            # nex tail copies the last examined column's degree
+            d = jnp.where(cols >= k - nex, d[k - nex - 1], d)
+            d = d + d % 2
+            return jnp.where(active, d, 0).astype(jnp.int32)
+
+        degrees = jax.lax.cond(
+            jnp.logical_and(optimization, it > 0), new_degrees,
+            lambda _: jnp.where(active, degrees, 0).astype(jnp.int32), None)
+
+        # -- filter --
+        c = (upperb + lowerb) / 2
+        e = (upperb - lowerb) / 2
+        sigma1 = e / (lam - c)
+        Y = (sigma1 / e) * (jnp.matmul(H, V, precision=precision) - c * V)
+        Y = jnp.where(degrees[None, :] >= 1, Y, V)
+
+        def fbody(t, carry):
+            Xp, Yc, sigma = carry
+            sigma_new = 1.0 / (2.0 / sigma1 - sigma)
+            Z = (2.0 * sigma_new / e) * (
+                jnp.matmul(H, Yc, precision=precision) - c * Yc) \
+                - (sigma * sigma_new) * Xp
+            Z = jnp.where(degrees[None, :] >= t, Z, Yc)
+            return (Yc, Z, sigma_new)
+
+        dmax = jnp.max(degrees)
+        _, Vf, _ = jax.lax.fori_loop(2, dmax + 1, fbody, (V, Y, sigma1))
+
+        # -- QR (shift when condition estimate is bad) --
+        t1 = (ritzv[0] - c) / e
+        tk = (ritzv[locked] - c) / e
+        rho1, rhok = _cheb_rho(t1), _cheb_rho(tk)
+        dmin = jnp.where(active, degrees, max_deg + 2).min()
+        logcond = dmin * jnp.log(rhok) + (dmax - dmin) * jnp.log(rho1)
+        shift_on = logcond > np.log(cond_shift_threshold)
+        Q = gram_qr(Vf, shift_on)
+        V = jnp.where(active[None, :], Q, V)    # keep locked columns
+
+        # -- RR + residuals (masked full width) --
+        Qm = jnp.where(active[None, :], V, jnp.zeros((), V.dtype))
+        W = jnp.matmul(H, Qm, precision=precision)
+        A = jnp.matmul(Qm.conj().T, W, precision=precision)
+        pad = 2 * jnp.linalg.norm(A).real.astype(rt) + 1
+        A = A + jnp.diag(jnp.where(active, jnp.zeros((), rt), pad)).astype(A.dtype)
+        w_eig, Z = jnp.linalg.eigh(A)
+        w_eig = w_eig.real.astype(rt)
+        Vrot = jnp.matmul(Qm, Z, precision=precision)
+        Wrot = jnp.matmul(W, Z, precision=precision)
+        R = Wrot - Vrot * w_eig[None, :].astype(V.dtype)
+        r_new = jnp.linalg.norm(R, axis=0).real.astype(rt)
+        Vrot = jnp.roll(Vrot, locked, axis=1)
+        w_eig = jnp.roll(w_eig, locked)
+        r_new = jnp.roll(r_new, locked)
+        V = jnp.where(active[None, :], Vrot, V)
+        ritzv = jnp.where(active, w_eig, ritzv)
+        resid = jnp.where(active, r_new, resid)
+
+        # -- locking: stable converged-first group sort --
+        examined = active & (cols < k - nex)
+        stag = (resid >= resid_last) & (resid < 100.0 * tol)
+        conv = examined & ((resid <= tol) | stag)
+        group = jnp.where(cols < locked, 0, jnp.where(conv, 1, 2))
+        perm = jnp.argsort(group, stable=True)
+        V = jnp.take(V, perm, axis=1)
+        ritzv = ritzv[perm]
+        resid = resid[perm]
+        resid_last = resid_last[perm]
+        degrees = degrees[perm]
+        locked = locked + jnp.sum(conv).astype(locked.dtype)
+
+        return (V, ritzv, resid, resid_last, degrees, locked, it + 1, lowerb)
+
+    state = (V, ritzv, resid, resid_last, degrees,
+             jnp.int32(0), jnp.int32(0), lowerb.astype(rt))
+    V, ritzv, resid, resid_last, degrees, locked, it, lowerb = \
+        jax.lax.while_loop(cond_fn, body_fn, state)
+
+    # ---- final sort of the first nev by Ritz value -------------------------
+    order = jnp.argsort(ritzv[:nev], stable=True)
+    order_full = jnp.concatenate([order, jnp.arange(nev, k)])
+    V = jnp.take(V, order_full, axis=1)
+    ritzv = ritzv[order_full]
+    resid = resid[order_full]
+
+    return {"V": V, "ritzv": ritzv, "resid": resid, "locked": locked,
+            "iterations": it, "lowerb": lowerb, "upperb": upperb}

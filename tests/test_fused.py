@@ -1,0 +1,55 @@
+"""Device-resident fused solver tests: must match the host-driven solver."""
+
+import numpy as np
+import pytest
+
+import chase_tpu
+from chase_tpu.models import clement, clement_eigenvalues, random_hermitian
+
+
+@pytest.mark.parametrize("dtype", [np.float64, np.complex128],
+                         ids=["f64", "c128"])
+def test_fused_matches_exact_spectrum(dtype):
+    dtype = np.dtype(dtype)
+    N, nev, nex = 256, 24, 16
+    if np.issubdtype(dtype, np.complexfloating):
+        H = random_hermitian(N, dtype=dtype, seed=9)
+        exact = np.linalg.eigvalsh(H)[:nev]
+    else:
+        H = clement(N).astype(dtype)
+        exact = clement_eigenvalues(N)[:nev]
+    res = chase_tpu.eigsh_fused(H, nev, nex, tol=1e-10)
+    assert res.converged
+    np.testing.assert_allclose(res.ritzv, exact, atol=1e-7)
+    V = np.asarray(res.V)[:, :nev]
+    R = H @ V - V * res.ritzv[None, :].astype(V.dtype)
+    assert np.linalg.norm(R, axis=0).max() < 1e-8 * N
+
+
+def test_fused_agrees_with_host_driver():
+    N, nev, nex = 200, 16, 12
+    H = random_hermitian(N, dtype=np.float64, seed=13)
+    a = chase_tpu.eigsh(H, nev, nex, tol=1e-10)
+    b = chase_tpu.eigsh_fused(H, nev, nex, tol=1e-10)
+    assert a.converged and b.converged
+    np.testing.assert_allclose(a.ritzv, b.ritzv, atol=1e-8)
+
+
+def test_fused_single_dispatch_f32():
+    N, nev, nex = 192, 12, 12
+    H = clement(N).astype(np.float32)
+    res = chase_tpu.eigsh_fused(H, nev, nex, tol=1e-4)
+    assert res.converged
+    np.testing.assert_allclose(res.ritzv, clement_eigenvalues(N)[:nev],
+                               atol=1e-1)
+
+
+def test_fused_on_grid():
+    import jax
+    N, nev, nex = 128, 8, 8
+    grid = chase_tpu.make_grid(jax.devices()[:4], shape=(2, 2))
+    H = clement(N)
+    res = chase_tpu.eigsh_fused(H, nev, nex, tol=1e-9, grid=grid)
+    assert res.converged
+    np.testing.assert_allclose(res.ritzv, clement_eigenvalues(N)[:nev],
+                               atol=1e-6)
