@@ -1,0 +1,161 @@
+"""Flat init/solve/get/finalize interface — C-ABI semantic parity.
+
+The reference exposes a singleton-per-type C API
+(interface/chase_c_interface.h: ``{s,d,c,z}chase_init_``, ``*chase_``,
+``*chase_get_eigenpairs_``, ``*chase_finalize_``, plus config setters
+``chase_set_*`` and build introspection ``chase_has_*``) consumed by
+Fortran/C applications (FLEUR, YAMBO).  This module reproduces those
+semantics 1:1 in Python so code structured around the C API ports
+mechanically; the dtype letter is inferred from the arrays instead of
+baked into the symbol name.
+
+    import chase_tpu.interface as chase
+    chase.init(N, nev, nex, H, V=None)            # dchase_init_
+    chase.set_tol(1e-10); chase.set_deg(20)       # chase_set_*
+    chase.solve(mode='R', opt='S', qr='C')        # dchase_
+    evals, evecs = chase.get_eigenpairs()         # dchase_get_eigenpairs_
+    chase.finalize()                              # dchase_finalize_
+
+An actual C shared library (for linking Fortran apps against a Python-
+embedded runtime) is tracked separately; this layer defines its contract.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import numpy as np
+
+from .api import eigsh, eigsh_pseudo
+from .config import ChaseConfig
+from .parallel.mesh import Grid2D, make_grid
+
+__all__ = ["init", "init_pseudo", "solve", "get_eigenpairs", "finalize",
+           "set_tol", "set_deg", "set_opt", "set_maxiter", "set_lanczos",
+           "has_gpu", "has_distribution", "has_pseudo"]
+
+
+@dataclasses.dataclass
+class _Session:
+    N: int
+    nev: int
+    nex: int
+    H: np.ndarray
+    V0: Optional[np.ndarray]
+    pseudo: bool = False
+    grid: Optional[Grid2D] = None
+    config: ChaseConfig = dataclasses.field(default_factory=ChaseConfig)
+    result = None
+
+
+_session: Optional[_Session] = None
+
+
+def _require() -> _Session:
+    if _session is None:
+        raise RuntimeError("chase not initialized — call init() first")
+    return _session
+
+
+def init(N: int, nev: int, nex: int, H, V=None, *, distributed: bool = False):
+    """*chase_init_ / p*chase_init_: bind the problem to the singleton."""
+    global _session
+    H = np.asarray(H)
+    if H.shape != (N, N):
+        raise ValueError(f"H shape {H.shape} != ({N}, {N})")
+    grid = make_grid() if distributed else None
+    _session = _Session(N=N, nev=nev, nex=nex, H=H,
+                        V0=None if V is None else np.asarray(V), grid=grid)
+    return 0
+
+
+def init_pseudo(N: int, nev: int, nex: int, H, V=None, *,
+                distributed: bool = False):
+    """*chase_init_pseudo_: BSE problem."""
+    init(N, nev, nex, H, V, distributed=distributed)
+    _require().pseudo = True
+    return 0
+
+
+def set_tol(tol: float):
+    s = _require()
+    s.config = dataclasses.replace(s.config, tol=float(tol))
+
+
+def set_deg(deg: int):
+    s = _require()
+    s.config = dataclasses.replace(s.config, deg=int(deg))
+
+
+def set_opt(opt: bool):
+    s = _require()
+    s.config = dataclasses.replace(s.config, optimization=bool(opt))
+
+
+def set_maxiter(n: int):
+    s = _require()
+    s.config = dataclasses.replace(s.config, max_iter=int(n))
+
+
+def set_lanczos(lanczos_iter: int, num_lanczos: int):
+    s = _require()
+    s.config = dataclasses.replace(s.config, lanczos_iter=int(lanczos_iter),
+                                   num_lanczos=int(num_lanczos))
+
+
+def solve(deg: Optional[int] = None, tol: Optional[float] = None,
+          mode: str = "R", opt: str = "S", qr: str = "C"):
+    """*chase_(deg, tol, mode, opt, qr): run the solver on the session.
+
+    mode='R'|'A' (random vs warm start), opt='S'|'N' (degree optimization),
+    qr='C'|'H' (CholQR vs Householder) — chase_c_interface.h:38-41.
+    """
+    s = _require()
+    updates = {"optimization": opt != "N", "cholqr": qr == "C",
+               "approx": mode == "A"}
+    if deg is not None:
+        updates["deg"] = int(deg)
+    if tol is not None:
+        updates["tol"] = float(tol)
+    s.config = dataclasses.replace(s.config, **updates)
+    fn = eigsh_pseudo if s.pseudo else eigsh
+    kwargs = {}
+    if mode == "A" and s.result is not None:
+        kwargs = {"v0": np.asarray(s.result.V),
+                  "ritzv0": s.result.ritzv_full, "approx": True}
+    elif mode == "A" and s.V0 is not None:
+        raise RuntimeError("mode='A' needs Ritz values: run mode='R' once "
+                           "or use the Python API with ritzv0")
+    s.result = fn(s.H, s.nev, s.nex, config=s.config, grid=s.grid, **kwargs)
+    return 0 if s.result.converged else 1
+
+
+def get_eigenpairs():
+    """*chase_get_eigenpairs_: (evals (nev,), evecs (N, nev))."""
+    s = _require()
+    if s.result is None:
+        raise RuntimeError("no solve() yet")
+    return s.result.ritzv.copy(), np.asarray(s.result.V)[:, :s.nev].copy()
+
+
+def finalize(flag: int = 0):
+    """*chase_finalize_: destroy the singleton."""
+    global _session
+    _session = None
+    return 0
+
+
+# build introspection (chase_c_interface.h:234-239 chase_has_*)
+def has_gpu() -> bool:
+    import jax
+    return any(d.platform != "cpu" for d in jax.devices())
+
+
+def has_distribution() -> bool:
+    import jax
+    return jax.device_count() > 1
+
+
+def has_pseudo() -> bool:
+    return True

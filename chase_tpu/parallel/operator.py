@@ -30,6 +30,13 @@ class DenseOperator:
                  pseudo_hermitian: bool = False):
         if H.ndim != 2 or H.shape[0] != H.shape[1]:
             raise ValueError(f"H must be square, got {H.shape}")
+        if np.dtype(H.dtype).itemsize >= 8 and np.dtype(H.dtype).kind in "fc" \
+                and not jax.config.jax_enable_x64:
+            # Without x64, jnp.asarray silently downcasts f64/c128 to 32 bits
+            # and DP tolerances (1e-10) become unreachable.
+            from ..logger import get_logger
+            get_logger().info("enabling jax x64 for a 64-bit input matrix")
+            jax.config.update("jax_enable_x64", True)
         self.grid = grid
         self.pseudo_hermitian = pseudo_hermitian
         sh = matrix_sharding(grid)

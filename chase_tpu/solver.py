@@ -185,6 +185,12 @@ def solve(op: DenseOperator, nev: int, nex: int,
 
     t_all0 = time.perf_counter()
 
+    if rcfg.sym_check:
+        from .ops.checks import check_hermitian
+        if not check_hermitian(op.H, precision=precision):
+            log.warn("input matrix failed the randomized hermiticity probe "
+                     "(checkSymmetryEasy analogue) — results may be invalid")
+
     # ---- initVecs (chase_cpu.hpp:296-327) --------------------------------
     t0 = time.perf_counter()
     approx = rcfg.approx and V0 is not None

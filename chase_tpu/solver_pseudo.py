@@ -195,6 +195,12 @@ def solve_pseudo(op: DenseOperator, nev: int, nex: int,
     t_all0 = time.perf_counter()
     t0 = time.perf_counter()
 
+    if rcfg.sym_check:
+        from .ops.checks import check_pseudo_hermitian
+        if not check_pseudo_hermitian(op.H, precision=precision):
+            log.warn("input matrix failed the randomized pseudo-hermiticity "
+                     "probe (checkPseudoHermicityEasy analogue)")
+
     # ---- initVecs: random 2·nevex block, lower rows ×0.001, QR ------------
     approx = rcfg.approx and V0 is not None
     if key is None:

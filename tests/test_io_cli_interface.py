@@ -1,0 +1,115 @@
+"""I/O (ChASE binary format, sharded loading, checkpoints), CLI, and the
+flat C-interface-parity module; structure checks."""
+
+import subprocess
+import sys
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import chase_tpu
+from chase_tpu import io as cio
+from chase_tpu.models import clement, clement_eigenvalues, random_hermitian
+from chase_tpu.ops.checks import (check_hermitian, check_pseudo_hermitian,
+                                  force_hermitian)
+
+
+def test_matrix_roundtrip(tmp_path):
+    H = random_hermitian(64, dtype=np.complex128, seed=0)
+    p = str(tmp_path / "h.bin")
+    cio.save_matrix(H, p)
+    H2 = cio.load_matrix(p, 64, np.complex128)
+    np.testing.assert_array_equal(H, H2)
+
+
+def test_matrix_file_is_column_major(tmp_path):
+    """Byte-compatibility with ChASE: file stream is column-major."""
+    H = np.arange(12, dtype=np.float64).reshape(3, 4)
+    p = str(tmp_path / "cm.bin")
+    cio.save_matrix(H, p)
+    raw = np.fromfile(p, dtype=np.float64)
+    np.testing.assert_array_equal(raw, H.flatten(order="F"))
+
+
+def test_sharded_load_matches(tmp_path):
+    H = random_hermitian(96, dtype=np.float64, seed=1)
+    p = str(tmp_path / "h.bin")
+    cio.save_matrix(H, p)
+    grid = chase_tpu.make_grid()
+    Hs = cio.load_matrix_sharded(p, 96, np.float64, grid)
+    np.testing.assert_array_equal(np.asarray(Hs), H)
+    assert len(Hs.sharding.device_set) == 8
+    # and it solves
+    res = chase_tpu.eigsh(chase_tpu.DenseOperator(Hs, grid=grid), 8, 8,
+                          tol=1e-9)
+    assert res.converged
+
+
+def test_state_checkpoint_roundtrip(tmp_path):
+    H = clement(128)
+    r = chase_tpu.eigsh(H, 8, 8, tol=1e-9)
+    p = str(tmp_path / "state")
+    cio.save_state(p, r.V, r.ritzv_full, {"N": 128})
+    V, ritzv, meta = cio.load_state(p)
+    assert meta["N"] == 128
+    # warm restart from checkpoint
+    r2 = chase_tpu.eigsh(H, 8, 8, tol=1e-9, v0=V, ritzv0=ritzv, approx=True)
+    assert r2.converged and r2.iterations <= r.iterations
+
+
+def test_cli_generated_problem(capsys):
+    from chase_tpu.cli import main
+    rc = main(["--n", "200", "--nev", "10", "--nex", "10",
+               "--isMatGen", "clement", "--tol", "1e-9"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "converged" in out and "GFLOPS" in out
+
+
+def test_cli_sequence_and_file(tmp_path, capsys):
+    H = random_hermitian(150, dtype=np.float64, seed=3)
+    p = str(tmp_path / "h.bin")
+    cio.save_matrix(H, p)
+    from chase_tpu.cli import main
+    rc = main(["--n", "150", "--nev", "8", "--nex", "8", "--path_in", p,
+               "--dtype", "float64", "--sequence", "2", "--tol", "1e-9"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert out.count("converged") >= 2
+
+
+def test_interface_singleton_lifecycle():
+    import chase_tpu.interface as chase
+    N, nev, nex = 128, 8, 8
+    H = clement(N)
+    assert chase.init(N, nev, nex, H) == 0
+    chase.set_tol(1e-9)
+    chase.set_deg(20)
+    assert chase.solve(mode="R", opt="S", qr="C") == 0
+    evals, evecs = chase.get_eigenpairs()
+    np.testing.assert_allclose(evals, clement_eigenvalues(N)[:nev], atol=1e-6)
+    assert evecs.shape == (N, nev)
+    # warm-start second solve through the interface
+    assert chase.solve(mode="A") == 0
+    assert chase.finalize() == 0
+    with pytest.raises(RuntimeError):
+        chase.get_eigenpairs()
+    assert chase.has_pseudo()
+
+
+def test_checks():
+    H = random_hermitian(64, dtype=np.complex128, seed=5)
+    assert check_hermitian(jnp.asarray(H))
+    bad = H.copy()
+    bad[0, 1] += 1.0
+    assert not check_hermitian(jnp.asarray(bad))
+    from chase_tpu.models import random_pseudo_hermitian
+    P = random_pseudo_hermitian(64, dtype=np.complex128, seed=6)
+    assert check_pseudo_hermitian(jnp.asarray(P))
+    assert not check_pseudo_hermitian(jnp.asarray(H))
+    # force_hermitian mirrors the upper triangle
+    F = np.asarray(force_hermitian(jnp.asarray(bad)))
+    np.testing.assert_allclose(F, F.conj().T)
+    np.testing.assert_allclose(np.triu(F, 1), np.triu(bad, 1))
