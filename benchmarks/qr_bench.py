@@ -1,0 +1,49 @@
+"""QR benchmark (reference examples/6_householder_block_cyclic_benchmark /
+xhouholder.sh: N=115000, ncols=8000): times the orthonormalization stack at
+scale on the local accelerator.
+
+    python benchmarks/qr_bench.py --n 16384 --cols 1024
+"""
+
+import argparse
+import time
+
+import numpy as np
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--n", type=int, default=16384)
+    p.add_argument("--cols", type=int, default=1024)
+    p.add_argument("--dtype", default="float32")
+    p.add_argument("--reps", type=int, default=3)
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from chase_tpu.ops.qr import cholqr, householder_qr
+
+    dtype = jnp.dtype(args.dtype)
+    V = jax.random.normal(jax.random.key(0), (args.n, args.cols), dtype)
+
+    flops_chol = 2 * (2 * args.n * args.cols ** 2)   # syherk + trsm per pass
+
+    for name, fn, fl in [
+        ("cholQR1", lambda v: cholqr(v, passes=1)[0], flops_chol / 2),
+        ("cholQR2", lambda v: cholqr(v, passes=2)[0], flops_chol),
+        ("shiftedCholQR2", lambda v: cholqr(v, passes=3, shifted=True)[0],
+         1.5 * flops_chol),
+        ("householder", householder_qr, 4 * args.n * args.cols ** 2),
+    ]:
+        out = fn(V)
+        _ = float(jnp.sum(jnp.abs(out[:2, :2])))
+        t0 = time.perf_counter()
+        for _i in range(args.reps):
+            out = fn(V)
+        _ = float(jnp.sum(jnp.abs(out[:2, :2])))
+        dt = (time.perf_counter() - t0) / args.reps
+        print(f"{name:16s} {dt * 1e3:9.2f} ms   ~{fl / dt / 1e12:6.2f} TFLOP/s")
+
+
+if __name__ == "__main__":
+    main()

@@ -68,6 +68,12 @@ class ChaseConfig:
     cluster_aware_degrees: bool = True   # pseudo-Hermitian degree clustering
     sym_check: bool = True               # randomized (pseudo-)hermiticity probe
     seed: int = 1337                     # RNG seed for initVecs (reference: mt19937(1337))
+    # per-iteration residual history CSV (CHASE_SAVE_RESIDUALS analogue);
+    # env var overrides, value is the output path
+    save_residuals: Optional[str] = None
+    # pseudo: reinit outlier ± pairs (reference keeps this disabled at the
+    # call site, algorithm.inc:2081)
+    phantom_purge: bool = False
 
     # --- TPU-specific -------------------------------------------------------
     # Column-width bucket for the filter window: active widths are padded up
@@ -95,11 +101,14 @@ class ChaseConfig:
             chol1_thld = 2e1 if is_dp else 1e1   # chase_cpu.hpp:668-671
         chol1_thld = _env_float("CHASE_CHOLQR1_THLD", chol1_thld)
         chol_upper = 1e8 if is_dp else 1e4       # shiftedCholQR2 threshold
+        save_residuals = os.environ.get("CHASE_SAVE_RESIDUALS",
+                                        self.save_residuals)
         return ResolvedConfig(
             base=self, tol=float(tol), deg=int(deg), max_deg=int(max_deg),
             lanczos_iter=int(lanczos_iter), cholqr=cholqr,
             cholqr1_threshold=float(chol1_thld),
             cholqr_shift_threshold=float(chol_upper),
+            save_residuals=save_residuals,
         )
 
 
@@ -114,6 +123,7 @@ class ResolvedConfig:
     cholqr: bool
     cholqr1_threshold: float
     cholqr_shift_threshold: float
+    save_residuals: Optional[str] = None
 
     def __getattr__(self, name):
         return getattr(self.base, name)

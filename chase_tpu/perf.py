@@ -112,6 +112,29 @@ class PerfData:
         return "\n".join(lines)
 
 
+class profiler_trace:
+    """Context manager around jax.profiler traces — the NVTX-range analogue
+    (Impl/chase_gpu/nvtx.hpp SCOPED_NVTX_RANGE).  View with TensorBoard or
+    xprof:
+
+        with chase_tpu.perf.profiler_trace("/tmp/chase_trace"):
+            chase_tpu.eigsh(H, nev, nex)
+    """
+
+    def __init__(self, log_dir: str):
+        self.log_dir = log_dir
+
+    def __enter__(self):
+        import jax
+        jax.profiler.start_trace(self.log_dir)
+        return self
+
+    def __exit__(self, *exc):
+        import jax
+        jax.profiler.stop_trace()
+        return False
+
+
 class PhaseTimer:
     """Context manager: times a phase, synchronizing on given arrays."""
 

@@ -270,6 +270,13 @@ def solve(op: DenseOperator, nev: int, nex: int,
     iteration = 0
     early_all: list = []
 
+    resid_file = None
+    if rcfg.save_residuals:
+        # per-iteration residual history CSV (CHASE_SAVE_RESIDUALS,
+        # algorithm.inc:1467-1488): locked slots logged as -1.0
+        resid_file = open(rcfg.save_residuals, "w")
+        resid_file.write("iteration,residual\n")
+
     # ---- main loop (algorithm.inc:1491-1722) ------------------------------
     while unconverged > nex and iteration < rcfg.max_iter:
         act = slice(locked, nevex)
@@ -343,6 +350,12 @@ def solve(op: DenseOperator, nev: int, nex: int,
         resid[act] = np.asarray(resid_dev, np.float64)[act]
         t0 = toc("Rr", t0, V)
 
+        if resid_file is not None:
+            for _ in range(locked):
+                resid_file.write(f"{iteration},-1.0\n")
+            for rr_ in resid[act][np.argsort(ritzv[act], kind="stable")]:
+                resid_file.write(f"{iteration},{rr_}\n")
+
         # -- locking (algorithm.inc:1692-1718) --
         n_examine = unconverged - nex
         new_converged, perm, early = locking_host(
@@ -357,6 +370,9 @@ def solve(op: DenseOperator, nev: int, nex: int,
         iteration += 1
         t0 = toc("Resids_Locking", t0, V)
         log.info(f"  -> new_converged={new_converged} locked={locked}")
+
+    if resid_file is not None:
+        resid_file.close()
 
     # ---- final eigenvalue sort (algorithm.inc:1726-1774) -------------------
     order = np.argsort(ritzv[:nev], kind="stable")

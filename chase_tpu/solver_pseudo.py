@@ -317,6 +317,11 @@ def solve_pseudo(op: DenseOperator, nev: int, nex: int,
     iteration = 0
     early_all: list = []
 
+    resid_file = None
+    if rcfg.save_residuals:
+        resid_file = open(rcfg.save_residuals, "w")
+        resid_file.write("iteration,residual\n")
+
     # ---- main loop (algorithm.inc:1963-2170) -------------------------------
     while locked < nev and unconverged > 0 and iteration < rcfg.max_iter:
         u = unconverged
@@ -401,6 +406,33 @@ def solve_pseudo(op: DenseOperator, nev: int, nex: int,
         resid[act] = np.asarray(rs_dev, np.float64)[act]
         t0 = toc("Rr", t0, V)
 
+        # -- phantom ± pair purge (reference keeps disabled; config gate) --
+        if rcfg.phantom_purge:
+            rv = ritzv[act]
+            n_neg = int(np.sum(rv < 0))
+            n_pos = u - n_neg
+            reinit = []
+            for kk in range(min(nex, n_neg, n_pos)):
+                i, j = n_neg - 1 - kk, n_neg + kk
+                la, lb = abs(rv[i]), abs(rv[j])
+                ratio = lb / (la + 1e-30) if la < lb else la / (lb + 1e-30)
+                if ratio > 1.5:
+                    reinit += [i, j]
+            if reinit:
+                log.debug(f"[purge] reinitializing {len(reinit)} outlier "
+                          f"± pair column(s)")
+                key, sub = jax.random.split(key)
+                R = jax.random.normal(sub, V.shape, dtype=op.dtype)
+                wm = np.zeros(K2, bool)
+                wm[locked + np.asarray(reinit)] = True
+                V = jnp.where(jnp.asarray(wm)[None, :], R, V)
+
+        if resid_file is not None:
+            for _ in range(locked):
+                resid_file.write(f"{iteration},-1.0\n")
+            for rr_ in resid[act][np.argsort(ritzv[act], kind="stable")]:
+                resid_file.write(f"{iteration},{rr_}\n")
+
         # -- bound refresh from sorted active Ritz values --
         srt = np.argsort(ritzv[act], kind="stable")
         q95 = max(int(u * 0.95) - 1, 0)
@@ -429,6 +461,9 @@ def solve_pseudo(op: DenseOperator, nev: int, nex: int,
         iteration += 1
         t0 = toc("Resids_Locking", t0, V)
         log.info(f"  -> new_converged={new_converged} locked={locked}")
+
+    if resid_file is not None:
+        resid_file.close()
 
     # ---- final reorder: positive ascending first (algorithm.inc:2175-2216)
     n_reorder = max(locked + unconverged, 1)

@@ -1,0 +1,76 @@
+"""Auxiliary-subsystem tests: mixed precision, residual history CSV,
+phantom purge gate, profiler hook, env-var config overrides."""
+
+import os
+
+import numpy as np
+import pytest
+
+import chase_tpu
+from chase_tpu.models import clement, clement_eigenvalues, random_pseudo_hermitian
+
+
+def test_mixed_precision_filter_converges():
+    """DP problem with the SP-filter path (P10): must still reach DP tol,
+    and the reduced-precision shadow of H must actually have been built."""
+    N, nev, nex = 256, 16, 12
+    H = clement(N)
+    op = chase_tpu.DenseOperator(H)
+    cfg = chase_tpu.ChaseConfig(mixed_precision=True, tol=1e-9)
+    res = chase_tpu.solve(op, nev, nex, config=cfg)
+    assert res.converged
+    np.testing.assert_allclose(res.ritzv, clement_eigenvalues(N)[:nev],
+                               atol=1e-6)
+    assert op._H_low is not None, "mixed precision path never engaged"
+    assert op.H_low.dtype == np.float32
+
+
+def test_save_residuals_csv(tmp_path):
+    p = str(tmp_path / "resid.csv")
+    cfg = chase_tpu.ChaseConfig(save_residuals=p)
+    res = chase_tpu.eigsh(clement(128), 8, 8, tol=1e-9, config=cfg)
+    assert res.converged
+    lines = open(p).read().strip().splitlines()
+    assert lines[0] == "iteration,residual"
+    assert len(lines) == 1 + res.iterations * 16   # 16 rows per iteration
+    its = [int(l.split(",")[0]) for l in lines[1:]]
+    assert max(its) == res.iterations - 1
+    for l in lines[1:]:
+        float(l.split(",")[1])                      # every row parses
+
+
+def test_save_residuals_env_override(tmp_path):
+    p = str(tmp_path / "resid_env.csv")
+    os.environ["CHASE_SAVE_RESIDUALS"] = p
+    try:
+        chase_tpu.eigsh(clement(96), 6, 6, tol=1e-8)
+    finally:
+        del os.environ["CHASE_SAVE_RESIDUALS"]
+    assert os.path.exists(p)
+
+
+def test_phantom_purge_gate_runs():
+    H = random_pseudo_hermitian(120, dtype=np.float64, seed=8)
+    cfg = chase_tpu.ChaseConfig(phantom_purge=True, tol=1e-9)
+    res = chase_tpu.eigsh_pseudo(H, 6, 6, config=cfg)
+    assert res.converged
+
+
+def test_profiler_trace(tmp_path):
+    from chase_tpu.perf import profiler_trace
+    d = str(tmp_path / "trace")
+    with profiler_trace(d):
+        chase_tpu.eigsh(clement(64), 4, 4, tol=1e-6)
+    found = []
+    for root, _, files in os.walk(d):
+        found.extend(files)
+    assert found, "profiler trace produced no files"
+
+
+def test_env_cholqr_disable():
+    os.environ["CHASE_DISABLE_CHOLQR"] = "1"
+    try:
+        res = chase_tpu.eigsh(clement(96), 6, 6, tol=1e-9)
+    finally:
+        del os.environ["CHASE_DISABLE_CHOLQR"]
+    assert res.converged
