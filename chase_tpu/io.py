@@ -40,10 +40,15 @@ def save_matrix(H, path: str):
 def load_matrix(path: str, N: int, dtype, M: Optional[int] = None):
     """Load a column-major N×M binary matrix (ChASE format) into numpy."""
     M = M if M is not None else N
-    data = np.fromfile(path, dtype=np.dtype(dtype), count=N * M)
-    if data.size != N * M:
-        raise ValueError(f"{path}: expected {N * M} elements of "
-                         f"{np.dtype(dtype)}, found {data.size}")
+    dtype = np.dtype(dtype)
+    expect = N * M * dtype.itemsize
+    if os.path.getsize(path) < expect:
+        raise ValueError(f"{path}: {os.path.getsize(path)} bytes < "
+                         f"expected {expect}")
+    from . import _native
+    if _native.available():
+        return _native.read_block(path, N, dtype, 0, N, 0, M)
+    data = np.fromfile(path, dtype=dtype, count=N * M)
     return data.reshape(M, N).T     # column-major → (N, M)
 
 
@@ -57,16 +62,24 @@ def load_matrix_sharded(path: str, N: int, dtype, grid: Grid2D,
     size = os.path.getsize(path)
     if size < expect:
         raise ValueError(f"{path}: {size} bytes < expected {expect}")
-    mm = np.memmap(path, dtype=dtype, mode="r", shape=(M, N))
-    # memmap is the transposed (column-major) view: element (i, j) of the
-    # logical matrix lives at mm[j, i].
+    from . import _native
+    native = _native.available()
+    mm = None
+    if not native:
+        # memmap is the transposed (column-major) view: element (i, j) of
+        # the logical matrix lives at mm[j, i].
+        mm = np.memmap(path, dtype=dtype, mode="r", shape=(M, N))
     sharding = matrix_sharding(grid)
 
     def cb(index):
         # index: tuple of slices into the logical (N, M) array
         ri, ci = index
-        block = np.ascontiguousarray(mm[ci, ri].T)
-        return block
+        r0, r1 = ri.indices(N)[:2]
+        c0, c1 = ci.indices(M)[:2]
+        if native:
+            return _native.read_block(path, N, dtype, r0, r1 - r0,
+                                      c0, c1 - c0)
+        return np.ascontiguousarray(mm[ci, ri].T)
 
     return jax.make_array_from_callback((N, M), sharding, cb)
 
