@@ -17,7 +17,7 @@ import threading
 
 import numpy as np
 
-__all__ = ["get_lib", "read_block", "write_block", "available"]
+__all__ = ["get_lib", "read_block", "write_block", "available", "build_capi"]
 
 _SRC = os.path.join(os.path.dirname(__file__), "chaseio.cpp")
 _lock = threading.Lock()
@@ -78,6 +78,31 @@ def get_lib():
 
 def available() -> bool:
     return get_lib() is not None
+
+
+def build_capi(out: str | None = None) -> str:
+    """Build libchase_tpu.so — the reference-compatible C ABI
+    ({s,d,c,z}chase_* symbols, chase_capi.cpp) for linking C/Fortran
+    applications against this framework.  Returns the library path."""
+    src = os.path.join(os.path.dirname(__file__), "chase_capi.cpp")
+    if out is None:
+        d = os.environ.get("CHASE_NATIVE_CACHE",
+                           os.path.join(os.path.expanduser("~"), ".cache",
+                                        "chase_tpu"))
+        os.makedirs(d, exist_ok=True)
+        out = os.path.join(d, "libchase_tpu.so")
+    pyconf = sys.executable + "-config"
+    if not os.path.exists(pyconf):
+        pyconf = "python3-config"
+    inc = subprocess.run([pyconf, "--includes"], check=True,
+                         capture_output=True, text=True).stdout.split()
+    ld = subprocess.run([pyconf, "--ldflags", "--embed"], check=True,
+                        capture_output=True, text=True).stdout.split()
+    cxx = os.environ.get("CXX", "g++")
+    cmd = [cxx, "-O3", "-shared", "-fPIC", "-std=c++17", src,
+           *inc, *ld, "-o", out]
+    subprocess.run(cmd, check=True, capture_output=True, timeout=300)
+    return out
 
 
 def read_block(path: str, rows_total: int, dtype, row_start: int,

@@ -1,0 +1,277 @@
+// libchase_tpu — C ABI with the reference's symbol names and signatures
+// (interface/chase_c_interface.h: {s,d,c,z}chase_init_, *chase_,
+// *chase_get_eigenpairs_, *chase_finalize_, chase_set_*, chase_has_*),
+// implemented by embedding CPython and driving chase_tpu.interface.
+//
+// Existing C / Fortran applications written against ChASE's C interface
+// (FLEUR, YAMBO-style call patterns) relink against this library unchanged;
+// the trailing-underscore, pointer-argument convention matches Fortran
+// iso_c_binding expectations.  The distributed p*chase_* entry points map
+// to the same implementation with the device grid enabled (the MPI
+// communicator argument is accepted and ignored: process-level MPI is
+// replaced by the in-process device mesh).
+//
+// Build:  g++ -O3 -shared -fPIC chase_capi.cpp $(python3-config --includes)
+//             $(python3-config --ldflags --embed) -o libchase_tpu.so
+
+#include <Python.h>
+
+#include <cstdarg>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <string>
+
+namespace {
+
+PyObject* g_ns = nullptr;   // namespace dict for the embedded prelude
+
+const char* kPrelude = R"PY(
+import os, ctypes
+import numpy as np
+_plat = os.environ.get('CHASE_TPU_PLATFORM')
+if _plat:
+    import jax
+    jax.config.update('jax_platforms', _plat)
+import chase_tpu.interface as _iface
+
+_state = {}
+
+def _view(ptr, rows, cols, ld, dt):
+    dt = np.dtype(dt)
+    buf = (ctypes.c_char * (ld * cols * dt.itemsize)).from_address(ptr)
+    a = np.frombuffer(buf, dtype=dt)
+    return a.reshape(cols, ld).T[:rows]      # column-major (rows, cols) view
+
+def capi_init(ptrH, ptrV, ptrR, N, nev, nex, ldh, dt, rdt, pseudo, dist):
+    H = _view(ptrH, N, N, ldh, dt)
+    if pseudo:
+        _iface.init_pseudo(N, nev, nex, H, distributed=bool(dist))
+    else:
+        _iface.init(N, nev, nex, H, distributed=bool(dist))
+    _state.update(ptrV=ptrV, ptrR=ptrR, dt=dt, rdt=rdt, N=N, nev=nev,
+                  nex=nex, pseudo=pseudo)
+    return 0
+
+def capi_solve(deg, tol, mode, opt, qr):
+    return _iface.solve(deg if deg > 0 else None,
+                        tol if tol > 0 else None, mode, opt, qr)
+
+def capi_get(ptrV, ld, ptrR):
+    evals, evecs = _iface.get_eigenpairs()
+    N, nev = _state['N'], _state['nev']
+    ptrV = ptrV or _state['ptrV']
+    ptrR = ptrR or _state['ptrR']
+    if ptrV:
+        _view(ptrV, N, nev, ld if ld > 0 else N, _state['dt'])[:] = evecs
+    if ptrR:
+        rdt = np.dtype(_state['rdt'])
+        buf = (ctypes.c_char * (nev * rdt.itemsize)).from_address(ptrR)
+        np.frombuffer(buf, dtype=rdt)[:nev] = evals
+    return 0
+
+def capi_finalize(flag):
+    return _iface.finalize(flag)
+
+def capi_set(name, value):
+    getattr(_iface, 'set_' + name)(value)
+    return 0
+
+def capi_read_ham(path):
+    import chase_tpu.io as _io
+    s = _iface._require()
+    s.H = _io.load_matrix(path, s.N, s.H.dtype)
+    return 0
+
+def capi_write_ham(path):
+    import chase_tpu.io as _io
+    s = _iface._require()
+    _io.save_matrix(s.H, path)
+    return 0
+)PY";
+
+bool ensure_py() {
+    if (g_ns) return true;
+    if (!Py_IsInitialized()) Py_InitializeEx(0);
+    PyObject* main_mod = PyImport_AddModule("__main__");
+    g_ns = PyModule_GetDict(main_mod);
+    Py_XINCREF(g_ns);
+    PyObject* r = PyRun_String(kPrelude, Py_file_input, g_ns, g_ns);
+    if (!r) {
+        PyErr_Print();
+        g_ns = nullptr;
+        return false;
+    }
+    Py_DECREF(r);
+    return true;
+}
+
+int run(const std::string& code) {
+    if (!ensure_py()) return -1;
+    PyObject* r = PyRun_String(code.c_str(), Py_eval_input, g_ns, g_ns);
+    if (!r) {
+        PyErr_Print();
+        return -1;
+    }
+    long v = PyLong_Check(r) ? PyLong_AsLong(r) : 0;
+    Py_DECREF(r);
+    return static_cast<int>(v);
+}
+
+std::string fmt(const char* f, ...) {
+    char buf[1024];
+    va_list ap;
+    va_start(ap, f);
+    vsnprintf(buf, sizeof(buf), f, ap);
+    va_end(ap);
+    return std::string(buf);
+}
+
+int do_init(const void* H, const void* V, const void* ritzv, int N, int nev,
+            int nex, int ldh, const char* dt, const char* rdt, int pseudo,
+            int dist) {
+    return run(fmt(
+        "capi_init(%llu, %llu, %llu, %d, %d, %d, %d, '%s', '%s', %d, %d)",
+        (unsigned long long)(uintptr_t)H, (unsigned long long)(uintptr_t)V,
+        (unsigned long long)(uintptr_t)ritzv, N, nev, nex, ldh, dt, rdt,
+        pseudo, dist));
+}
+
+int do_solve(int deg, double tol, char mode, char opt, char qr) {
+    return run(fmt("capi_solve(%d, %.17g, '%c', '%c', '%c')",
+                   deg, tol, mode, opt, qr));
+}
+
+}  // namespace
+
+#define INIT_FN(prefix, T, DT, RDT, PSEUDO, DIST)                           \
+    extern "C" void prefix(int* N, int* nev, int* nex, T* H, int* ldh,      \
+                           T* V, RDT_TYPE* ritzv, int* init) {              \
+        (void)init;                                                         \
+        do_init(H, V, ritzv, *N, *nev, *nex, *ldh, DT, RDT, PSEUDO, DIST);  \
+    }
+
+#define RDT_TYPE float
+INIT_FN(schase_init_, float, "float32", "float32", 0, 0)
+INIT_FN(cchase_init_, void, "complex64", "float32", 0, 0)
+INIT_FN(cchase_init_pseudo_, void, "complex64", "float32", 1, 0)
+INIT_FN(pschase_init_, float, "float32", "float32", 0, 1)
+INIT_FN(pcchase_init_, void, "complex64", "float32", 0, 1)
+#undef RDT_TYPE
+#define RDT_TYPE double
+INIT_FN(dchase_init_, double, "float64", "float64", 0, 0)
+INIT_FN(zchase_init_, void, "complex128", "float64", 0, 0)
+INIT_FN(zchase_init_pseudo_, void, "complex128", "float64", 1, 0)
+INIT_FN(pdchase_init_, double, "float64", "float64", 0, 1)
+INIT_FN(pzchase_init_, void, "complex128", "float64", 0, 1)
+#undef RDT_TYPE
+
+#define SOLVE_FN(prefix, TOL_T)                                             \
+    extern "C" void prefix(int* deg, TOL_T* tol, char* mode, char* opt,     \
+                           char* qr) {                                      \
+        do_solve(deg ? *deg : 0, tol ? (double)*tol : 0.0,                  \
+                 mode ? *mode : 'R', opt ? *opt : 'S', qr ? *qr : 'C');     \
+    }
+
+SOLVE_FN(dchase_, double)
+SOLVE_FN(schase_, float)
+SOLVE_FN(zchase_, double)
+SOLVE_FN(cchase_, float)
+SOLVE_FN(zchase_pseudo_, double)
+SOLVE_FN(cchase_pseudo_, float)
+SOLVE_FN(pdchase_, double)
+SOLVE_FN(pschase_, float)
+SOLVE_FN(pzchase_, double)
+SOLVE_FN(pcchase_, float)
+
+#define GET_FN(prefix, T, RT)                                               \
+    extern "C" void prefix(T* LEigsV, int* ld, RT* ritzv) {                 \
+        run(fmt("capi_get(%llu, %d, %llu)",                                 \
+                (unsigned long long)(uintptr_t)LEigsV, ld ? *ld : 0,        \
+                (unsigned long long)(uintptr_t)ritzv));                     \
+    }
+
+GET_FN(dchase_get_eigenpairs_, double, double)
+GET_FN(schase_get_eigenpairs_, float, float)
+GET_FN(zchase_get_eigenpairs_, void, double)
+GET_FN(cchase_get_eigenpairs_, void, float)
+GET_FN(pdchase_get_eigenpairs_, double, double)
+GET_FN(pschase_get_eigenpairs_, float, float)
+GET_FN(pzchase_get_eigenpairs_, void, double)
+GET_FN(pcchase_get_eigenpairs_, void, float)
+
+#define FIN_FN(prefix)                                                      \
+    extern "C" void prefix(int* flag) {                                     \
+        run(fmt("capi_finalize(%d)", flag ? *flag : 0));                    \
+    }
+
+FIN_FN(dchase_finalize_)
+FIN_FN(schase_finalize_)
+FIN_FN(zchase_finalize_)
+FIN_FN(cchase_finalize_)
+FIN_FN(pdchase_finalize_)
+FIN_FN(pschase_finalize_)
+FIN_FN(pzchase_finalize_)
+FIN_FN(pcchase_finalize_)
+
+#define HAM_FN(prefix, CALL)                                                \
+    extern "C" void prefix(const char* filename) {                          \
+        run(fmt(CALL "('%s')", filename));                                  \
+    }
+
+HAM_FN(pdchase_readHam_, "capi_read_ham")
+HAM_FN(pschase_readHam_, "capi_read_ham")
+HAM_FN(pcchase_readHam_, "capi_read_ham")
+HAM_FN(pzchase_readHam_, "capi_read_ham")
+HAM_FN(dchase_readHam_, "capi_read_ham")
+HAM_FN(schase_readHam_, "capi_read_ham")
+HAM_FN(cchase_readHam_, "capi_read_ham")
+HAM_FN(zchase_readHam_, "capi_read_ham")
+HAM_FN(pdchase_wrtHam_, "capi_write_ham")
+HAM_FN(pschase_wrtHam_, "capi_write_ham")
+HAM_FN(pcchase_wrtHam_, "capi_write_ham")
+HAM_FN(pzchase_wrtHam_, "capi_write_ham")
+
+// unified config setters (chase_c_interface.h:217-230)
+extern "C" void chase_set_tol_(double* tol) {
+    run(fmt("capi_set('tol', %.17g)", *tol));
+}
+extern "C" void chase_set_deg_(int* deg) {
+    run(fmt("capi_set('deg', %d)", *deg));
+}
+extern "C" void chase_set_max_iter_(int* n) {
+    run(fmt("capi_set('maxiter', %d)", *n));
+}
+extern "C" void chase_set_opt_(int* flag) {
+    run(fmt("capi_set('opt', %d)", *flag));
+}
+extern "C" void chase_set_lanczos_iter_(int* n) {
+    run(fmt("_iface.set_lanczos(%d, _iface._require().config.num_lanczos) or 0",
+            *n));
+}
+extern "C" void chase_set_num_lanczos_(int* n) {
+    run(fmt("_iface.set_lanczos(_iface._require().config.lanczos_iter or 25,"
+            " %d) or 0", *n));
+}
+
+// build introspection (chase_c_interface.h:234-239)
+extern "C" void chase_has_cuda_(int* flag) { *flag = 0; }
+extern "C" void chase_has_nccl_(int* flag) { *flag = 0; }
+extern "C" void chase_has_scalapack_(int* flag) { *flag = 0; }
+extern "C" void chase_has_mpi_(int* flag) { *flag = 0; }
+extern "C" void chase_has_tpu_(int* flag) {
+    *flag = run("1 if _iface.has_gpu() else 0");
+}
+extern "C" void chase_get_version_(char* version, int* len) {
+    const char* v = "chase_tpu-0.1.0";
+    int n = (int)strlen(v);
+    if (*len > n) {
+        memcpy(version, v, n + 1);
+        *len = n;
+    } else {
+        memcpy(version, v, *len);
+    }
+}
+extern "C" void chase_print_config_() {
+    printf("chase_tpu: JAX/XLA TPU-native build; C ABI via embedded Python\n");
+}

@@ -1,0 +1,60 @@
+"""Multi-host (pod-slice) initialization helpers.
+
+Reference analogue: the user-side MPI_Init + MPI_Dims_create +
+MpiGrid2D(comm) boilerplate of the distributed examples
+(examples/1_hello_world.cpp:36-60).  On TPU pods the runtime handles
+process bootstrapping; these helpers wrap `jax.distributed.initialize` and
+build the global ('r','c') grid spanning all hosts so ICI carries the
+row/column collectives inside a slice and DCN across slices.
+
+Typical pod usage (same script on every host):
+
+    from chase_tpu.parallel import multihost
+    grid = multihost.init_grid()            # all devices, near-square
+    H = chase_tpu.io.load_matrix_sharded(path, N, dtype, grid)
+    res = chase_tpu.eigsh(chase_tpu.DenseOperator(H, grid=grid), nev, nex)
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+
+from .mesh import Grid2D, make_grid
+
+__all__ = ["init_grid", "is_multihost", "process_info"]
+
+
+def init_grid(shape: Optional[tuple[int, int]] = None,
+              coordinator: Optional[str] = None) -> Grid2D:
+    """Initialize the distributed runtime (if needed) and build the grid.
+
+    On Cloud TPU pods `jax.distributed.initialize()` discovers everything
+    from the metadata server; other clusters pass ``coordinator`` plus the
+    JAX_PROCESS_COUNT/JAX_PROCESS_INDEX envs.
+    """
+    if _needs_distributed() and jax.process_count() == 1:
+        kwargs = {}
+        if coordinator:
+            kwargs["coordinator_address"] = coordinator
+        jax.distributed.initialize(**kwargs)
+    return make_grid(shape=shape)
+
+
+def _needs_distributed() -> bool:
+    return bool(os.environ.get("JAX_COORDINATOR_ADDRESS")
+                or os.environ.get("MEGASCALE_COORDINATOR_ADDRESS")
+                or os.environ.get("TPU_WORKER_HOSTNAMES", "").count(",") > 0)
+
+
+def is_multihost() -> bool:
+    return jax.process_count() > 1
+
+
+def process_info() -> dict:
+    return {"process_index": jax.process_index(),
+            "process_count": jax.process_count(),
+            "local_devices": len(jax.local_devices()),
+            "global_devices": jax.device_count()}

@@ -310,17 +310,28 @@ def solve(op: DenseOperator, nev: int, nex: int,
         offset = locked - start
         deg_win = np.zeros(w_pad, np.int32)
         deg_win[offset:] = degrees[act]
-        use_low = (rcfg.mixed_precision and not is_sp
+        # Mixed-precision ladder (P10): while the active block is far from
+        # converged, run the filter in reduced precision.  64-bit problems
+        # drop to f32/c64 (the reference's DP→SP switch); 32-bit problems on
+        # the MXU drop from 'highest' (f32, bf16x6 passes) to 'high'
+        # (bf16x3) — measured 63 vs 30 TFLOP/s on v5e.
+        use_low = (rcfg.mixed_precision and locked < nev
                    and float(np.min(resid[locked:nev])) >
-                   rcfg.mixed_precision_threshold) if locked < nev else False
-        H_f = op.H_low if use_low else op.H
+                   rcfg.mixed_precision_threshold)
+        H_f = op.H
+        f_precision = precision
+        if use_low:
+            if is_sp:
+                f_precision = "high"
+            else:
+                H_f = op.H_low
         X = _slice_cols(V, jnp.int32(start), w_pad)
         X = filt.chebyshev_filter(
             H_f, X, jnp.asarray(deg_win),
             np.asarray(lam_filter, op.real_dtype),
             np.asarray(lowerb, op.real_dtype),
             np.asarray(upperb, op.real_dtype),
-            jnp.int32(int(deg_win.max())), precision=precision)
+            jnp.int32(int(deg_win.max())), precision=f_precision)
         V = _update_cols(V, X, jnp.int32(start))
         if perf is not None:
             perf.add_filtered_vecs(int(np.sum(degrees[act])))

@@ -25,6 +25,18 @@ def test_mixed_precision_filter_converges():
     assert op.H_low.dtype == np.float32
 
 
+def test_mixed_precision_f32_ladder():
+    """32-bit problems: the low phase drops matmul precision, convergence to
+    SP tolerance must be unaffected."""
+    N, nev, nex = 200, 12, 10
+    H = clement(N).astype(np.float32)
+    cfg = chase_tpu.ChaseConfig(mixed_precision=True, tol=1e-4)
+    res = chase_tpu.eigsh(H, nev, nex, config=cfg)
+    assert res.converged
+    np.testing.assert_allclose(res.ritzv, clement_eigenvalues(N)[:nev],
+                               atol=5e-2)
+
+
 def test_save_residuals_csv(tmp_path):
     p = str(tmp_path / "resid.csv")
     cfg = chase_tpu.ChaseConfig(save_residuals=p)

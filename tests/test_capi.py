@@ -1,0 +1,50 @@
+"""C-ABI link-compatibility test: build libchase_tpu.so, compile the C demo
+against the reference-named symbols, run it as a real process.
+
+The reference's analogue is tests via examples/4_interface (C and Fortran
+drivers linked against the chase_c_interface singletons)."""
+
+import os
+import shutil
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.mark.skipif(shutil.which("g++") is None, reason="no C++ compiler")
+def test_c_driver_links_and_solves(tmp_path):
+    from chase_tpu import _native
+    lib = _native.build_capi(str(tmp_path / "libchase_tpu.so"))
+    exe = str(tmp_path / "c_demo")
+    subprocess.run(
+        ["cc", os.path.join(REPO, "examples", "c_interface_demo.c"),
+         "-L", str(tmp_path), "-lchase_tpu", "-lm", "-o", exe],
+        check=True, capture_output=True)
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env["LD_LIBRARY_PATH"] = str(tmp_path)
+    env["CHASE_TPU_PLATFORM"] = "cpu"
+    r = subprocess.run([exe], capture_output=True, text=True, env=env,
+                       timeout=500)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "C-interface demo: PASS" in r.stdout
+
+
+@pytest.mark.skipif(shutil.which("g++") is None, reason="no C++ compiler")
+def test_capi_symbol_surface(tmp_path):
+    """Every serial symbol family of the reference header must be exported."""
+    from chase_tpu import _native
+    lib = _native.build_capi(str(tmp_path / "libchase_tpu.so"))
+    syms = subprocess.run(["nm", "-D", lib], capture_output=True,
+                          text=True).stdout
+    for fam in ["chase_init_", "chase_", "chase_get_eigenpairs_",
+                "chase_finalize_"]:
+        for t in "sdcz":
+            assert f" T {t}{fam}" in syms or f"{t}{fam}" in syms, (t, fam)
+    for extra in ["zchase_init_pseudo_", "cchase_pseudo_", "chase_set_tol_",
+                  "chase_has_mpi_", "chase_get_version_",
+                  "pdchase_readHam_", "pzchase_get_eigenpairs_"]:
+        assert extra in syms, extra
