@@ -1,0 +1,150 @@
+"""Pallas ring collective matmul — explicit RDMA/compute overlap (P11).
+
+Hand-scheduled TPU analogue of the reference's dual-stream GEMM+allreduce
+overlap (nccl/hemm.hpp:95-266) for the filter HEMM on a 1D device ring:
+H row-sharded (each device holds an (m = N/p) × N stripe in HBM), V
+row-sharded ((b = N/p) × k chunk).  Per ring step, each device
+
+  * DMAs the next H block HBM→VMEM (double-buffered),
+  * RDMAs its current V chunk to the right neighbor (double-buffered),
+  * runs the MXU dot of the current (m×b)·(b×k) pair,
+
+so interconnect transfers hide behind the matmul.  A neighbor barrier at
+the top of each step protects buffer-slot reuse.
+
+The same kernel runs compiled on real TPU meshes and in interpreter mode
+on the forced-host-device CPU mesh (how CI validates it — the reference's
+"mpirun -n 4 is the cluster" testing strategy, SURVEY §4).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+from jax.sharding import PartitionSpec as P
+
+__all__ = ["pallas_ring_hemm"]
+
+
+def _ring_kernel(p, axis, h_ref, v_ref, o_ref, h_buf, v_buf, h_sem,
+                 send_sem, recv_sem):
+    me = jax.lax.axis_index(axis).astype(jnp.int32)
+    p32 = jnp.int32(p)
+    right = jax.lax.rem(me + 1, p32)
+    left = jax.lax.rem(me - 1 + p32, p32)
+    b = v_ref.shape[0]
+
+    v_buf[0] = v_ref[...]
+
+    def h_dma(slot, step):
+        # chunks travel rightward: after `step` hops we hold chunk (me-step)
+        src = jax.lax.rem(me - jnp.int32(step) + p32, p32)
+        return pltpu.make_async_copy(
+            h_ref.at[:, pl.ds(src * b, b)], h_buf.at[slot], h_sem.at[slot])
+
+    h_dma(0, 0).start()
+
+    def step_fn(s, _):
+        slot = jax.lax.rem(s, jnp.int32(2))
+        nslot = 1 - slot
+
+        # neighbor barrier: everyone finished step s-1 before we overwrite
+        # the buffers they might still be reading
+        @pl.when(s > 0)
+        def _():
+            bar = pltpu.get_barrier_semaphore()
+            pltpu.semaphore_signal(bar, inc=1, device_id=left,
+                                   device_id_type=pltpu.DeviceIdType.LOGICAL)
+            pltpu.semaphore_signal(bar, inc=1, device_id=right,
+                                   device_id_type=pltpu.DeviceIdType.LOGICAL)
+            pltpu.semaphore_wait(bar, 2)
+
+        # pass the current chunk onward while we compute with it
+        rdma = pltpu.make_async_remote_copy(
+            src_ref=v_buf.at[slot], dst_ref=v_buf.at[nslot],
+            send_sem=send_sem.at[slot], recv_sem=recv_sem.at[nslot],
+            device_id=right, device_id_type=pltpu.DeviceIdType.LOGICAL)
+
+        @pl.when(s + 1 < p)
+        def _():
+            rdma.start()
+
+        h_dma(slot, s).wait()
+
+        @pl.when(s + 1 < p)
+        def _():
+            h_dma(nslot, s + 1).start()
+
+        acc = jnp.dot(h_buf[slot], v_buf[slot],
+                      preferred_element_type=jnp.float32)
+
+        @pl.when(s == 0)
+        def _():
+            o_ref[...] = acc.astype(o_ref.dtype)
+
+        @pl.when(s > 0)
+        def _():
+            o_ref[...] = o_ref[...] + acc.astype(o_ref.dtype)
+
+        @pl.when(s + 1 < p)
+        def _():
+            rdma.wait()
+
+        return jnp.int32(0)
+
+    jax.lax.fori_loop(jnp.int32(0), jnp.int32(p), step_fn, jnp.int32(0))
+
+
+def pallas_ring_hemm(grid, H, V, *, axis: str = "r", interpret: bool = False,
+                     collective_id: int = 0):
+    """W = H @ V on a 1D ring: H in P(axis, None), V in P(axis, None).
+
+    Requires the mesh to be effectively 1D along `axis` (the other axis, if
+    present, must have size 1 — Pallas LOGICAL RDMA addressing supports one
+    named axis).
+    """
+    from jax.sharding import Mesh
+    p = grid.mesh.shape[axis]
+    for name, size in grid.mesh.shape.items():
+        if name != axis and size != 1:
+            raise ValueError("pallas_ring_hemm needs a 1D mesh along "
+                             f"'{axis}'; axis '{name}' has size {size}")
+    # Pallas LOGICAL RDMA addressing supports exactly one named axis: run
+    # the kernel under a flattened 1D view of the same devices.
+    mesh = Mesh(grid.mesh.devices.reshape(-1), (axis,))
+    N, k = H.shape[0], V.shape[1]
+    if N % p:
+        raise ValueError(f"N={N} not divisible by ring size {p}")
+    m = N // p
+    b = N // p
+
+    kernel = functools.partial(_ring_kernel, p, axis)
+
+    def local(h, v):
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((m, k), v.dtype),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                      pl.BlockSpec(memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((2, m, b), h.dtype),
+                pltpu.VMEM((2, b, k), v.dtype),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+            interpret=interpret,
+            compiler_params=pltpu.CompilerParams(
+                collective_id=collective_id, has_side_effects=True),
+        )(h, v)
+
+    spec = P(axis, None)
+    fn = shard_map(local, mesh=mesh, in_specs=(spec, spec), out_specs=spec,
+                   check_vma=False)
+    return fn(H, V)
