@@ -28,9 +28,16 @@ from .solver import solve, SolveResult
 __all__ = ["eigsh", "eigsh_fused", "eigsh_pseudo", "EigshResult"]
 
 
+def _unpad(res: SolveResult, op: DenseOperator) -> SolveResult:
+    if op.N_orig != op.N:
+        res.V = res.V[:op.N_orig]
+    return res
+
+
 def eigsh(H, nev: int, nex: Optional[int] = None, *,
           tol: Optional[float] = None,
           v0=None, ritzv0=None, approx: bool = False,
+          largest: bool = False,
           config: Optional[ChaseConfig] = None,
           grid: Optional[Grid2D] = None,
           collect_perf: bool = False,
@@ -66,11 +73,33 @@ def eigsh(H, nev: int, nex: Optional[int] = None, *,
             updates["approx"] = True
         cfg = dataclasses.replace(cfg, **updates)
 
+    if largest:
+        # ChASE computes the lowest extremal part; the top end is the
+        # lowest end of -H.
+        if isinstance(H, DenseOperator):
+            raise ValueError("largest=True needs a raw matrix, not an "
+                             "operator — pass -H yourself instead")
+        res = eigsh(-np.asarray(H), nev, nex, tol=tol, v0=v0,
+                    ritzv0=None if ritzv0 is None else -np.asarray(ritzv0),
+                    approx=approx, config=config, grid=grid,
+                    collect_perf=collect_perf, key=key)
+        # solve(-H) returns the lowest of -H ascending = the top of H
+        # descending after negation; flip to ascending (scipy convention).
+        order = np.arange(len(res.ritzv))[::-1].copy()
+        res.ritzv = (-res.ritzv)[order]
+        res.resid = res.resid[order]
+        import jax.numpy as jnp
+        full = np.concatenate([order, np.arange(nev, res.V.shape[1])])
+        res.V = jnp.take(res.V, jnp.asarray(full), axis=1)
+        if res.ritzv_full is not None:
+            res.ritzv_full = -res.ritzv_full
+        return res
+
     op = H if isinstance(H, DenseOperator) else DenseOperator(H, grid=grid)
     perf = PerfData() if collect_perf else None
     res = solve(op, nev, nex, config=cfg, V0=v0, ritzv0=ritzv0,
                 perf=perf, key=key)
-    return res
+    return _unpad(res, op)
 
 
 def eigsh_fused(H, nev: int, nex: Optional[int] = None, *,
@@ -108,12 +137,13 @@ def eigsh_fused(H, nev: int, nex: Optional[int] = None, *,
     ritzv = np.asarray(out["ritzv"], np.float64)
     resid = np.asarray(out["resid"], np.float64)
     locked = int(out["locked"])
-    return SolveResult(
+    res = SolveResult(
         ritzv=ritzv[:nev], V=out["V"], resid=resid[:nev],
         iterations=int(out["iterations"]), locked=locked,
         converged=bool(locked >= nev),
         upperb=float(out["upperb"]), lowerb=float(out["lowerb"]),
         perf=None, ritzv_full=ritzv, early_locked=None)
+    return _unpad(res, op)
 
 
 def eigsh_pseudo(H, nev: int, nex: Optional[int] = None, *,

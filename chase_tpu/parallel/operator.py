@@ -24,7 +24,15 @@ __all__ = ["DenseOperator"]
 
 
 class DenseOperator:
-    """Dense (pseudo-)Hermitian operator resident on the device grid."""
+    """Dense (pseudo-)Hermitian operator resident on the device grid.
+
+    When N is not divisible by the mesh tiling, the operator is padded to
+    the next divisible size with decoupled diagonal entries at the
+    Gershgorin upper bound — the phantom eigenvalues land above the whole
+    spectrum, get damped by the filter like any unwanted eigenvalue, and
+    never enter the wanted (lowest) set.  ``N_orig`` tracks the user size;
+    the API slices eigenvectors back.
+    """
 
     def __init__(self, H, grid: Optional[Grid2D] = None, *,
                  pseudo_hermitian: bool = False):
@@ -39,6 +47,32 @@ class DenseOperator:
             jax.config.update("jax_enable_x64", True)
         self.grid = grid
         self.pseudo_hermitian = pseudo_hermitian
+        self.N_orig = int(H.shape[0])
+
+        N = self.N_orig
+        if grid is not None:
+            import math
+            shape = grid.shape
+            tile = math.lcm(shape.get("r", 1), shape.get("c", 1))
+            N_pad = -(-N // tile) * tile
+            if N_pad != N:
+                if pseudo_hermitian:
+                    raise ValueError(
+                        f"pseudo-Hermitian N={N} must be divisible by the "
+                        f"mesh tile {tile} (padding would break the S-metric "
+                        f"half split); pad the BSE blocks to a divisible "
+                        f"size instead")
+                H = jnp.asarray(H)
+                # Gershgorin upper bound: pad eigenvalues above the spectrum
+                gersh = jnp.max(jnp.sum(jnp.abs(H), axis=1).real
+                                + jnp.diagonal(H).real
+                                - jnp.abs(jnp.diagonal(H)).real)
+                pad_val = gersh.astype(H.dtype)
+                Hp = jnp.zeros((N_pad, N_pad), H.dtype)
+                Hp = Hp.at[:N, :N].set(H)
+                idx = jnp.arange(N, N_pad)
+                H = Hp.at[idx, idx].set(pad_val)
+
         sh = matrix_sharding(grid)
         self.H = jax.device_put(jnp.asarray(H), sh) if sh is not None \
             else jnp.asarray(H)
@@ -68,7 +102,11 @@ class DenseOperator:
         self._H_low = None
 
     def place_block(self, V):
-        """Pin a multivector on the grid with the canonical V sharding."""
+        """Pin a multivector on the grid with the canonical V sharding
+        (zero-padding rows to the operator's padded size if needed)."""
+        V = jnp.asarray(V)
+        if V.shape[0] < self.N:
+            Vp = jnp.zeros((self.N, V.shape[1]), V.dtype)
+            V = Vp.at[:V.shape[0], :].set(V)
         sh = colvec_sharding(self.grid)
-        return jax.device_put(jnp.asarray(V), sh) if sh is not None \
-            else jnp.asarray(V)
+        return jax.device_put(V, sh) if sh is not None else V

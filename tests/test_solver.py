@@ -105,3 +105,30 @@ def test_perf_data_populated():
     assert p.get_filter_flops(N, np.float64) > 0
     assert p.get_flops(N, 20, 4, np.float64) > 0
     assert "GFLOPS" in p.report(N, 20, 4, np.float64)
+
+
+def test_uneven_n_on_grid():
+    """N not divisible by the mesh: Gershgorin padding must be invisible."""
+    import jax
+    import chase_tpu
+    grid = chase_tpu.make_grid()
+    H = clement(250)   # 250 % 4 != 0 on the 2x4 grid
+    res = chase_tpu.eigsh(H, 10, 10, tol=1e-10, grid=grid)
+    assert res.converged
+    np.testing.assert_allclose(res.ritzv, clement_eigenvalues(250)[:10],
+                               atol=1e-7)
+    V = np.asarray(res.V)[:, :10]
+    assert V.shape[0] == 250
+    assert np.linalg.norm(H @ V - V * res.ritzv, axis=0).max() < 1e-7
+
+
+def test_largest_mode():
+    """largest=True returns the top-nev eigenpairs ascending."""
+    import chase_tpu
+    H = random_hermitian(200, dtype=np.float64, seed=30)
+    res = chase_tpu.eigsh(H, 8, 8, tol=1e-10, largest=True)
+    assert res.converged
+    exact = np.linalg.eigvalsh(H)[-8:]
+    np.testing.assert_allclose(res.ritzv, exact, atol=1e-8)
+    V = np.asarray(res.V)[:, :8]
+    assert np.linalg.norm(H @ V - V * res.ritzv, axis=0).max() < 1e-8
