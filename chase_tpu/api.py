@@ -25,7 +25,8 @@ from .parallel.operator import DenseOperator
 from .perf import PerfData
 from .solver import solve, SolveResult
 
-__all__ = ["eigsh", "eigsh_fused", "eigsh_pseudo", "EigshResult"]
+__all__ = ["eigsh", "eigsh_fused", "eigsh_pseudo",
+           "eigsh_pseudo_fused", "EigshResult"]
 
 
 def _unpad(res: SolveResult, op: DenseOperator) -> SolveResult:
@@ -144,6 +145,51 @@ def eigsh_fused(H, nev: int, nex: Optional[int] = None, *,
         upperb=float(out["upperb"]), lowerb=float(out["lowerb"]),
         perf=None, ritzv_full=ritzv, early_locked=None)
     return _unpad(res, op)
+
+
+def eigsh_pseudo_fused(H, nev: int, nex: Optional[int] = None, *,
+                       tol: Optional[float] = None, v0=None,
+                       config: Optional[ChaseConfig] = None,
+                       grid: Optional[Grid2D] = None,
+                       key=None) -> SolveResult:
+    """Device-resident BSE solve — one XLA program
+    (`chase_tpu.fused_pseudo.solve_pseudo_fused`)."""
+    import jax
+    import jax.numpy as jnp
+    from .fused_pseudo import solve_pseudo_fused
+    from .ops.blocks import scale_lower_rows
+
+    if nex is None:
+        nex = max(nev // 4, 8)
+    cfg = config or ChaseConfig()
+    op = H if isinstance(H, DenseOperator) else DenseOperator(
+        H, grid=grid, pseudo_hermitian=True)
+    rcfg = cfg.resolve(op.dtype)
+    tol = tol if tol is not None else rcfg.tol
+    if key is None:
+        key = jax.random.key(rcfg.seed)
+    K2 = 2 * (nev + nex)
+    if v0 is None:
+        v0 = jax.random.normal(key, (op.N, K2), dtype=op.dtype)
+        v0 = scale_lower_rows(v0, 0.001)
+    else:
+        v0 = op.place_block(jnp.asarray(v0, op.dtype))
+    out = solve_pseudo_fused(
+        op.H, v0, nev=nev, nex=nex, tol=tol, deg0=rcfg.deg,
+        max_deg=rcfg.max_deg, deg_extra=rcfg.deg_extra,
+        max_iter=rcfg.max_iter, lanczos_iter=rcfg.lanczos_iter,
+        num_lanczos=rcfg.num_lanczos, optimization=rcfg.optimization,
+        cluster_aware=rcfg.cluster_aware_degrees,
+        precision=rcfg.matmul_precision)
+    ritzv = np.asarray(out["ritzv"], np.float64)
+    resid = np.asarray(out["resid"], np.float64)
+    locked = int(out["locked"])
+    return SolveResult(
+        ritzv=ritzv[:nev], V=out["V"], resid=resid[:nev],
+        iterations=int(out["iterations"]), locked=locked,
+        converged=bool(locked >= nev),
+        upperb=float(out["upperb"]), lowerb=float(out["lowerb"]),
+        perf=None, ritzv_full=ritzv, early_locked=None)
 
 
 def eigsh_pseudo(H, nev: int, nex: Optional[int] = None, *,

@@ -1,0 +1,46 @@
+"""Device-resident fused BSE solver tests."""
+
+import numpy as np
+import pytest
+
+import chase_tpu
+from chase_tpu.models import random_pseudo_hermitian
+
+
+def _pos(H, k):
+    ev = np.sort(np.linalg.eigvals(
+        H.astype(np.complex128 if np.iscomplexobj(H) else np.float64)).real)
+    return ev[ev > 0][:k]
+
+
+@pytest.mark.parametrize("dtype", [np.float64, np.complex128],
+                         ids=["f64", "c128"])
+def test_fused_pseudo_matches_spectrum(dtype):
+    N, nev, nex = 160, 10, 8
+    H = random_pseudo_hermitian(N, dtype=dtype, seed=5)
+    res = chase_tpu.eigsh_pseudo_fused(H, nev, nex, tol=1e-9)
+    assert res.converged
+    np.testing.assert_allclose(res.ritzv, _pos(H, nev), atol=1e-7)
+    V = np.asarray(res.V)[:, :nev]
+    R = H @ V - V * res.ritzv[None, :].astype(V.dtype)
+    assert np.linalg.norm(R, axis=0).max() < 1e-7
+
+
+def test_fused_pseudo_agrees_with_host_driver():
+    N, nev, nex = 140, 8, 8
+    H = random_pseudo_hermitian(N, dtype=np.complex128, seed=9)
+    a = chase_tpu.eigsh_pseudo(H, nev, nex, tol=1e-9)
+    b = chase_tpu.eigsh_pseudo_fused(H, nev, nex, tol=1e-9)
+    assert a.converged and b.converged
+    np.testing.assert_allclose(a.ritzv, b.ritzv, atol=1e-7)
+
+
+def test_fused_pseudo_multiround_locking():
+    """Harder spectrum forcing multiple locking rounds."""
+    N, nev, nex = 160, 14, 6
+    H = random_pseudo_hermitian(N, dtype=np.complex128, seed=11,
+                                coupling=0.4, spread=0.8)
+    res = chase_tpu.eigsh_pseudo_fused(H, nev, nex, tol=1e-10)
+    assert res.converged
+    np.testing.assert_allclose(res.ritzv, _pos(H, nev), atol=1e-6)
+    assert res.iterations >= 2
