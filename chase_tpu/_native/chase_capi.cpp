@@ -254,6 +254,31 @@ extern "C" void chase_set_num_lanczos_(int* n) {
             " %d) or 0", *n));
 }
 
+extern "C" void chase_set_max_deg_(int* n) {
+    run(fmt("capi_set('max_deg', %d)", *n));
+}
+extern "C" void chase_set_deg_extra_(int* n) {
+    run(fmt("capi_set('deg_extra', %d)", *n));
+}
+extern "C" void chase_set_approx_(int* flag) {
+    run(fmt("capi_set('approx', %d)", *flag));
+}
+extern "C" void chase_set_cholqr_(int* flag) {
+    run(fmt("capi_set('cholqr', %d)", *flag));
+}
+extern "C" void chase_enable_sym_check_(int* flag) {
+    run(fmt("_iface.enable_sym_check(%d) or 0", *flag));
+}
+extern "C" void chase_set_decaying_rate_(float* rate) {
+    run(fmt("capi_set('decaying_rate', %.9g)", (double)*rate));
+}
+extern "C" void chase_set_cluster_aware_degrees_(int* flag) {
+    run(fmt("capi_set('cluster_aware_degrees', %d)", *flag));
+}
+extern "C" void chase_set_upperb_scale_rate_(float* rate) {
+    run(fmt("capi_set('upperb_scale_rate', %.9g)", (double)*rate));
+}
+
 // build introspection (chase_c_interface.h:234-239)
 extern "C" void chase_has_cuda_(int* flag) { *flag = 0; }
 extern "C" void chase_has_nccl_(int* flag) { *flag = 0; }

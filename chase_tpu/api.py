@@ -26,7 +26,7 @@ from .perf import PerfData
 from .solver import solve, SolveResult
 
 __all__ = ["eigsh", "eigsh_fused", "eigsh_pseudo",
-           "eigsh_pseudo_fused", "EigshResult"]
+           "eigsh_pseudo_fused", "eigsh_sequence", "EigshResult"]
 
 
 def _unpad(res: SolveResult, op: DenseOperator) -> SolveResult:
@@ -226,6 +226,28 @@ def eigsh_pseudo(H, nev: int, nex: Optional[int] = None, *,
         perf.matrix_type = 1
     return solve_pseudo(op, nev, nex, config=cfg, V0=v0, ritzv0=ritzv0,
                         perf=perf, key=key)
+
+
+def eigsh_sequence(matrices, nev: int, nex: Optional[int] = None, *,
+                   tol: Optional[float] = None,
+                   config: Optional[ChaseConfig] = None,
+                   grid: Optional[Grid2D] = None,
+                   collect_perf: bool = False):
+    """Solve a sequence of correlated Hermitian problems with automatic
+    warm-starting — the reference's flagship use case (sequences of
+    correlated eigenproblems from SCF iterations, README.md:13-16;
+    examples/2_input_output --sequence).
+
+    ``matrices`` is an iterable of (N, N) arrays (or a generator, so the
+    whole sequence never needs to be in memory).  Yields SolveResults.
+    """
+    v0 = ritzv0 = None
+    for H in matrices:
+        res = eigsh(H, nev, nex, tol=tol, config=config, grid=grid,
+                    collect_perf=collect_perf,
+                    v0=v0, ritzv0=ritzv0, approx=v0 is not None)
+        v0, ritzv0 = np.asarray(res.V), res.ritzv_full
+        yield res
 
 
 # Back-compat style alias matching scipy naming

@@ -104,6 +104,47 @@ def set_lanczos(lanczos_iter: int, num_lanczos: int):
                                    num_lanczos=int(num_lanczos))
 
 
+def set_decaying_rate(rate: float):
+    s = _require()
+    s.config = dataclasses.replace(s.config, decaying_rate=float(rate))
+
+
+def set_upperb_scale_rate(rate: float):
+    s = _require()
+    s.config = dataclasses.replace(s.config, upperb_scale=float(rate))
+
+
+def set_cluster_aware_degrees(flag: bool):
+    s = _require()
+    s.config = dataclasses.replace(s.config,
+                                   cluster_aware_degrees=bool(flag))
+
+
+def set_max_deg(max_deg: int):
+    s = _require()
+    s.config = dataclasses.replace(s.config, max_deg=int(max_deg))
+
+
+def set_deg_extra(deg_extra: int):
+    s = _require()
+    s.config = dataclasses.replace(s.config, deg_extra=int(deg_extra))
+
+
+def set_cholqr(flag: bool):
+    s = _require()
+    s.config = dataclasses.replace(s.config, cholqr=bool(flag))
+
+
+def set_approx(flag: bool):
+    s = _require()
+    s.config = dataclasses.replace(s.config, approx=bool(flag))
+
+
+def enable_sym_check(flag: bool):
+    s = _require()
+    s.config = dataclasses.replace(s.config, sym_check=bool(flag))
+
+
 def solve(deg: Optional[int] = None, tol: Optional[float] = None,
           mode: str = "R", opt: str = "S", qr: str = "C"):
     """*chase_(deg, tol, mode, opt, qr): run the solver on the session.

@@ -132,3 +132,17 @@ def test_largest_mode():
     np.testing.assert_allclose(res.ritzv, exact, atol=1e-8)
     V = np.asarray(res.V)[:, :8]
     assert np.linalg.norm(H @ V - V * res.ritzv, axis=0).max() < 1e-8
+
+
+def test_eigsh_sequence_generator():
+    """Sequence API: warm-starts automatically, works from a generator."""
+    import chase_tpu
+    from chase_tpu.models import hermitian_sequence
+    mats = hermitian_sequence(180, 3, dtype=np.float64, seed=17, drift=0.004)
+    results = list(chase_tpu.eigsh_sequence(iter(mats), 10, 8, tol=1e-9))
+    assert len(results) == 3
+    assert all(r.converged for r in results)
+    # warm-started solves must not be slower than the cold first one
+    assert results[2].iterations <= results[0].iterations
+    exact = np.linalg.eigvalsh(mats[2])[:10]
+    np.testing.assert_allclose(results[2].ritzv, exact, atol=1e-6)
