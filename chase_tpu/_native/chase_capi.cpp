@@ -45,10 +45,19 @@ def _view(ptr, rows, cols, ld, dt):
 
 def capi_init(ptrH, ptrV, ptrR, N, nev, nex, ldh, dt, rdt, pseudo, dist):
     H = _view(ptrH, N, N, ldh, dt)
+    cols = 2 * (nev + nex) if pseudo else (nev + nex)
+    V = _view(ptrV, N, cols, N, dt).copy() if ptrV else None
+    R = None
+    if ptrR:
+        rdt_ = np.dtype(rdt)
+        buf = (ctypes.c_char * (cols * rdt_.itemsize)).from_address(ptrR)
+        R = np.frombuffer(buf, dtype=rdt_).copy()
     if pseudo:
         _iface.init_pseudo(N, nev, nex, H, distributed=bool(dist))
+        _iface._require().V0 = V
+        _iface._require().ritzv0 = None if R is None else R.astype('float64')
     else:
-        _iface.init(N, nev, nex, H, distributed=bool(dist))
+        _iface.init(N, nev, nex, H, V, R, distributed=bool(dist))
     _state.update(ptrV=ptrV, ptrR=ptrR, dt=dt, rdt=rdt, N=N, nev=nev,
                   nex=nex, pseudo=pseudo)
     return 0

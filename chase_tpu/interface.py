@@ -43,6 +43,7 @@ class _Session:
     nex: int
     H: np.ndarray
     V0: Optional[np.ndarray]
+    ritzv0: Optional[np.ndarray] = None
     pseudo: bool = False
     grid: Optional[Grid2D] = None
     config: ChaseConfig = dataclasses.field(default_factory=ChaseConfig)
@@ -58,15 +59,22 @@ def _require() -> _Session:
     return _session
 
 
-def init(N: int, nev: int, nex: int, H, V=None, *, distributed: bool = False):
-    """*chase_init_ / p*chase_init_: bind the problem to the singleton."""
+def init(N: int, nev: int, nex: int, H, V=None, ritzv=None, *,
+         distributed: bool = False):
+    """*chase_init_ / p*chase_init_: bind the problem to the singleton.
+
+    V/ritzv, when given, seed mode='A' warm starts (the reference reuses
+    the caller's buffers as the approximate subspace)."""
     global _session
     H = np.asarray(H)
     if H.shape != (N, N):
         raise ValueError(f"H shape {H.shape} != ({N}, {N})")
     grid = make_grid() if distributed else None
     _session = _Session(N=N, nev=nev, nex=nex, H=H,
-                        V0=None if V is None else np.asarray(V), grid=grid)
+                        V0=None if V is None else np.asarray(V),
+                        ritzv0=None if ritzv is None else
+                        np.asarray(ritzv, np.float64).copy(),
+                        grid=grid)
     return 0
 
 
@@ -162,12 +170,17 @@ def solve(deg: Optional[int] = None, tol: Optional[float] = None,
     s.config = dataclasses.replace(s.config, **updates)
     fn = eigsh_pseudo if s.pseudo else eigsh
     kwargs = {}
-    if mode == "A" and s.result is not None:
-        kwargs = {"v0": np.asarray(s.result.V),
-                  "ritzv0": s.result.ritzv_full, "approx": True}
-    elif mode == "A" and s.V0 is not None:
-        raise RuntimeError("mode='A' needs Ritz values: run mode='R' once "
-                           "or use the Python API with ritzv0")
+    if mode == "A":
+        if s.result is not None:
+            kwargs = {"v0": np.asarray(s.result.V),
+                      "ritzv0": s.result.ritzv_full, "approx": True}
+        elif s.V0 is not None and s.ritzv0 is not None \
+                and np.any(s.ritzv0):
+            # warm start straight from the caller's init buffers
+            kwargs = {"v0": s.V0, "ritzv0": s.ritzv0, "approx": True}
+        else:
+            raise RuntimeError("mode='A' needs a previous solve or V+ritzv "
+                               "buffers supplied at init")
     s.result = fn(s.H, s.nev, s.nex, config=s.config, grid=s.grid, **kwargs)
     return 0 if s.result.converged else 1
 

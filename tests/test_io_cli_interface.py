@@ -113,3 +113,24 @@ def test_checks():
     F = np.asarray(force_hermitian(jnp.asarray(bad)))
     np.testing.assert_allclose(F, F.conj().T)
     np.testing.assert_allclose(np.triu(F, 1), np.triu(bad, 1))
+
+
+def test_interface_warm_start_from_init_buffers():
+    """mode='A' directly from the V/ritzv buffers passed at init (the
+    reference's cross-application warm-restart pattern)."""
+    import chase_tpu.interface as chase
+    N, nev, nex = 128, 8, 8
+    H = clement(N)
+    chase.init(N, nev, nex, H)
+    chase.set_tol(1e-9)
+    assert chase.solve() == 0
+    evals, evecs = chase.get_eigenpairs()
+    full_V = np.asarray(chase._session.result.V)
+    full_r = chase._session.result.ritzv_full
+    chase.finalize()
+    # new session seeded with the previous results
+    chase.init(N, nev, nex, H, V=full_V, ritzv=full_r)
+    chase.set_tol(1e-9)
+    assert chase.solve(mode="A") == 0
+    assert chase._session.result.iterations <= 2
+    chase.finalize()
