@@ -24,8 +24,6 @@ trades one large exposed collective for p overlapped small ones.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P

@@ -14,8 +14,6 @@ import time
 from dataclasses import dataclass, field
 from typing import Dict, List
 
-import numpy as np
-
 from .types import is_complex_dtype
 
 __all__ = ["PerfData", "PhaseTimer"]
