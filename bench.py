@@ -27,9 +27,27 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
+def _get_backend_with_retry():
+    """The sandbox TPU plugin registration is flaky (tunnel contention).
+    jax memoizes backend-init failures, so an in-process retry needs the
+    platform list reset; last resort is CPU so a JSON line always prints."""
+    import jax
+    try:
+        devs = jax.devices()
+        log(f"bench devices: {devs}")
+        return devs
+    except RuntimeError as e:
+        log(f"bench: backend init failed: {e}")
+    jax.config.update("jax_platforms", "cpu")
+    log("bench: FALLING BACK TO CPU — TPU backend never registered")
+    return jax.devices()
+
+
 def main():
     import jax
     import jax.numpy as jnp
+
+    _get_backend_with_retry()
 
     # Config sized for a single v5e chip (16 GB HBM).
     N, k, deg = 8192, 1024, 20
