@@ -92,12 +92,14 @@ def chebyshev_filter(H, X, degrees, lam1, lower, upper, deg_max, *,
 
 # -- segmented-filter building blocks (used by the perf-tuned solver path) --
 
-def filter_carry_init(H, X, degrees, c, e, sigma1, precision):
+@partial(jax.jit, static_argnames=("precision",))
+def filter_carry_init(H, X, degrees, c, e, sigma1, *, precision="highest"):
     """First recurrence step; returns (X, Y, sigma) carry."""
-    alpha1 = sigma1 / e
+    alpha1 = jnp.asarray(sigma1 / e, real_dtype(H.dtype))
+    c = jnp.asarray(c, real_dtype(H.dtype))
     Y = alpha1 * _hemm_shift(H, X, c, precision)
     Y = jnp.where(degrees[None, :] >= 1, Y, X)
-    return X, Y, sigma1
+    return X, Y, jnp.asarray(sigma1, real_dtype(H.dtype))
 
 
 @partial(jax.jit, static_argnames=("precision",))

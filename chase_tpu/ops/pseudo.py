@@ -234,6 +234,40 @@ def rayleigh_ritz_residuals_pseudo(H, V, locked, *, precision="highest"):
     return V_out, theta, resid, ok
 
 
+def rayleigh_ritz_pseudo_geev(H, Q, *, precision="highest"):
+    """Debug/reference pseudo Rayleigh–Ritz via the non-Hermitian quotient.
+
+    Port of the v1 path (cpu/rayleighRitz.hpp:146-250, the XGEEV variant):
+    builds the oblique Rayleigh quotient with the dual (S-metric) left
+    basis and solves it with a general eigensolver.  CPU-only (``eig`` has
+    no TPU lowering) and kept — per the reference's own practice — as the
+    independent cross-check for the production Hermitianized pencil path
+    (SURVEY §7 risk 3).
+
+    Returns (theta ascending, ritz vectors in the original space).
+    """
+    import numpy as np_
+    Qn = np_.asarray(Q)
+    Hn = np_.asarray(H)
+    n = Qn.shape[1]
+    k = Hn.shape[0] // 2
+    T = Hn @ Qn                                   # A·Q
+    W = Qn.conj().T @ T                           # Qᴴ A Q
+    M = -2.0 * (Qn[k:].conj().T @ Qn[k:])         # -2 Q₂ᴴQ₂
+    diag = 1.0 / (1.0 + np_.diagonal(M).copy())   # (Qᴴ S Q)⁻¹ diagonal
+    np_.fill_diagonal(M, 0.0)
+    A = -(M @ W)                                  # (Diag - M)·W off-diag part
+    Tf = T.copy()
+    Tf[k:] *= -1                                  # S·A·Q
+    A = A + Qn.conj().T @ Tf
+    A = diag[:, None] * A                         # row-rescale by (QᴴSQ)⁻¹
+    w, Z = np_.linalg.eig(A)
+    order = np_.argsort(w.real)
+    theta = w.real[order]
+    V = Qn @ Z[:, order]
+    return theta, V
+
+
 @partial(jax.jit, static_argnames=("precision",))
 def residuals_pseudo(H, V, theta, *, precision="highest"):
     """Standalone ‖H v − θ v‖ for pseudo-Hermitian verification."""

@@ -51,6 +51,76 @@ from .ops.blocks import (
 )
 
 
+def _filter_windowed(H_f, V, degrees_act, locked, nevex, B, lam, lo, up,
+                     rdt, precision):
+    """Degree-retiring segmented filter (P12 true FLOP savings).
+
+    The active columns are sorted ascending by degree (calc_degrees does
+    that), so retirement happens from the left.  We run the 3-term
+    recurrence on a right-aligned window and *shrink* the window whenever a
+    whole ``B``-column bucket has retired — the shrunken widths hit the same
+    bucket sizes as the initial windows, so no new XLA programs compile.
+    Within a segment, per-column degree masks handle sub-bucket retirement
+    exactly.
+    """
+    w = nevex - locked
+    w_pad = min(nevex, -(-w // B) * B)
+    start = nevex - w_pad
+    offset = locked - start
+    deg_win = np.zeros(w_pad, np.int32)
+    deg_win[offset:] = degrees_act
+    deg_max = int(deg_win.max())
+
+    # shrink plan: (complete_through_step, new_left_offset_in_window)
+    plan = []
+    for p in range(B, w_pad, B):
+        if deg_win[p - 1] < deg_win[p]:
+            step = int(deg_win[p - 1])
+            if step < 1:
+                continue
+            if plan and step == plan[-1][0]:
+                plan[-1][1] = p
+            elif not plan or step > plan[-1][0]:
+                plan.append([step, p])
+    plan.append([deg_max, w_pad])
+
+    from .types import real_dtype as _rdt
+    rdt = _rdt(H_f.dtype)     # scalars follow the (possibly reduced) H dtype
+    lam = np.asarray(lam, rdt)
+    lo_ = np.asarray(lo, rdt)
+    up_ = np.asarray(up, rdt)
+    c = (up_ + lo_) / 2
+    e = (up_ - lo_) / 2
+    sigma1 = e / (lam - c)
+
+    X = _slice_cols(V, jnp.int32(start), w_pad)
+    dwin = jnp.asarray(deg_win)
+    Xp, Yc, sigma = filt.filter_carry_init(H_f, X.astype(H_f.dtype), dwin,
+                                           c, e, sigma1,
+                                           precision=precision)
+    t_done = 1
+    for (t_end, new_off) in plan:
+        if t_end > t_done:
+            Xp, Yc, sigma = filt.filter_steps(
+                H_f, Xp, Yc, dwin, sigma, sigma1, c, e,
+                jnp.int32(t_done + 1), jnp.int32(t_end + 1),
+                precision=precision)
+            t_done = t_end
+        # write back the current window (retired columns are final there)
+        V = _update_cols(V, Yc, jnp.int32(start))
+        if new_off < w_pad:
+            new_w = w_pad - new_off
+            new_w_pad = -(-new_w // B) * B
+            new_start = start + w_pad - new_w_pad
+            off2 = w_pad - new_w_pad
+            Xp = _slice_cols(Xp, jnp.int32(off2), new_w_pad)
+            Yc = _slice_cols(Yc, jnp.int32(off2), new_w_pad)
+            deg_win = deg_win[off2:]
+            dwin = jnp.asarray(deg_win)
+            start, w_pad = new_start, new_w_pad
+    return V
+
+
 # --------------------------------------------------------------------------
 # host-side algorithm bookkeeping
 # --------------------------------------------------------------------------
@@ -304,11 +374,6 @@ def solve(op: DenseOperator, nev: int, nex: int,
 
         # -- filter (algorithm.inc:1546) --
         B = max(1, min(rcfg.col_block, nevex))
-        w_pad = min(nevex, -(-unconverged // B) * B)
-        start = nevex - w_pad
-        offset = locked - start
-        deg_win = np.zeros(w_pad, np.int32)
-        deg_win[offset:] = degrees[act]
         # Mixed-precision ladder (P10): while the active block is far from
         # converged, run the filter in reduced precision.  64-bit problems
         # drop to f32/c64 (the reference's DP→SP switch); 32-bit problems on
@@ -324,14 +389,9 @@ def solve(op: DenseOperator, nev: int, nex: int,
                 f_precision = "high"
             else:
                 H_f = op.H_low
-        X = _slice_cols(V, jnp.int32(start), w_pad)
-        X = filt.chebyshev_filter(
-            H_f, X, jnp.asarray(deg_win),
-            np.asarray(lam_filter, op.real_dtype),
-            np.asarray(lowerb, op.real_dtype),
-            np.asarray(upperb, op.real_dtype),
-            jnp.int32(int(deg_win.max())), precision=f_precision)
-        V = _update_cols(V, X, jnp.int32(start))
+        V = _filter_windowed(H_f, V, degrees[act], locked, nevex, B,
+                             lam_filter, lowerb, upperb, op.real_dtype,
+                             f_precision)
         if perf is not None:
             perf.add_filtered_vecs(int(np.sum(degrees[act])))
             perf.add_iter_blocksize(unconverged)

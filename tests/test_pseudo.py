@@ -144,3 +144,21 @@ def test_apply_s():
     y = np.asarray(apply_s(jnp.asarray(x)))
     np.testing.assert_array_equal(y[:4], x[:4])
     np.testing.assert_array_equal(y[4:], -x[4:])
+
+
+def test_geev_debug_rr_matches_v2():
+    """The v1 (geev) debug path must agree with the production v2 pencil RR
+    (the reference keeps both; SURVEY §7 risk 3)."""
+    import jax.numpy as jnp
+    import jax
+    from chase_tpu.ops.pseudo import rayleigh_ritz_pseudo_geev
+    N = 60
+    H = random_pseudo_hermitian(N, dtype=np.float64, seed=2)
+    w, X = np.linalg.eig(H)
+    idxs = np.argsort(np.abs(w.real))[:8]
+    Q, _ = np.linalg.qr(X[:, idxs].real)
+    th_geev, _ = rayleigh_ritz_pseudo_geev(H, Q)
+    _, th_v2, _, _ = rayleigh_ritz_residuals_pseudo(
+        jnp.asarray(H), jnp.asarray(Q), jnp.int32(0))
+    pos_geev = np.sort(th_geev[th_geev > 0])[:4]
+    np.testing.assert_allclose(pos_geev, np.asarray(th_v2)[:4], atol=1e-12)
