@@ -72,3 +72,30 @@ def test_pallas_ring_rejects_2d_mesh():
     with pytest.raises(ValueError):
         pallas_ring_hemm(grid, np.zeros((8, 8), np.float32),
                          np.zeros((8, 4), np.float32))
+
+
+def test_ring_integrated_filter_matches_dense():
+    """The shard_map ring filter must reproduce the dense filter exactly
+    (up to reduction order) including degree-0 passthrough columns."""
+    import jax.numpy as jnp
+    from chase_tpu.parallel.ring import chebyshev_filter_ring
+    from chase_tpu.ops.filter import chebyshev_filter
+    from chase_tpu.models import clement
+
+    grid = chase_tpu.make_grid(jax.devices(), shape=(8, 1))
+    N, k = 512, 64
+    H = clement(N)
+    rng = np.random.default_rng(0)
+    X = rng.standard_normal((N, k))
+    deg = np.full(k, 14, np.int32)
+    deg[:4] = 0
+    Hs = jax.device_put(H, grid.sharding("r", None))
+    Xs = jax.device_put(X, grid.sharding("r", None))
+    args = (np.float64(-(N - 1)), np.float64(0.0), np.float64(float(N)))
+    Yr = np.asarray(chebyshev_filter_ring(grid, Hs, Xs, jnp.asarray(deg),
+                                          *args, jnp.int32(14)))
+    Yd = np.asarray(chebyshev_filter(jnp.asarray(H), jnp.asarray(X),
+                                     jnp.asarray(deg), *args, jnp.int32(14)))
+    scale = np.abs(Yd).max()
+    assert np.abs(Yr - Yd).max() / scale < 1e-13
+    np.testing.assert_array_equal(Yr[:, 0], X[:, 0])   # degree-0 passthrough
