@@ -125,6 +125,7 @@ def eigsh_fused(H, nev: int, nex: Optional[int] = None, *,
     tol = tol if tol is not None else rcfg.tol
     if key is None:
         key = jax.random.key(rcfg.seed)
+    warm = v0 is not None
     if v0 is None:
         v0 = jax.random.normal(key, (op.N, nev + nex), dtype=op.dtype)
     else:
@@ -134,7 +135,7 @@ def eigsh_fused(H, nev: int, nex: Optional[int] = None, *,
         max_deg=rcfg.max_deg, deg_extra=rcfg.deg_extra,
         max_iter=rcfg.max_iter, lanczos_iter=rcfg.lanczos_iter,
         num_lanczos=rcfg.num_lanczos, optimization=rcfg.optimization,
-        precision=rcfg.matmul_precision)
+        precision=rcfg.matmul_precision, inject_dos=not warm)
     ritzv = np.asarray(out["ritzv"], np.float64)
     resid = np.asarray(out["resid"], np.float64)
     locked = int(out["locked"])

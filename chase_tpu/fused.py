@@ -89,11 +89,12 @@ def _cheb_rho(t):
 @partial(jax.jit,
          static_argnames=("nev", "nex", "deg0", "max_deg", "deg_extra",
                           "max_iter", "lanczos_iter", "num_lanczos",
-                          "optimization", "precision", "cholqr_passes"))
+                          "optimization", "precision", "cholqr_passes",
+                          "inject_dos"))
 def solve_fused(H, V0, *, nev, nex, tol, deg0, max_deg, deg_extra=2,
                 max_iter=25, lanczos_iter=25, num_lanczos=4,
                 optimization=True, precision="highest", cholqr_passes=3,
-                cond_shift_threshold=1e8):
+                cond_shift_threshold=1e8, inject_dos=True):
     """Fully device-resident Hermitian solve.
 
     Args:
@@ -164,20 +165,26 @@ def solve_fused(H, V0, *, nev, nex, tol, deg0, max_deg, deg_extra=2,
     tau = jnp.abs(tvecs[:, 0, :]) ** 2
     lam, lowerb0, upperb = _dos_bounds(theta, tau, betas[-1], k, N)
 
-    # DoS starting vectors from the last probe (no interspersing)
+    # DoS starting vectors from the last probe (no interspersing).
+    # Skipped for warm starts (inject_dos=False): clobbering the caller's
+    # converged eigenvector columns would defeat the warm subspace
+    # (host driver analogue: mode='A' runs the bounds-only Lanczos).
     theta_last = theta[-1]
-    exceeds = theta_last > lowerb0
-    idx = jnp.where(exceeds.any(),
-                    jnp.maximum(jnp.argmax(exceeds) - 1, 0), 0)
-    idx = jnp.minimum(idx, k - 1)
-    dmask = jnp.arange(m) < idx
-    Vd = jnp.matmul(basis.T, (tvecs[-1] * dmask[None, :]).astype(H.dtype),
-                    precision=precision)
-    head = jnp.where(dmask[None, :], Vd, V[:, :m])
-    V = V.at[:, :m].set(head)
-    tl_pad = theta_last[jnp.minimum(cols, m - 1)]
-    ritzv = jnp.where(cols < idx, tl_pad, lam).astype(rt)
-    ritzv = ritzv.at[k - 1].set(lowerb0.astype(rt))
+    if inject_dos:
+        exceeds = theta_last > lowerb0
+        idx = jnp.where(exceeds.any(),
+                        jnp.maximum(jnp.argmax(exceeds) - 1, 0), 0)
+        idx = jnp.minimum(idx, k - 1)
+        dmask = jnp.arange(m) < idx
+        Vd = jnp.matmul(basis.T, (tvecs[-1] * dmask[None, :]).astype(H.dtype),
+                        precision=precision)
+        head = jnp.where(dmask[None, :], Vd, V[:, :m])
+        V = V.at[:, :m].set(head)
+        tl_pad = theta_last[jnp.minimum(cols, m - 1)]
+        ritzv = jnp.where(cols < idx, tl_pad, lam).astype(rt)
+        ritzv = ritzv.at[k - 1].set(lowerb0.astype(rt))
+    else:
+        ritzv = jnp.full((k,), lam, rt).at[k - 1].set(lowerb0.astype(rt))
 
     lowerb = jnp.max(ritzv)
     resid = jnp.full((k,), big, rt)
