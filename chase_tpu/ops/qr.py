@@ -119,7 +119,7 @@ def orthonormalize_pseudo(V, locked, cond, rcfg):
     return permute_cols(Q, jnp.asarray(inv))
 
 
-def orthonormalize(V, locked, cond, rcfg, perf_note=None):
+def orthonormalize(V, locked, cond, rcfg):
     """Condition-number-driven QR of the full block, locked cols preserved.
 
     Host-side driver mirroring Impl/chase_cpu/chase_cpu.hpp:629-776:

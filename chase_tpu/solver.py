@@ -328,7 +328,6 @@ def solve(op: DenseOperator, nev: int, nex: int,
         theta, _, _ = lz.lanczos_tridiag_host(a_np, b_np, want_vectors=False)
         upperb = lz.upper_bound(theta, b_np[-1])
         ritzv = np.asarray(ritzv0, np.float64).copy()
-        lowerb = float(np.max(ritzv))
     upperb *= rcfg.upperb_scale
 
     lowerb = float(np.max(ritzv)) * rcfg.decaying_rate

@@ -146,3 +146,13 @@ def test_eigsh_sequence_generator():
     assert results[2].iterations <= results[0].iterations
     exact = np.linalg.eigvalsh(mats[2])[:10]
     np.testing.assert_allclose(results[2].ritzv, exact, atol=1e-6)
+
+
+def test_validate_result_helper():
+    import chase_tpu
+    from chase_tpu.utils import validate_result
+    H = clement(150)
+    res = chase_tpu.eigsh(H, 8, 8, tol=1e-9)
+    report = validate_result(H, res)
+    assert report["max_residual"] < 1e-7
+    assert report["orthonormality_error"] < 1e-10
