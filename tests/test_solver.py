@@ -156,3 +156,13 @@ def test_validate_result_helper():
     report = validate_result(H, res)
     assert report["max_residual"] < 1e-7
     assert report["orthonormality_error"] < 1e-10
+
+
+def test_eigsh_accepts_operator():
+    import chase_tpu
+    H = clement(128)
+    op = chase_tpu.DenseOperator(H)
+    res = chase_tpu.eigsh(op, 6, 6, tol=1e-9)
+    assert res.converged
+    np.testing.assert_allclose(res.ritzv, clement_eigenvalues(128)[:6],
+                               atol=1e-7)
