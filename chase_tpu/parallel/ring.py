@@ -63,7 +63,7 @@ def ring_hemm(grid, H, V, *, axis: str = "r", precision="highest"):
 
         acc = jnp.zeros((h.shape[0], v.shape[1]),
                         jnp.promote_types(h.dtype, v.dtype))
-        acc = jax.lax.pvary(acc, (axis,))   # mark device-varying for the scan
+        acc = jax.lax.pcast(acc, (axis,), to="varying")  # device-varying
         acc, _ = jax.lax.fori_loop(0, p, step, (acc, v))
         return acc.astype(v.dtype)
 
@@ -112,7 +112,7 @@ def chebyshev_filter_ring(grid, H, X, degrees, lam1, lower, upper, deg_max,
                 acc = acc + jnp.matmul(h_blk, cur, precision=precision)
                 return (acc, nxt)
             acc = jnp.zeros((h.shape[0], v.shape[1]), v.dtype)
-            acc = jax.lax.pvary(acc, (axis,))
+            acc = jax.lax.pcast(acc, (axis,), to="varying")
             acc, _ = jax.lax.fori_loop(0, p, step, (acc, v))
             return acc
 

@@ -270,7 +270,7 @@ def solve(op: DenseOperator, nev: int, nex: int,
     else:
         V = op.place_block(jax.random.normal(key, (N, nevex), dtype=op.dtype))
     if not approx:
-        V = qrops.orthonormalize(V, 0, 1.0, rcfg)
+        V = qrops.orthonormalize(V, 0, 1.0, rcfg, op.grid)
     t0 = toc("InitVecs", t0, V)
 
     deg0 = min(rcfg.deg + rcfg.deg % 2, rcfg.max_deg)
@@ -409,7 +409,7 @@ def solve(op: DenseOperator, nev: int, nex: int,
             cond = np.finfo(np.float64).max
 
         # -- QR --
-        V = qrops.orthonormalize(V, locked, cond, rcfg)
+        V = qrops.orthonormalize(V, locked, cond, rcfg, op.grid)
         t0 = toc("Qr", t0, V)
 
         # -- RR + residuals (fused) --

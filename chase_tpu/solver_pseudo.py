@@ -211,7 +211,7 @@ def solve_pseudo(op: DenseOperator, nev: int, nex: int,
         V = op.place_block(jax.random.normal(key, (N, K2), dtype=op.dtype))
         V = scale_lower_rows(V, 0.001)
     if not approx:
-        V = orthonormalize(V, 0, 1.0, rcfg)
+        V = orthonormalize(V, 0, 1.0, rcfg, op.grid)
     t0 = toc("InitVecs", t0, V)
 
     deg0 = min(rcfg.deg + rcfg.deg % 2, rcfg.max_deg)
@@ -393,7 +393,7 @@ def solve_pseudo(op: DenseOperator, nev: int, nex: int,
             cond = np.finfo(np.float64).max
 
         # -- QR (S-orthogonalizing against locked) --
-        V = orthonormalize_pseudo(V, locked, cond, rcfg)
+        V = orthonormalize_pseudo(V, locked, cond, rcfg, op.grid)
         t0 = toc("Qr", t0, V)
 
         # -- pseudo RR + residuals (fused) --

@@ -10,7 +10,8 @@ import jax.numpy as jnp
 import pytest
 
 from chase_tpu.config import ChaseConfig
-from chase_tpu.ops.qr import cholqr, householder_qr, orthonormalize
+from chase_tpu.ops.qr import cholqr, householder_qr, orthonormalize, tsqr
+from chase_tpu.parallel.mesh import make_grid
 from conftest import ALL_DTYPES, kernel_tol
 
 
@@ -72,6 +73,58 @@ def test_householder_qr(dtype):
     Q = householder_qr(jnp.asarray(V))
     tol = kernel_tol(dtype)
     assert _ortho_err(Q) < tol
+
+
+@pytest.mark.parametrize("dtype", ALL_DTYPES, ids=["f32", "f64", "c64", "c128"])
+def test_tsqr_distributed_matches_householder(dtype):
+    """Distributed TSQR on the 8-device mesh: orthonormal and span-preserving.
+
+    TPU analogue of the reference's distributed Householder QR tests
+    (tests/linalg/internal/mpi/householder_qr.cpp on 4 MPI ranks)."""
+    grid = make_grid()  # 8 virtual devices
+    p = grid.shape["r"]
+    N, k = 64 * p, 12
+    V = _make_cond(N, k, 1e6, dtype).astype(dtype)
+    Q = np.asarray(tsqr(jnp.asarray(V), grid=grid))
+    assert _ortho_err(Q) < kernel_tol(dtype)
+    # same column space: V must be exactly reconstructible from Q
+    resid = V - Q @ (Q.conj().T @ V)
+    assert np.max(np.abs(resid)) < kernel_tol(dtype) * np.max(np.abs(V))
+
+
+def test_tsqr_ill_conditioned_rescues_cholqr_regime():
+    # cond ~1e14: every CholQR variant breaks down in DP; TSQR must not.
+    grid = make_grid()
+    p = grid.shape["r"]
+    V = _make_cond(32 * p, 16, 1e14, np.float64)
+    _, ok = cholqr(jnp.asarray(V), passes=3, shifted=True)
+    Q = np.asarray(tsqr(jnp.asarray(V), grid=grid))
+    assert _ortho_err(Q) < 1e-12
+
+
+def test_tsqr_short_shard_fallback():
+    # N/p < k: per-shard QR would be rank-deficient — must fall back to
+    # the dense path and still orthonormalize.
+    grid = make_grid()
+    V = _make_cond(40, 16, 1e3, np.float64)  # 40/4 or 40/8 rows < 16 cols
+    Q = np.asarray(tsqr(jnp.asarray(V), grid=grid))
+    assert _ortho_err(Q) < 1e-12
+
+
+def test_orthonormalize_grid_fallback_path():
+    # rank-deficient block on the mesh: CholQR fails, TSQR rescues, locked
+    # columns preserved.
+    grid = make_grid()
+    p = grid.shape["r"]
+    rng = np.random.default_rng(3)
+    N, k = 16 * p, 8
+    V = rng.standard_normal((N, k))
+    V[:, 4:] = V[:, :4]
+    rcfg = ChaseConfig().resolve(np.float64)
+    import jax
+    Vd = jax.device_put(jnp.asarray(V), grid.sharding("r", None))
+    out = np.asarray(orthonormalize(Vd, 0, 10.0, rcfg, grid))
+    assert _ortho_err(out) < 1e-10
 
 
 def test_orthonormalize_preserves_locked_and_orthogonalizes_rest():
