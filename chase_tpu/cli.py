@@ -51,6 +51,11 @@ def build_parser():
                    help="device-resident single-dispatch solver")
     p.add_argument("--grid", action="store_true",
                    help="2D-shard the operator over all devices")
+    p.add_argument("--mb", type=int, default=None,
+                   help="ScaLAPACK-style block-cyclic block size (with "
+                        "--grid): shard the operator in block-cyclic "
+                        "ownership order, reading files through the darray "
+                        "analogue")
     p.add_argument("--seed", type=int, default=1337)
     return p
 
@@ -69,22 +74,41 @@ def main(argv=None):
         lanczos_iter=args.lanczosIter, num_lanczos=args.numLanczos,
         approx=(args.mode == "A"), seed=args.seed)
 
+    grid = chase_tpu.make_grid() if args.grid else None
+    layout = None
+    if args.mb:
+        if grid is None:
+            raise SystemExit("--mb (block-cyclic) requires --grid")
+        if args.pseudo:
+            raise SystemExit("--mb is not supported for pseudo-Hermitian "
+                             "solves (the row permutation would break the "
+                             "S-metric half split)")
+        from chase_tpu.parallel.layouts import BlockCyclicLayout
+        layout = BlockCyclicLayout(args.n, args.mb, grid.shape["r"],
+                                   grid.shape["c"])
+
     def get_matrix(i):
         if args.path_in:
             path = args.path_in.format(i) if "{" in args.path_in \
                 else args.path_in
+            if layout is not None:
+                H, _ = cio.load_matrix_blockcyclic(path, args.n, dtype, grid,
+                                                   args.mb, layout=layout)
+                return H
             return cio.load_matrix(path, args.n, dtype)
         gen = args.isMatGen or ("bse" if args.pseudo else "clement")
         if gen == "clement":
-            return clement(args.n, dtype=dtype)
-        if gen == "bse":
-            return random_pseudo_hermitian(args.n, dtype=dtype, seed=args.seed + i)
-        if args.sequence > 1:
-            return hermitian_sequence(args.n, args.sequence, dtype=dtype,
-                                      seed=args.seed)[i]
-        return random_hermitian(args.n, dtype=dtype, seed=args.seed + i)
+            H = clement(args.n, dtype=dtype)
+        elif gen == "bse":
+            H = random_pseudo_hermitian(args.n, dtype=dtype,
+                                        seed=args.seed + i)
+        elif args.sequence > 1:
+            H = hermitian_sequence(args.n, args.sequence, dtype=dtype,
+                                   seed=args.seed)[i]
+        else:
+            H = random_hermitian(args.n, dtype=dtype, seed=args.seed + i)
+        return layout.apply(H) if layout is not None else H
 
-    grid = chase_tpu.make_grid() if args.grid else None
     v0 = ritzv0 = None
     for i in range(args.sequence):
         H = get_matrix(i)

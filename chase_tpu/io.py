@@ -28,6 +28,7 @@ import numpy as np
 from .parallel.mesh import Grid2D, matrix_sharding
 
 __all__ = ["save_matrix", "load_matrix", "load_matrix_sharded",
+           "save_matrix_sharded", "load_matrix_blockcyclic",
            "save_state", "load_state"]
 
 
@@ -82,6 +83,92 @@ def load_matrix_sharded(path: str, N: int, dtype, grid: Grid2D,
         return np.ascontiguousarray(mm[ci, ri].T)
 
     return jax.make_array_from_callback((N, M), sharding, cb)
+
+
+def save_matrix_sharded(H, path: str):
+    """Write a (possibly grid-sharded) device matrix to a global
+    column-major ChASE binary file.
+
+    Collective-write analogue of ``BlockBlockMatrix::saveToBinaryFile``
+    (distMatrix.hpp:2241-2298, MPI subarray ``MPI_File_write_all``): every
+    process writes only the byte ranges of its own addressable shards, so
+    on a multi-host mesh with a shared filesystem no host ever gathers the
+    global matrix.  Replicated copies (replica_id != 0) are skipped, so
+    each global block is written exactly once.
+    """
+    N, M = H.shape
+    dtype = np.dtype(H.dtype)
+    # Ensure the file exists at full size (sparse; cheap on POSIX).
+    if not os.path.exists(path) or os.path.getsize(path) != N * M * dtype.itemsize:
+        with open(path, "wb") as f:
+            f.truncate(N * M * dtype.itemsize)
+    shards = getattr(H, "addressable_shards", None)
+    if not shards:
+        save_matrix(H, path)
+        return
+    from . import _native
+    native = _native.available()
+    mm = None
+    if not native:
+        # column-major global file == (M, N) C-order view, transposed indices
+        mm = np.memmap(path, dtype=dtype, mode="r+", shape=(M, N))
+    for shard in shards:
+        if shard.replica_id != 0:
+            continue
+        ri, ci = shard.index
+        r0 = ri.indices(N)[0]
+        c0 = ci.indices(M)[0]
+        block = np.asarray(shard.data)
+        if native:
+            _native.write_block(path, N, block, r0, c0)
+        else:
+            mm[c0:c0 + block.shape[1], r0:r0 + block.shape[0]] = block.T
+    if mm is not None:
+        mm.flush()
+
+
+def load_matrix_blockcyclic(path: str, N: int, dtype, grid: Grid2D, mb: int,
+                            layout=None):
+    """Load a *global* column-major ChASE file straight into the
+    block-cyclic sharded layout.
+
+    Analogue of ``BlockCyclicMatrix::readFromBinaryFile``
+    (distMatrix.hpp:3210-3260): the reference builds an
+    ``MPI_Type_create_darray`` view so each rank pulls exactly the
+    mb×nb-cyclically-owned elements out of the global file.  Here each
+    shard's callback gathers its block-cyclically owned rows/columns
+    (``BlockCyclicLayout`` ownership permutation) from the file, producing
+    the permuted operator that contiguous mesh sharding distributes exactly
+    like ScaLAPACK block-cyclic would.
+
+    Returns (H_sharded, layout); pass eigenvector rows through
+    ``layout.restore_rows`` on the way out.
+    """
+    from .parallel.layouts import BlockCyclicLayout
+    dtype = np.dtype(dtype)
+    expect = N * N * dtype.itemsize
+    size = os.path.getsize(path)
+    if size < expect:
+        raise ValueError(f"{path}: {size} bytes < expected {expect}")
+    if layout is None:
+        shape = grid.shape
+        layout = BlockCyclicLayout(N, mb, shape.get("r", 1),
+                                   shape.get("c", 1))
+    # Hermitian similarity transform: the same (row) ownership permutation
+    # on both sides (layouts.BlockCyclicLayout.apply).
+    perm = layout.row_perm
+    mm = np.memmap(path, dtype=dtype, mode="r", shape=(N, N))  # (col, row)
+    sharding = matrix_sharding(grid)
+
+    def cb(index):
+        ri, ci = index
+        rows = perm[ri]
+        cols = perm[ci]
+        # memmap is the column-major (transposed) view: [cols, rows] then T
+        return np.ascontiguousarray(mm[np.ix_(cols, rows)].T)
+
+    H = jax.make_array_from_callback((N, N), sharding, cb)
+    return H, layout
 
 
 def save_state(path: str, V, ritzv, meta: Optional[dict] = None):
