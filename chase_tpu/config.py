@@ -48,6 +48,15 @@ class ChaseConfig:
     optimization: bool = True            # per-vector degree optimization ('S' mode)
     mixed_precision: bool = False        # SP filter inside DP solve (P10)
     mixed_precision_threshold: float = 1e-3  # chase_cpu.hpp:395 resid cutoff
+    # bf16 storage rung for f32 problems: while the active block's residual
+    # exceeds bf16_filter_threshold * upperb (i.e. relative to the spectral
+    # radius estimate; the bf16 basis-quality floor sits at ~eps_bf16 =
+    # 0.8e-2 relative), the filter HEMM takes bf16 inputs with f32 MXU
+    # accumulation (~5x the f32-highest throughput on v5e; the recurrence
+    # carry stays f32).  One rung below the reference's DP->SP switch;
+    # env CHASE_BF16_FILTER=1 enables it.
+    bf16_filter: bool = False
+    bf16_filter_threshold: float = 1e-2
 
     # --- spectral estimator ----------------------------------------------
     lanczos_iter: Optional[int] = None   # 25 DP / 12 SP
@@ -103,12 +112,16 @@ class ChaseConfig:
         chol_upper = 1e8 if is_dp else 1e4       # shiftedCholQR2 threshold
         save_residuals = os.environ.get("CHASE_SAVE_RESIDUALS",
                                         self.save_residuals)
+        bf16_filter = self.bf16_filter
+        if os.environ.get("CHASE_BF16_FILTER"):
+            bf16_filter = bool(int(os.environ["CHASE_BF16_FILTER"]))
         return ResolvedConfig(
             base=self, tol=float(tol), deg=int(deg), max_deg=int(max_deg),
             lanczos_iter=int(lanczos_iter), cholqr=cholqr,
             cholqr1_threshold=float(chol1_thld),
             cholqr_shift_threshold=float(chol_upper),
             save_residuals=save_residuals,
+            bf16_filter=bf16_filter,
         )
 
 
@@ -124,6 +137,7 @@ class ResolvedConfig:
     cholqr1_threshold: float
     cholqr_shift_threshold: float
     save_residuals: Optional[str] = None
+    bf16_filter: bool = False
 
     def __getattr__(self, name):
         return getattr(self.base, name)

@@ -33,7 +33,7 @@ import numpy as np
 from .config import ChaseConfig
 from .logger import get_logger
 from .perf import PerfData
-from .types import is_double_base
+from .types import is_complex_dtype, is_double_base
 from .parallel.operator import DenseOperator
 from .ops import filter as filt
 from .ops import lanczos as lz
@@ -84,8 +84,9 @@ def _filter_windowed(H_f, V, degrees_act, locked, nevex, B, lam, lo, up,
                 plan.append([step, p])
     plan.append([deg_max, w_pad])
 
-    from .types import real_dtype as _rdt
-    rdt = _rdt(H_f.dtype)     # scalars follow the (possibly reduced) H dtype
+    from .types import filter_carry_dtype as _fcd, real_dtype as _rdt
+    carry = _fcd(H_f.dtype, V.dtype)
+    rdt = _rdt(carry)         # scalars follow the recurrence carry dtype
     lam = np.asarray(lam, rdt)
     lo_ = np.asarray(lo, rdt)
     up_ = np.asarray(up, rdt)
@@ -95,7 +96,7 @@ def _filter_windowed(H_f, V, degrees_act, locked, nevex, B, lam, lo, up,
 
     X = _slice_cols(V, jnp.int32(start), w_pad)
     dwin = jnp.asarray(deg_win)
-    Xp, Yc, sigma = filt.filter_carry_init(H_f, X.astype(H_f.dtype), dwin,
+    Xp, Yc, sigma = filt.filter_carry_init(H_f, X.astype(carry), dwin,
                                            c, e, sigma1,
                                            precision=precision)
     t_done = 1
@@ -378,12 +379,22 @@ def solve(op: DenseOperator, nev: int, nex: int,
         # drop to f32/c64 (the reference's DP→SP switch); 32-bit problems on
         # the MXU drop from 'highest' (f32, bf16x6 passes) to 'high'
         # (bf16x3) — measured 63 vs 30 TFLOP/s on v5e.
+        min_resid = (float(np.min(resid[locked:nev])) if locked < nev
+                     else 0.0)
         use_low = (rcfg.mixed_precision and locked < nev
-                   and float(np.min(resid[locked:nev])) >
-                   rcfg.mixed_precision_threshold)
+                   and min_resid > rcfg.mixed_precision_threshold)
+        # bf16 storage rung (f32 problems only; complex has no bf16 pair):
+        # far-from-converged iterations take bf16 matmul inputs with f32
+        # accumulation, the carry staying f32 (ops/filter._hemm_shift).
+        use_bf16 = (rcfg.bf16_filter and is_sp and locked < nev
+                    and not is_complex_dtype(op.dtype)
+                    and min_resid > rcfg.bf16_filter_threshold * upperb)
         H_f = op.H
         f_precision = precision
-        if use_low:
+        if use_bf16:
+            H_f = op.H_low           # bf16 shadow of the f32 operator
+            f_precision = "default"
+        elif use_low:
             if is_sp:
                 f_precision = "high"
             else:

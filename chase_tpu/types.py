@@ -17,6 +17,7 @@ __all__ = [
     "is_complex_dtype",
     "is_double_base",
     "low_precision_dtype",
+    "filter_carry_dtype",
     "default_tol",
     "default_deg",
     "default_max_deg",
@@ -64,6 +65,21 @@ def low_precision_dtype(dtype):
     if dtype == np.float32:
         return np.dtype(jnp.bfloat16)
     return dtype
+
+
+def filter_carry_dtype(h_dtype, x_dtype):
+    """Dtype of the Chebyshev recurrence carry for a given (H, X) pair.
+
+    For the f64→f32 / c128→c64 mixed-precision rung the whole recurrence
+    runs in the reduced dtype (the reference's SP filter).  For the bf16
+    *storage* rung (f32 problems, H cast to bf16 for MXU-native inputs)
+    the carry stays in the problem dtype — only the matmul inputs are
+    cast down, with f32 accumulation — because a 3-term recurrence carried
+    in 8 mantissa bits degrades too fast.
+    """
+    if np.dtype(h_dtype) == np.dtype(jnp.bfloat16):
+        return np.dtype(x_dtype)
+    return np.dtype(h_dtype)
 
 
 def eps(dtype) -> float:

@@ -63,6 +63,32 @@ def test_filter_matches_reference_recurrence(dtype):
     np.testing.assert_array_equal(got[:, 1], X[:, 1])
 
 
+def test_filter_bf16_storage_tracks_f32():
+    """bf16-storage H with f32 carry (the aggressive MXU rung): the filtered
+    basis must stay within bf16-rounding distance of the f32 filter."""
+    import jax.numpy as jnp
+    from chase_tpu.ops.filter import chebyshev_filter
+
+    rng = np.random.default_rng(7)
+    N, k, deg = 128, 8, 10
+    A = rng.standard_normal((N, N)).astype(np.float32)
+    H = (A + A.T) / 2
+    X = rng.standard_normal((N, k)).astype(np.float32)
+    w = np.linalg.eigvalsh(H.astype(np.float64))
+    lam1, lo, up = w[0], w[k], w[-1]
+    degrees = jnp.full((k,), deg, jnp.int32)
+    Y32 = np.asarray(chebyshev_filter(
+        jnp.asarray(H), jnp.asarray(X), degrees, lam1, lo, up, deg))
+    Ybf = np.asarray(chebyshev_filter(
+        jnp.asarray(H, jnp.bfloat16), jnp.asarray(X), degrees,
+        lam1, lo, up, deg, precision="default"))
+    assert Ybf.dtype == np.float32          # carry stays f32
+    num = np.linalg.norm(Y32 - Ybf)
+    den = np.linalg.norm(Y32)
+    # bf16 has ~8 mantissa bits; deg matmuls compound the storage rounding
+    assert num / den < 0.05, num / den
+
+
 def test_filter_amplifies_wanted_end():
     """Components below `lower` grow relative to those inside the interval."""
     N = 128

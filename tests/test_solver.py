@@ -57,6 +57,22 @@ def test_clement_exact_spectrum_found():
                                atol=1e-7)
 
 
+def test_bf16_filter_rung_converges():
+    """bf16-storage filter rung (P10, one rung below the reference's DP->SP
+    switch): an f32 problem filtered with bf16 matmul inputs early on must
+    still converge to the f32 tolerance and spectrum."""
+    N, nev, nex = 256, 24, 16
+    H = _perturbed_clement(N, np.float32)
+    cfg = chase_tpu.ChaseConfig(bf16_filter=True)
+    res = chase_tpu.eigsh(H, nev, nex, tol=1e-3, config=cfg)
+    assert res.converged
+    exact = np.linalg.eigvalsh(H.astype(np.float64))[:nev]
+    np.testing.assert_allclose(res.ritzv, exact, atol=1e-3 * N * 10)
+    V = np.asarray(res.V)[:, :nev]
+    R = H @ V - V * res.ritzv[None, :].astype(V.dtype)
+    assert np.linalg.norm(R, axis=0).max() < 1e-3 * N * 10
+
+
 def test_random_hermitian_complex():
     N, nev, nex = 300, 30, 20
     H = random_hermitian(N, dtype=np.complex128, seed=11)
