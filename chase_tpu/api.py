@@ -135,7 +135,9 @@ def eigsh_fused(H, nev: int, nex: Optional[int] = None, *,
         max_deg=rcfg.max_deg, deg_extra=rcfg.deg_extra,
         max_iter=rcfg.max_iter, lanczos_iter=rcfg.lanczos_iter,
         num_lanczos=rcfg.num_lanczos, optimization=rcfg.optimization,
-        precision=rcfg.matmul_precision, inject_dos=not warm)
+        precision=rcfg.matmul_precision, inject_dos=not warm,
+        bf16_filter=rcfg.bf16_filter,
+        bf16_threshold=rcfg.bf16_filter_threshold)
     ritzv = np.asarray(out["ritzv"], np.float64)
     resid = np.asarray(out["resid"], np.float64)
     locked = int(out["locked"])

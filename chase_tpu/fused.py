@@ -90,11 +90,12 @@ def _cheb_rho(t):
          static_argnames=("nev", "nex", "deg0", "max_deg", "deg_extra",
                           "max_iter", "lanczos_iter", "num_lanczos",
                           "optimization", "precision", "cholqr_passes",
-                          "inject_dos"))
+                          "inject_dos", "bf16_filter", "bf16_threshold"))
 def solve_fused(H, V0, *, nev, nex, tol, deg0, max_deg, deg_extra=2,
                 max_iter=25, lanczos_iter=25, num_lanczos=4,
                 optimization=True, precision="highest", cholqr_passes=3,
-                cond_shift_threshold=1e8, inject_dos=True):
+                cond_shift_threshold=1e8, inject_dos=True,
+                bf16_filter=False, bf16_threshold=1e-2):
     """Fully device-resident Hermitian solve.
 
     Args:
@@ -111,6 +112,10 @@ def solve_fused(H, V0, *, nev, nex, tol, deg0, max_deg, deg_extra=2,
     tol = jnp.asarray(tol, rt)
     cols = jnp.arange(k)
     big = jnp.asarray(np.finfo(np.dtype(rt)).max / 4, rt)
+    # bf16 storage rung (P10 aggressive mode): real f32 problems only.
+    use_bf16_rung = (bf16_filter and is_sp
+                     and not jnp.issubdtype(H.dtype, jnp.complexfloating))
+    H_bf = H.astype(jnp.bfloat16) if use_bf16_rung else None
 
     def gram_qr(V, shift_on):
         """shifted CholQR (cholqr_passes rounds) + Householder rescue."""
@@ -233,20 +238,42 @@ def solve_fused(H, V0, *, nev, nex, tol, deg0, max_deg, deg_extra=2,
         c = (upperb + lowerb) / 2
         e = (upperb - lowerb) / 2
         sigma1 = e / (lam - c)
-        Y = (sigma1 / e) * (jnp.matmul(H, V, precision=precision) - c * V)
-        Y = jnp.where(degrees[None, :] >= 1, Y, V)
-
-        def fbody(t, carry):
-            Xp, Yc, sigma = carry
-            sigma_new = 1.0 / (2.0 / sigma1 - sigma)
-            Z = (2.0 * sigma_new / e) * (
-                jnp.matmul(H, Yc, precision=precision) - c * Yc) \
-                - (sigma * sigma_new) * Xp
-            Z = jnp.where(degrees[None, :] >= t, Z, Yc)
-            return (Yc, Z, sigma_new)
-
         dmax = jnp.max(degrees)
-        _, Vf, _ = jax.lax.fori_loop(2, dmax + 1, fbody, (V, Y, sigma1))
+
+        def run_filter(matvec, Vin):
+            Y = (sigma1 / e) * (matvec(Vin) - c * Vin)
+            Y = jnp.where(degrees[None, :] >= 1, Y, Vin)
+
+            def fbody(t, carry):
+                Xp, Yc, sigma = carry
+                sigma_new = 1.0 / (2.0 / sigma1 - sigma)
+                Z = (2.0 * sigma_new / e) * (matvec(Yc) - c * Yc) \
+                    - (sigma * sigma_new) * Xp
+                Z = jnp.where(degrees[None, :] >= t, Z, Yc)
+                return (Yc, Z, sigma_new)
+
+            _, Vf, _ = jax.lax.fori_loop(2, dmax + 1, fbody,
+                                         (Vin, Y, sigma1))
+            return Vf
+
+        def mv_full(X):
+            return jnp.matmul(H, X, precision=precision)
+
+        if use_bf16_rung:
+            # far-from-converged iterations: bf16 matmul inputs, f32 MXU
+            # accumulation, carry stays f32 (mirrors ops/filter._hemm_shift)
+            def mv_low(X):
+                return jnp.matmul(H_bf, X.astype(jnp.bfloat16),
+                                  precision="default",
+                                  preferred_element_type=H.dtype)
+
+            min_wanted = jnp.where(active & (cols < nev), resid, big).min()
+            low_phase = min_wanted > jnp.asarray(bf16_threshold, rt) * upperb
+            Vf = jax.lax.cond(low_phase,
+                              lambda Vin: run_filter(mv_low, Vin),
+                              lambda Vin: run_filter(mv_full, Vin), V)
+        else:
+            Vf = run_filter(mv_full, V)
 
         # -- QR (shift when condition estimate is bad) --
         t1 = (ritzv[0] - c) / e

@@ -53,3 +53,15 @@ def test_fused_on_grid():
     assert res.converged
     np.testing.assert_allclose(res.ritzv, clement_eigenvalues(N)[:nev],
                                atol=1e-6)
+
+
+def test_fused_bf16_rung():
+    """Fused solver with the bf16 storage rung: f32 problem converges and
+    matches the exact spectrum at SP accuracy."""
+    N, nev, nex = 192, 12, 12
+    H = clement(N).astype(np.float32)
+    cfg = chase_tpu.ChaseConfig(bf16_filter=True)
+    res = chase_tpu.eigsh_fused(H, nev, nex, tol=1e-4, config=cfg)
+    assert res.converged
+    np.testing.assert_allclose(res.ritzv, clement_eigenvalues(N)[:nev],
+                               atol=1e-1)
