@@ -21,6 +21,11 @@ CONFIGS = {
                           dtype="complex64", tol=1e-4),
     "bse2000": dict(kind="bse", N=2000, nev=100, nex=40,
                     dtype="complex64", tol=1e-4),
+    # compute-bound single-chip config (filter matmul dominates): where the
+    # bf16 storage rung pays off
+    # absolute tol ~1.2e-5 relative to ||H|| ~ 8191 (f32 floor is ~5e-4 abs)
+    "clement8192": dict(kind="clement", N=8192, nev=512, nex=256,
+                        dtype="float32", tol=1e-1),
 }
 
 
@@ -28,6 +33,8 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--config", choices=sorted(CONFIGS), default="clement1000")
     p.add_argument("--repeats", type=int, default=3)
+    p.add_argument("--bf16", action="store_true",
+                   help="enable the bf16 storage filter rung (f32 configs)")
     args = p.parse_args()
     c = CONFIGS[args.config]
 
@@ -43,8 +50,12 @@ def main():
     else:
         H = random_pseudo_hermitian(c["N"], dtype=dtype, seed=0)
 
-    solve = chase_tpu.eigsh_pseudo_fused if c["kind"] == "bse" \
+    _solve = chase_tpu.eigsh_pseudo_fused if c["kind"] == "bse" \
         else chase_tpu.eigsh_fused
+    cfg = chase_tpu.ChaseConfig(bf16_filter=args.bf16)
+
+    def solve(H, nev, nex, tol):
+        return _solve(H, nev, nex, tol=tol, config=cfg)
 
     t0 = time.perf_counter()
     res = solve(H, c["nev"], c["nex"], tol=c["tol"])
