@@ -107,12 +107,23 @@ def eigsh_fused(H, nev: int, nex: Optional[int] = None, *,
                 tol: Optional[float] = None, v0=None,
                 config: Optional[ChaseConfig] = None,
                 grid: Optional[Grid2D] = None,
+                collect_perf: bool = False,
                 key=None) -> SolveResult:
     """Device-resident Hermitian solve: the whole iteration runs as ONE
     XLA program (`chase_tpu.fused.solve_fused`) — minimal host↔device
     traffic, ideal for production serving and benchmarking.  Functionally
     equivalent to :func:`eigsh` up to documented tie-order deltas.
+
+    With ``collect_perf=True`` the result carries a PerfData whose FLOP
+    counters come from in-graph accumulators (filtered vectors, per-
+    iteration block sizes); only the 'All' phase is wall-timed — a single
+    dispatch has no host-visible phase boundaries (use
+    ``perf.profiler_trace`` for an xprof breakdown).  ``save_residuals``
+    (config / CHASE_SAVE_RESIDUALS) writes the per-iteration residual
+    history CSV from the in-graph history buffer.
     """
+    import time as _time
+
     import jax
     import jax.numpy as jnp
     from .fused import solve_fused
@@ -130,6 +141,7 @@ def eigsh_fused(H, nev: int, nex: Optional[int] = None, *,
         v0 = jax.random.normal(key, (op.N, nev + nex), dtype=op.dtype)
     else:
         v0 = op.place_block(jnp.asarray(v0, op.dtype))
+    t0 = _time.perf_counter()
     out = solve_fused(
         op.H, v0, nev=nev, nex=nex, tol=tol, deg0=rcfg.deg,
         max_deg=rcfg.max_deg, deg_extra=rcfg.deg_extra,
@@ -141,12 +153,31 @@ def eigsh_fused(H, nev: int, nex: Optional[int] = None, *,
     ritzv = np.asarray(out["ritzv"], np.float64)
     resid = np.asarray(out["resid"], np.float64)
     locked = int(out["locked"])
+    iters = int(out["iterations"])
+    t_all = _time.perf_counter() - t0
+
+    perf = None
+    if collect_perf:
+        perf = PerfData()
+        perf.add_time("All", t_all)
+        perf.filtered_vecs = int(out["filtered_vecs"])
+        for b in np.asarray(out["block_history"])[:iters]:
+            perf.add_iter_blocksize(int(b))
+
+    if rcfg.save_residuals:
+        hist = np.asarray(out["resid_history"])[:iters]
+        with open(rcfg.save_residuals, "w") as f:
+            f.write("iteration,residual\n")
+            for i, row in enumerate(hist):
+                for r in row:
+                    f.write(f"{i},{r}\n")
+
     res = SolveResult(
         ritzv=ritzv[:nev], V=out["V"], resid=resid[:nev],
-        iterations=int(out["iterations"]), locked=locked,
+        iterations=iters, locked=locked,
         converged=bool(locked >= nev),
         upperb=float(out["upperb"]), lowerb=float(out["lowerb"]),
-        perf=None, ritzv_full=ritzv, early_locked=None)
+        perf=perf, ritzv_full=ritzv, early_locked=None)
     return _unpad(res, op)
 
 

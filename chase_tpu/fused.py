@@ -197,12 +197,18 @@ def solve_fused(H, V0, *, nev, nex, tol, deg0, max_deg, deg_extra=2,
     degrees = jnp.full((k,), min(deg0 + deg0 % 2, max_deg), jnp.int32)
 
     # ---- main while loop ---------------------------------------------------
+    # In-graph observability (single dispatch can't host-log per iteration):
+    # filtered-vector count for the analytic FLOP model (performance.hpp),
+    # per-iteration block sizes, and the residual history rows the host
+    # driver writes under CHASE_SAVE_RESIDUALS (locked slots as -1.0).
     def cond_fn(st):
-        V, ritzv, resid, resid_last, degrees, locked, it, lowerb = st
+        (V, ritzv, resid, resid_last, degrees, locked, it, lowerb,
+         filtered, blk_hist, r_hist) = st
         return (k - locked > nex) & (it < max_iter)
 
     def body_fn(st):
-        V, ritzv, resid, resid_last, degrees, locked, it, lowerb = st
+        (V, ritzv, resid, resid_last, degrees, locked, it, lowerb,
+         filtered, blk_hist, r_hist) = st
         active = cols >= locked
 
         # lowerb refresh + clamp
@@ -233,6 +239,8 @@ def solve_fused(H, V0, *, nev, nex, tol, deg0, max_deg, deg_extra=2,
         degrees = jax.lax.cond(
             jnp.logical_and(optimization, it > 0), new_degrees,
             lambda _: jnp.where(active, degrees, 0).astype(jnp.int32), None)
+        filtered = filtered + jnp.sum(degrees)
+        blk_hist = blk_hist.at[it].set(k - locked)
 
         # -- filter --
         c = (upperb + lowerb) / 2
@@ -303,6 +311,8 @@ def solve_fused(H, V0, *, nev, nex, tol, deg0, max_deg, deg_extra=2,
         V = jnp.where(active[None, :], Vrot, V)
         ritzv = jnp.where(active, w_eig, ritzv)
         resid = jnp.where(active, r_new, resid)
+        r_hist = r_hist.at[it].set(
+            jnp.where(active, resid, jnp.asarray(-1.0, rt)))
 
         # -- locking: stable converged-first group sort --
         examined = active & (cols < k - nex)
@@ -317,11 +327,16 @@ def solve_fused(H, V0, *, nev, nex, tol, deg0, max_deg, deg_extra=2,
         degrees = degrees[perm]
         locked = locked + jnp.sum(conv).astype(locked.dtype)
 
-        return (V, ritzv, resid, resid_last, degrees, locked, it + 1, lowerb)
+        return (V, ritzv, resid, resid_last, degrees, locked, it + 1, lowerb,
+                filtered, blk_hist, r_hist)
 
     state = (V, ritzv, resid, resid_last, degrees,
-             jnp.int32(0), jnp.int32(0), lowerb.astype(rt))
-    V, ritzv, resid, resid_last, degrees, locked, it, lowerb = \
+             jnp.int32(0), jnp.int32(0), lowerb.astype(rt),
+             jnp.int64(0) if jax.config.jax_enable_x64 else jnp.int32(0),
+             jnp.zeros((max_iter,), jnp.int32),
+             jnp.full((max_iter, k), -1.0, rt))
+    (V, ritzv, resid, resid_last, degrees, locked, it, lowerb,
+     filtered, blk_hist, r_hist) = \
         jax.lax.while_loop(cond_fn, body_fn, state)
 
     # ---- final sort of the first nev by Ritz value -------------------------
@@ -332,4 +347,6 @@ def solve_fused(H, V0, *, nev, nex, tol, deg0, max_deg, deg_extra=2,
     resid = resid[order_full]
 
     return {"V": V, "ritzv": ritzv, "resid": resid, "locked": locked,
-            "iterations": it, "lowerb": lowerb, "upperb": upperb}
+            "iterations": it, "lowerb": lowerb, "upperb": upperb,
+            "filtered_vecs": filtered, "block_history": blk_hist,
+            "resid_history": r_hist}

@@ -65,3 +65,30 @@ def test_fused_bf16_rung():
     assert res.converged
     np.testing.assert_allclose(res.ritzv, clement_eigenvalues(N)[:nev],
                                atol=1e-1)
+
+
+def test_fused_perf_and_residual_history(tmp_path):
+    """In-graph observability: FLOP counters + CHASE_SAVE_RESIDUALS parity
+    for the single-dispatch solver."""
+    N, nev, nex = 128, 8, 8
+    H = clement(N)
+    csv = str(tmp_path / "hist.csv")
+    cfg = chase_tpu.ChaseConfig(save_residuals=csv)
+    res = chase_tpu.eigsh_fused(H, nev, nex, tol=1e-9, config=cfg,
+                                collect_perf=True)
+    assert res.converged
+    assert res.perf is not None
+    assert res.perf.filtered_vecs > 0
+    assert res.perf.iter_count == res.iterations
+    assert len(res.perf.iter_blocksizes) == res.iterations
+    # FLOP model produces a positive GFLOPS(all)
+    assert res.perf.get_flops(N, 25, 4, H.dtype) > 0
+    lines = open(csv).read().strip().splitlines()
+    assert lines[0] == "iteration,residual"
+    assert len(lines) == 1 + res.iterations * (nev + nex)
+    # final iteration contains residuals at/below the converged scale
+    import numpy as _np
+    last = _np.array([float(l.split(",")[1]) for l in lines[1:]
+                      if l.startswith(f"{res.iterations-1},")])
+    active_last = last[last >= 0]
+    assert active_last.min() < 1e-8 * N
