@@ -185,9 +185,14 @@ def eigsh_pseudo_fused(H, nev: int, nex: Optional[int] = None, *,
                        tol: Optional[float] = None, v0=None,
                        config: Optional[ChaseConfig] = None,
                        grid: Optional[Grid2D] = None,
+                       collect_perf: bool = False,
                        key=None) -> SolveResult:
     """Device-resident BSE solve — one XLA program
-    (`chase_tpu.fused_pseudo.solve_pseudo_fused`)."""
+    (`chase_tpu.fused_pseudo.solve_pseudo_fused`).  ``collect_perf`` and
+    ``save_residuals`` work like in :func:`eigsh_fused` (in-graph
+    counters/history)."""
+    import time as _time
+
     import jax
     import jax.numpy as jnp
     from .fused_pseudo import solve_pseudo_fused
@@ -208,6 +213,7 @@ def eigsh_pseudo_fused(H, nev: int, nex: Optional[int] = None, *,
         v0 = scale_lower_rows(v0, 0.001)
     else:
         v0 = op.place_block(jnp.asarray(v0, op.dtype))
+    t0 = _time.perf_counter()
     out = solve_pseudo_fused(
         op.H, v0, nev=nev, nex=nex, tol=tol, deg0=rcfg.deg,
         max_deg=rcfg.max_deg, deg_extra=rcfg.deg_extra,
@@ -218,12 +224,32 @@ def eigsh_pseudo_fused(H, nev: int, nex: Optional[int] = None, *,
     ritzv = np.asarray(out["ritzv"], np.float64)
     resid = np.asarray(out["resid"], np.float64)
     locked = int(out["locked"])
+    iters = int(out["iterations"])
+    t_all = _time.perf_counter() - t0
+
+    perf = None
+    if collect_perf:
+        perf = PerfData()
+        perf.matrix_type = 1
+        perf.add_time("All", t_all)
+        perf.filtered_vecs = int(out["filtered_vecs"])
+        for b in np.asarray(out["block_history"])[:iters]:
+            perf.add_iter_blocksize(int(b))
+
+    if rcfg.save_residuals:
+        hist = np.asarray(out["resid_history"])[:iters]
+        with open(rcfg.save_residuals, "w") as f:
+            f.write("iteration,residual\n")
+            for i, row in enumerate(hist):
+                for r in row:
+                    f.write(f"{i},{r}\n")
+
     return SolveResult(
         ritzv=ritzv[:nev], V=out["V"], resid=resid[:nev],
-        iterations=int(out["iterations"]), locked=locked,
+        iterations=iters, locked=locked,
         converged=bool(locked >= nev),
         upperb=float(out["upperb"]), lowerb=float(out["lowerb"]),
-        perf=None, ritzv_full=ritzv, early_locked=None)
+        perf=perf, ritzv_full=ritzv, early_locked=None)
 
 
 def eigsh_pseudo(H, nev: int, nex: Optional[int] = None, *,

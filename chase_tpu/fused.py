@@ -226,6 +226,10 @@ def solve_fused(H, V0, *, nev, nex, tol, deg0, max_deg, deg_extra=2,
             rho = _cheb_rho(t)
             with jax.numpy_dtype_promotion("standard"):
                 val = jnp.abs(jnp.log(resid / tol) / jnp.log(rho))
+            # cap in float BEFORE the int cast: finite val > 2^31 (rho ~ 1)
+            # would overflow astype(int32) to INT_MIN and silently skip the
+            # column in the filter (degree mask never fires on negatives)
+            val = jnp.minimum(val, float(max_deg))
             d = jnp.where(jnp.isfinite(val),
                           jnp.ceil(val).astype(jnp.int32), max_deg)
             if is_sp:

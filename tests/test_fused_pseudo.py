@@ -44,3 +44,16 @@ def test_fused_pseudo_multiround_locking():
     assert res.converged
     np.testing.assert_allclose(res.ritzv, _pos(H, nev), atol=1e-6)
     assert res.iterations >= 2
+
+
+def test_fused_pseudo_perf_counters():
+    import numpy as np
+    import chase_tpu
+    from chase_tpu.models import random_pseudo_hermitian
+    H = random_pseudo_hermitian(128, dtype=np.float64, seed=2)
+    res = chase_tpu.eigsh_pseudo_fused(H, 6, 6, tol=1e-8, collect_perf=True)
+    assert res.converged
+    assert res.perf is not None and res.perf.matrix_type == 1
+    assert res.perf.filtered_vecs > 0
+    assert res.perf.iter_count == res.iterations
+    assert res.perf.get_flops(128, 25, 4, H.dtype) > 0
