@@ -29,6 +29,29 @@ __all__ = ["eigsh", "eigsh_fused", "eigsh_pseudo",
            "eigsh_pseudo_fused", "eigsh_sequence", "EigshResult"]
 
 
+def _collect_fused_perf(out, iters: int, t_all: float,
+                        matrix_type: int = 0) -> PerfData:
+    """PerfData from the fused solvers' in-graph counters (single dispatch
+    has no host-visible phase boundaries — only 'All' is wall-timed)."""
+    perf = PerfData()
+    perf.matrix_type = matrix_type
+    perf.add_time("All", t_all)
+    perf.filtered_vecs = int(out["filtered_vecs"])
+    for b in np.asarray(out["block_history"])[:iters]:
+        perf.add_iter_blocksize(int(b))
+    return perf
+
+
+def _write_resid_history(path: str, out, iters: int):
+    """CHASE_SAVE_RESIDUALS CSV from the in-graph residual history."""
+    hist = np.asarray(out["resid_history"])[:iters]
+    with open(path, "w") as f:
+        f.write("iteration,residual\n")
+        for i, row in enumerate(hist):
+            for r in row:
+                f.write(f"{i},{r}\n")
+
+
 def _unpad(res: SolveResult, op: DenseOperator) -> SolveResult:
     if op.N_orig != op.N:
         res.V = res.V[:op.N_orig]
@@ -156,21 +179,9 @@ def eigsh_fused(H, nev: int, nex: Optional[int] = None, *,
     iters = int(out["iterations"])
     t_all = _time.perf_counter() - t0
 
-    perf = None
-    if collect_perf:
-        perf = PerfData()
-        perf.add_time("All", t_all)
-        perf.filtered_vecs = int(out["filtered_vecs"])
-        for b in np.asarray(out["block_history"])[:iters]:
-            perf.add_iter_blocksize(int(b))
-
+    perf = _collect_fused_perf(out, iters, t_all) if collect_perf else None
     if rcfg.save_residuals:
-        hist = np.asarray(out["resid_history"])[:iters]
-        with open(rcfg.save_residuals, "w") as f:
-            f.write("iteration,residual\n")
-            for i, row in enumerate(hist):
-                for r in row:
-                    f.write(f"{i},{r}\n")
+        _write_resid_history(rcfg.save_residuals, out, iters)
 
     res = SolveResult(
         ritzv=ritzv[:nev], V=out["V"], resid=resid[:nev],
@@ -205,6 +216,10 @@ def eigsh_pseudo_fused(H, nev: int, nex: Optional[int] = None, *,
         H, grid=grid, pseudo_hermitian=True)
     rcfg = cfg.resolve(op.dtype)
     tol = tol if tol is not None else rcfg.tol
+    if rcfg.bf16_filter:
+        from .logger import get_logger
+        get_logger().warn("bf16_filter is not supported for pseudo-Hermitian "
+                          "solves (no bf16 rung in the H² filter) — ignoring")
     if key is None:
         key = jax.random.key(rcfg.seed)
     K2 = 2 * (nev + nex)
@@ -227,22 +242,10 @@ def eigsh_pseudo_fused(H, nev: int, nex: Optional[int] = None, *,
     iters = int(out["iterations"])
     t_all = _time.perf_counter() - t0
 
-    perf = None
-    if collect_perf:
-        perf = PerfData()
-        perf.matrix_type = 1
-        perf.add_time("All", t_all)
-        perf.filtered_vecs = int(out["filtered_vecs"])
-        for b in np.asarray(out["block_history"])[:iters]:
-            perf.add_iter_blocksize(int(b))
-
+    perf = _collect_fused_perf(out, iters, t_all, matrix_type=1) \
+        if collect_perf else None
     if rcfg.save_residuals:
-        hist = np.asarray(out["resid_history"])[:iters]
-        with open(rcfg.save_residuals, "w") as f:
-            f.write("iteration,residual\n")
-            for i, row in enumerate(hist):
-                for r in row:
-                    f.write(f"{i},{r}\n")
+        _write_resid_history(rcfg.save_residuals, out, iters)
 
     return SolveResult(
         ritzv=ritzv[:nev], V=out["V"], resid=resid[:nev],

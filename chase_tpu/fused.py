@@ -280,7 +280,9 @@ def solve_fused(H, V0, *, nev, nex, tol, deg0, max_deg, deg_extra=2,
                                   preferred_element_type=H.dtype)
 
             min_wanted = jnp.where(active & (cols < nev), resid, big).min()
-            low_phase = min_wanted > jnp.asarray(bf16_threshold, rt) * upperb
+            # spectral-radius magnitude (signed upperb would never disengage)
+            spec_scale = jnp.maximum(jnp.abs(lam), jnp.abs(upperb))
+            low_phase = min_wanted > jnp.asarray(bf16_threshold, rt) * spec_scale
             Vf = jax.lax.cond(low_phase,
                               lambda Vin: run_filter(mv_low, Vin),
                               lambda Vin: run_filter(mv_full, Vin), V)

@@ -99,9 +99,16 @@ def save_matrix_sharded(H, path: str):
     N, M = H.shape
     dtype = np.dtype(H.dtype)
     # Ensure the file exists at full size (sparse; cheap on POSIX).
-    if not os.path.exists(path) or os.path.getsize(path) != N * M * dtype.itemsize:
-        with open(path, "wb") as f:
-            f.truncate(N * M * dtype.itemsize)
+    # O_CREAT *without* O_TRUNC + extend-only ftruncate: on a shared
+    # filesystem a late-arriving host must never wipe shards another host
+    # already wrote.
+    expect = N * M * dtype.itemsize
+    fd = os.open(path, os.O_CREAT | os.O_WRONLY, 0o644)
+    try:
+        if os.fstat(fd).st_size < expect:
+            os.ftruncate(fd, expect)
+    finally:
+        os.close(fd)
     shards = getattr(H, "addressable_shards", None)
     if not shards:
         save_matrix(H, path)
@@ -157,15 +164,40 @@ def load_matrix_blockcyclic(path: str, N: int, dtype, grid: Grid2D, mb: int,
     # Hermitian similarity transform: the same (row) ownership permutation
     # on both sides (layouts.BlockCyclicLayout.apply).
     perm = layout.row_perm
-    mm = np.memmap(path, dtype=dtype, mode="r", shape=(N, N))  # (col, row)
+    from . import _native
+    native = _native.available()
+    mm = None
+    if not native:
+        mm = np.memmap(path, dtype=dtype, mode="r", shape=(N, N))  # (col,row)
     sharding = matrix_sharding(grid)
+
+    def _runs(idx):
+        """Contiguous (start, stop, out_offset) runs of an index array.
+
+        Block-cyclic ownership is piecewise-contiguous in mb-blocks
+        (block_cyclic_perm groups whole blocks per owner), so each shard
+        assembles from ~N/(mb·p) contiguous slices instead of an
+        element-granularity gather."""
+        brk = np.flatnonzero(np.diff(idx) != 1) + 1
+        starts = np.concatenate([[0], brk])
+        stops = np.concatenate([brk, [len(idx)]])
+        return [(int(idx[s]), int(idx[e - 1]) + 1, int(s))
+                for s, e in zip(starts, stops)]
 
     def cb(index):
         ri, ci = index
         rows = perm[ri]
         cols = perm[ci]
-        # memmap is the column-major (transposed) view: [cols, rows] then T
-        return np.ascontiguousarray(mm[np.ix_(cols, rows)].T)
+        out = np.empty((len(rows), len(cols)), dtype)
+        for c0, c1, co in _runs(cols):
+            for r0, r1, ro in _runs(rows):
+                if native:
+                    blk = _native.read_block(path, N, dtype, r0, r1 - r0,
+                                             c0, c1 - c0)
+                else:
+                    blk = mm[c0:c1, r0:r1].T
+                out[ro:ro + (r1 - r0), co:co + (c1 - c0)] = blk
+        return out
 
     H = jax.make_array_from_callback((N, N), sharding, cb)
     return H, layout

@@ -386,9 +386,13 @@ def solve(op: DenseOperator, nev: int, nex: int,
         # bf16 storage rung (f32 problems only; complex has no bf16 pair):
         # far-from-converged iterations take bf16 matmul inputs with f32
         # accumulation, the carry staying f32 (ops/filter._hemm_shift).
+        # gate on the spectral-radius MAGNITUDE: a signed upperb (negative-
+        # definite spectrum) would make the RHS negative and the rung would
+        # never disengage
+        spec_scale = max(abs(lam_filter), abs(upperb))
         use_bf16 = (rcfg.bf16_filter and is_sp and locked < nev
                     and not is_complex_dtype(op.dtype)
-                    and min_resid > rcfg.bf16_filter_threshold * upperb)
+                    and min_resid > rcfg.bf16_filter_threshold * spec_scale)
         H_f = op.H
         f_precision = precision
         if use_bf16:

@@ -179,6 +179,9 @@ def solve_pseudo(op: DenseOperator, nev: int, nex: int,
         raise ValueError(f"nev+nex = {nevex} exceeds N/2 = {N // 2}")
     precision = rcfg.matmul_precision
     is_sp = not is_double_base(op.dtype)
+    if rcfg.bf16_filter:
+        log.warn("bf16_filter is not supported for pseudo-Hermitian solves "
+                 "(no bf16 rung in the H² filter) — ignoring the flag")
     tol = rcfg.tol
     timing = perf is not None
     if perf is not None:

@@ -104,9 +104,23 @@ def test_tsqr_ill_conditioned_rescues_cholqr_regime():
 
 def test_tsqr_short_shard_fallback():
     # N/p < k: per-shard QR would be rank-deficient — must fall back to
-    # the dense path and still orthonormalize.
+    # the dense path and still orthonormalize.  Derive k from the actual
+    # 'r' axis size so the fallback branch genuinely triggers.
     grid = make_grid()
-    V = _make_cond(40, 16, 1e3, np.float64)  # 40/4 or 40/8 rows < 16 cols
+    p = grid.shape["r"]
+    N = 8 * p
+    k = N // p + 4          # strictly more columns than any shard has rows
+    V = _make_cond(N, k, 1e3, np.float64)
+    Q = np.asarray(tsqr(jnp.asarray(V), grid=grid))
+    assert _ortho_err(Q) < 1e-12
+
+
+def test_tsqr_indivisible_n_fallback():
+    # N % p != 0 also routes to the dense path
+    grid = make_grid()
+    p = grid.shape["r"]
+    N = 16 * p + 1
+    V = _make_cond(N, 8, 1e3, np.float64)
     Q = np.asarray(tsqr(jnp.asarray(V), grid=grid))
     assert _ortho_err(Q) < 1e-12
 

@@ -73,6 +73,20 @@ def test_bf16_filter_rung_converges():
     assert np.linalg.norm(R, axis=0).max() < 1e-3 * N * 10
 
 
+def test_bf16_filter_negative_definite_disengages():
+    """Regression: with a fully negative spectrum (upperb < 0) the bf16
+    gate must still compare against the spectral-radius MAGNITUDE and hand
+    the final iterations back to f32."""
+    N, nev, nex = 192, 12, 12
+    H = (np.asarray(clement(N)) - 2.0 * N * np.eye(N)).astype(np.float32)
+    cfg = chase_tpu.ChaseConfig(bf16_filter=True)
+    res = chase_tpu.eigsh(H, nev, nex, tol=1e-4, config=cfg)
+    assert res.converged
+    assert res.resid.max() < 1e-4 * 3 * N   # f32 polish, not the bf16 floor
+    exact = np.linalg.eigvalsh(H.astype(np.float64))[:nev]
+    np.testing.assert_allclose(res.ritzv, exact, atol=1e-2)
+
+
 def test_random_hermitian_complex():
     N, nev, nex = 300, 30, 20
     H = random_hermitian(N, dtype=np.complex128, seed=11)
