@@ -33,8 +33,33 @@ from ..types import real_dtype
 __all__ = ["rayleigh_ritz_residuals"]
 
 
-@partial(jax.jit, static_argnames=("precision",))
-def rayleigh_ritz_residuals(H, V, locked, *, precision="highest"):
+def _host_eigh(A):
+    """Replicated host eigh of the small projected problem, in full f64.
+
+    The reference runs the (nev+nex)² heevd redundantly on every rank
+    (mpi/rayleighRitz.hpp:147-180) and optionally in double precision
+    (CHASE_RR_DOUBLE_PRECISION).  On TPUs f64 is emulated (slow), so for
+    64-bit problems the small dense solve can round-trip to the host LAPACK
+    instead — the k×k matrix is tiny next to the N×k transfers XLA already
+    avoids.  Upcasting to f64 on host doubles as the RR_DOUBLE_PRECISION
+    analogue for 32-bit problems.
+    """
+    import numpy as np
+
+    def cb(a):
+        wide = np.complex128 if np.iscomplexobj(a) else np.float64
+        w, z = np.linalg.eigh(a.astype(wide))
+        return (w.astype(real_dtype(a.dtype)), z.astype(a.dtype))
+
+    k = A.shape[0]
+    out_shapes = (jax.ShapeDtypeStruct((k,), real_dtype(A.dtype)),
+                  jax.ShapeDtypeStruct((k, k), A.dtype))
+    return jax.pure_callback(cb, out_shapes, A, vmap_method="sequential")
+
+
+@partial(jax.jit, static_argnames=("precision", "small_dense"))
+def rayleigh_ritz_residuals(H, V, locked, *, precision="highest",
+                            small_dense="device"):
     """Project H on the active columns of V, solve, rotate, and compute
     residuals, with ``locked`` as a traced scalar.
 
@@ -66,7 +91,10 @@ def rayleigh_ritz_residuals(H, V, locked, *, precision="highest"):
     big = 2 * jnp.linalg.norm(A).real.astype(rt) + 1
     A = A + jnp.diag(jnp.where(active, jnp.zeros((), rt), big)).astype(A.dtype)
 
-    ritz, Z = jnp.linalg.eigh(A)                         # ascending
+    if small_dense == "host":
+        ritz, Z = _host_eigh(A)                          # host LAPACK, f64
+    else:
+        ritz, Z = jnp.linalg.eigh(A)                     # ascending
     ritz = ritz.real.astype(rt)
 
     Vrot = jnp.matmul(Q, Z, precision=precision)         # Ritz vectors

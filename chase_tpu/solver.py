@@ -244,6 +244,13 @@ def solve(op: DenseOperator, nev: int, nex: int,
     is_sp = not is_double_base(op.dtype)
     tol = rcfg.tol
     timing = perf is not None
+    # small projected eigh: on accelerators that emulate f64, round-trip the
+    # tiny k x k problem to host LAPACK (redundant heevd analogue, P8)
+    small_dense = rcfg.small_dense_backend
+    if small_dense == "auto":
+        small_dense = "host" if (not is_sp
+                                 and jax.default_backend() != "cpu") \
+            else "device"
 
     def toc(phase, t0, *arrays):
         if timing:
@@ -429,7 +436,8 @@ def solve(op: DenseOperator, nev: int, nex: int,
 
         # -- RR + residuals (fused) --
         V, ritz_dev, resid_dev = rrops.rayleigh_ritz_residuals(
-            op.H, V, jnp.int32(locked), precision=precision)
+            op.H, V, jnp.int32(locked), precision=precision,
+            small_dense=small_dense)
         ritzv[act] = np.asarray(ritz_dev, np.float64)[act]
         resid[act] = np.asarray(resid_dev, np.float64)[act]
         t0 = toc("Rr", t0, V)

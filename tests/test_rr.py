@@ -68,3 +68,34 @@ def test_standalone_residuals(dtype):
                                                else np.float32)))
     scale = max(1.0, float(abs(evals).max()))
     assert np.all(np.asarray(r) < kernel_tol(dtype) * scale)
+
+
+def test_rr_host_small_dense_matches_device():
+    """small_dense='host' (pure_callback LAPACK eigh, P8 redundant-heevd
+    analogue) must agree with the device path."""
+    import numpy as np
+    import jax.numpy as jnp
+    from chase_tpu.ops.rr import rayleigh_ritz_residuals
+
+    rng = np.random.default_rng(11)
+    N, k = 96, 10
+    A = rng.standard_normal((N, N))
+    H = jnp.asarray((A + A.T) / 2)
+    Q, _ = np.linalg.qr(rng.standard_normal((N, k)))
+    V = jnp.asarray(Q)
+    Vd, rd, sd_ = rayleigh_ritz_residuals(H, V, jnp.int32(0))
+    Vh, rh, sh_ = rayleigh_ritz_residuals(H, V, jnp.int32(0),
+                                          small_dense="host")
+    np.testing.assert_allclose(np.asarray(rd), np.asarray(rh), atol=1e-10)
+    np.testing.assert_allclose(np.asarray(sd_), np.asarray(sh_), atol=1e-8)
+
+
+def test_solver_host_small_dense_e2e():
+    import numpy as np
+    import chase_tpu
+    from chase_tpu.models import clement, clement_eigenvalues
+    cfg = chase_tpu.ChaseConfig(small_dense_backend="host")
+    res = chase_tpu.eigsh(clement(160), 10, 10, tol=1e-10, config=cfg)
+    assert res.converged
+    np.testing.assert_allclose(res.ritzv, clement_eigenvalues(160)[:10],
+                               atol=1e-7)
