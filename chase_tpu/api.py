@@ -128,6 +128,7 @@ def eigsh(H, nev: int, nex: Optional[int] = None, *,
 
 def eigsh_fused(H, nev: int, nex: Optional[int] = None, *,
                 tol: Optional[float] = None, v0=None,
+                largest: bool = False,
                 config: Optional[ChaseConfig] = None,
                 grid: Optional[Grid2D] = None,
                 collect_perf: bool = False,
@@ -153,6 +154,21 @@ def eigsh_fused(H, nev: int, nex: Optional[int] = None, *,
 
     if nex is None:
         nex = max(nev // 4, 8)
+    if largest:
+        if isinstance(H, DenseOperator):
+            raise ValueError("largest=True needs a raw matrix, not an "
+                             "operator — pass -H yourself instead")
+        res = eigsh_fused(-np.asarray(H), nev, nex, tol=tol, v0=v0,
+                          config=config, grid=grid,
+                          collect_perf=collect_perf, key=key)
+        order = np.arange(len(res.ritzv))[::-1].copy()
+        res.ritzv = (-res.ritzv)[order]
+        res.resid = res.resid[order]
+        full = np.concatenate([order, np.arange(nev, res.V.shape[1])])
+        res.V = jnp.take(res.V, jnp.asarray(full), axis=1)
+        if res.ritzv_full is not None:
+            res.ritzv_full = -res.ritzv_full
+        return res
     cfg = config or ChaseConfig()
     op = H if isinstance(H, DenseOperator) else DenseOperator(H, grid=grid)
     rcfg = cfg.resolve(op.dtype)

@@ -92,3 +92,11 @@ def test_fused_perf_and_residual_history(tmp_path):
                       if l.startswith(f"{res.iterations-1},")])
     active_last = last[last >= 0]
     assert active_last.min() < 1e-8 * N
+
+
+def test_fused_largest_mode():
+    N, nev = 200, 10
+    res = chase_tpu.eigsh_fused(clement(N), nev, 10, tol=1e-9, largest=True)
+    assert res.converged
+    exact = clement_eigenvalues(N)[-nev:]       # top end, ascending
+    np.testing.assert_allclose(res.ritzv, exact, atol=1e-6)
