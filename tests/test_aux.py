@@ -86,3 +86,37 @@ def test_env_cholqr_disable():
     finally:
         del os.environ["CHASE_DISABLE_CHOLQR"]
     assert res.converged
+
+
+def test_multihost_helpers_single_process():
+    """Single-process behavior of the pod helpers (the multi-process path
+    needs a real pod; SURVEY known gap)."""
+    from chase_tpu.parallel import multihost
+    assert not multihost.is_multihost()
+    info = multihost.process_info()
+    assert info["process_count"] == 1 and info["global_devices"] == 8
+    grid = multihost.init_grid()
+    assert grid.nprocs == 8
+
+
+def test_logger_level_and_category_filters(capsys):
+    import importlib
+    import os
+    import chase_tpu.logger as L
+    os.environ["CHASE_LOG_LEVEL"] = "info"
+    os.environ["CHASE_LOG_CATEGORIES"] = "linalg"
+    try:
+        importlib.reload(L)
+        log = L.get_logger()
+        log.info("visible-linalg", "linalg")
+        log.info("hidden-interface", "interface")
+        log.debug("hidden-debug", "linalg")
+        out = capsys.readouterr()
+        text = out.out + out.err
+        assert "visible-linalg" in text
+        assert "hidden-interface" not in text
+        assert "hidden-debug" not in text
+    finally:
+        del os.environ["CHASE_LOG_LEVEL"]
+        del os.environ["CHASE_LOG_CATEGORIES"]
+        importlib.reload(L)
