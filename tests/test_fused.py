@@ -100,3 +100,19 @@ def test_fused_largest_mode():
     assert res.converged
     exact = clement_eigenvalues(N)[-nev:]       # top end, ascending
     np.testing.assert_allclose(res.ritzv, exact, atol=1e-6)
+
+
+def test_fused_warm_start_converges_faster():
+    """v0 warm start (inject_dos=False — the mode='A' analogue): a second
+    solve of a correlated problem from the previous eigenvectors must not
+    clobber them with DoS vectors and should converge in fewer iterations."""
+    from chase_tpu.models import hermitian_sequence
+    H1, H2 = hermitian_sequence(256, 2, dtype=np.float64, seed=4)
+    r1 = chase_tpu.eigsh_fused(H1, 16, 16, tol=1e-9)
+    assert r1.converged
+    cold = chase_tpu.eigsh_fused(H2, 16, 16, tol=1e-9)
+    warm = chase_tpu.eigsh_fused(H2, 16, 16, tol=1e-9, v0=np.asarray(r1.V))
+    assert warm.converged
+    assert warm.iterations <= cold.iterations
+    exact = np.linalg.eigvalsh(np.asarray(H2, np.float64))[:16]
+    np.testing.assert_allclose(warm.ritzv, exact, atol=1e-6)
