@@ -86,8 +86,10 @@ class ChaseConfig:
 
     # --- TPU-specific -------------------------------------------------------
     # Column-width bucket for the filter window: active widths are padded up
-    # to a multiple of this so XLA sees few distinct shapes (SURVEY §7 risk 1).
-    col_block: int = 64
+    # to a multiple of this so XLA sees few distinct shapes (SURVEY §7
+    # risk 1).  None (default) = auto: multiples of 64 sized so a solve
+    # compiles at most ~8 distinct filter widths regardless of nev+nex.
+    col_block: Optional[int] = None
     # matmul precision for f32 inputs: "highest" -> f32 accumulate on MXU.
     matmul_precision: str = "highest"
     # Run the small dense eigensolve (RR) / cholesky on host via callback when

@@ -51,6 +51,15 @@ from .ops.blocks import (
 )
 
 
+def _col_block(cfg_block, nevex: int) -> int:
+    """Filter-window bucket width.  Each distinct window width compiles its
+    own XLA program, so `None` auto-sizes to a multiple of 64 that bounds a
+    solve at ~8 distinct widths no matter how large nev+nex is."""
+    if cfg_block is None:
+        cfg_block = max(64, 64 * (-(-nevex // (8 * 64))))
+    return max(1, min(int(cfg_block), nevex))
+
+
 def _filter_windowed(H_f, V, degrees_act, locked, nevex, B, lam, lo, up,
                      rdt, precision):
     """Degree-retiring segmented filter (P12 true FLOP savings).
@@ -380,7 +389,7 @@ def solve(op: DenseOperator, nev: int, nex: int,
                 V = _permute_cols(V, jnp.asarray(full_perm))
 
         # -- filter (algorithm.inc:1546) --
-        B = max(1, min(rcfg.col_block, nevex))
+        B = _col_block(rcfg.col_block, nevex)
         # Mixed-precision ladder (P10): while the active block is far from
         # converged, run the filter in reduced precision.  64-bit problems
         # drop to f32/c64 (the reference's DP→SP switch); 32-bit problems on

@@ -350,7 +350,8 @@ def solve_pseudo(op: DenseOperator, nev: int, nex: int,
                 V = permute_cols(V, jnp.asarray(full_perm))
 
         # -- filter on H² over the positive-candidate window --
-        B = max(1, min(rcfg.col_block, nevex))
+        from .solver import _col_block
+        B = _col_block(rcfg.col_block, nevex)
         w_pad = min(nevex, -(-u // B) * B)
         # window right-aligned at locked+u
         start = max(0, locked + u - w_pad)
