@@ -121,7 +121,8 @@ def main(argv=None):
         elif args.fused:
             res = chase_tpu.eigsh_fused(H, args.nev, args.nex, tol=args.tol,
                                         config=cfg, grid=grid,
-                                        v0=v0 if approx else None)
+                                        v0=v0 if approx else None,
+                                        collect_perf=True)
         else:
             res = chase_tpu.eigsh(
                 H, args.nev, args.nex, tol=args.tol, config=cfg, grid=grid,
