@@ -203,14 +203,63 @@ def load_matrix_blockcyclic(path: str, N: int, dtype, grid: Grid2D, mb: int,
     return H, layout
 
 
-def save_state(path: str, V, ritzv, meta: Optional[dict] = None):
-    """Persist a warm-restart checkpoint (V, ritzv) for sequence solves."""
+def save_state(path: str, V, ritzv, meta: Optional[dict] = None, *,
+               sharded: bool = False):
+    """Persist a warm-restart checkpoint (V, ritzv) for sequence solves.
+
+    ``sharded=True`` writes V through the per-shard collective writer
+    (each host touches only its own byte ranges — multi-host safe) into
+    ``path + ".V.bin"``, with the small (ritzv, meta, shape) sidecar in
+    the npz; V never gathers to one host.
+    """
+    if sharded:
+        meta = dict(meta or {})
+        meta["_sharded_V"] = {"rows": int(V.shape[0]),
+                              "cols": int(V.shape[1]),
+                              "dtype": np.dtype(V.dtype).name}
+        save_matrix_sharded(V, path + ".V.bin")
+        np.savez(path, ritzv=np.asarray(ritzv), meta=json.dumps(meta))
+        return
     np.savez(path, V=np.asarray(V), ritzv=np.asarray(ritzv),
              meta=json.dumps(meta or {}))
 
 
-def load_state(path: str):
+def load_state(path: str, grid: Optional[Grid2D] = None):
+    """Load a warm-restart checkpoint; pass ``grid`` to load a sharded V
+    directly onto the mesh (each process reads only its shards)."""
     z = np.load(path if path.endswith(".npz") else path + ".npz",
                 allow_pickle=False)
     meta = json.loads(str(z["meta"]))
+    sv = meta.pop("_sharded_V", None)
+    if sv is not None:
+        vpath = (path[:-4] if path.endswith(".npz") else path) + ".V.bin"
+        if grid is not None:
+            V = _load_tall_sharded(vpath, sv["rows"], sv["cols"],
+                                   np.dtype(sv["dtype"]), grid)
+        else:
+            V = load_matrix(vpath, sv["rows"], np.dtype(sv["dtype"]),
+                            M=sv["cols"])
+        return V, z["ritzv"], meta
     return z["V"], z["ritzv"], meta
+
+
+def _load_tall_sharded(path: str, N: int, M: int, dtype, grid: Grid2D):
+    """Load an (N, M) column-major file with the multivector sharding
+    P('r', None) — the warm-start V layout."""
+    from .parallel.mesh import colvec_sharding
+    from . import _native
+    native = _native.available()
+    mm = None
+    if not native:
+        mm = np.memmap(path, dtype=dtype, mode="r", shape=(M, N))
+
+    def cb(index):
+        ri, ci = index
+        r0, r1 = ri.indices(N)[:2]
+        c0, c1 = ci.indices(M)[:2]
+        if native:
+            return _native.read_block(path, N, dtype, r0, r1 - r0,
+                                      c0, c1 - c0)
+        return np.ascontiguousarray(mm[ci, ri].T)
+
+    return jax.make_array_from_callback((N, M), colvec_sharding(grid), cb)

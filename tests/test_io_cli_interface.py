@@ -185,3 +185,23 @@ def test_interface_warm_start_from_init_buffers():
     assert chase.solve(mode="A") == 0
     assert chase._session.result.iterations <= 2
     chase.finalize()
+
+
+def test_sharded_state_checkpoint_roundtrip(tmp_path):
+    """Multi-host-safe warm-restart checkpoint: V written per-shard, loaded
+    back onto the mesh, and usable as a warm start."""
+    H = clement(128)
+    grid = chase_tpu.make_grid()
+    r = chase_tpu.eigsh(H, 8, 8, tol=1e-9, grid=grid)
+    p = str(tmp_path / "state")
+    cio.save_state(p, r.V, r.ritzv_full, {"N": 128}, sharded=True)
+    V, ritzv, meta = cio.load_state(p, grid=grid)
+    assert meta["N"] == 128
+    np.testing.assert_array_equal(np.asarray(V), np.asarray(r.V))
+    assert len(V.sharding.device_set) == 8
+    r2 = chase_tpu.eigsh(H, 8, 8, tol=1e-9, grid=grid,
+                         v0=V, ritzv0=ritzv, approx=True)
+    assert r2.converged and r2.iterations <= r.iterations
+    # host load (no grid) also works
+    V2, _, _ = cio.load_state(p)
+    np.testing.assert_array_equal(np.asarray(V2), np.asarray(r.V))
