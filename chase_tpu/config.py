@@ -95,6 +95,10 @@ class ChaseConfig:
     # Run the small dense eigensolve (RR) / cholesky on host via callback when
     # the device would emulate 64-bit arithmetic. "auto" | "device" | "host".
     small_dense_backend: str = "device"
+    # Explicit ring collective-matmul filter (P11) on 1D row-stripe meshes
+    # (grid shape (p, 1)): overlaps V-chunk ICI transfers with local dots
+    # instead of GSPMD's all-gather-then-dot lowering.
+    ring_filter: bool = False
 
     def resolve(self, dtype) -> "ResolvedConfig":
         """Bind dtype-dependent defaults and env overrides."""

@@ -419,9 +419,23 @@ def solve(op: DenseOperator, nev: int, nex: int,
                 f_precision = "high"
             else:
                 H_f = op.H_low
-        V = _filter_windowed(H_f, V, degrees[act], locked, nevex, B,
-                             lam_filter, lowerb, upperb, op.real_dtype,
-                             f_precision)
+        if (rcfg.ring_filter and op.grid is not None
+                and op.grid.shape.get("c", 1) == 1
+                and op.grid.shape.get("r", 1) > 1
+                and H_f.dtype == V.dtype):  # ring carries scalars in H dtype
+            # explicit collective-matmul filter (P11): V chunks circulate
+            # the ring overlapped with the local dots.  1D row-stripe
+            # meshes only (shape (p, 1)); degree masks replace windows.
+            from .parallel.ring import chebyshev_filter_ring
+            deg_full = np.zeros(nevex, np.int32)
+            deg_full[locked:] = degrees[act]
+            V = chebyshev_filter_ring(
+                op.grid, H_f, V, jnp.asarray(deg_full), lam_filter,
+                lowerb, upperb, int(deg_full.max()), precision=f_precision)
+        else:
+            V = _filter_windowed(H_f, V, degrees[act], locked, nevex, B,
+                                 lam_filter, lowerb, upperb, op.real_dtype,
+                                 f_precision)
         if perf is not None:
             perf.add_filtered_vecs(int(np.sum(degrees[act])))
             perf.add_iter_blocksize(unconverged)

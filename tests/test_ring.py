@@ -99,3 +99,45 @@ def test_ring_integrated_filter_matches_dense():
     scale = np.abs(Yd).max()
     assert np.abs(Yr - Yd).max() / scale < 1e-13
     np.testing.assert_array_equal(Yr[:, 0], X[:, 0])   # degree-0 passthrough
+
+
+def test_chebyshev_filter_ring_matches_reference_filter():
+    """The ring-integrated filter must match ops.filter.chebyshev_filter."""
+    import jax
+    import jax.numpy as jnp
+    from chase_tpu.parallel.mesh import make_grid
+    from chase_tpu.parallel.ring import chebyshev_filter_ring
+    from chase_tpu.ops.filter import chebyshev_filter
+
+    grid = make_grid(jax.devices(), shape=(8, 1))
+    N, k = 128, 12
+    rng = np.random.default_rng(3)
+    H = np.asarray((lambda a: (a + a.T) / 2)(rng.standard_normal((N, N))))
+    X = rng.standard_normal((N, k))
+    w = np.linalg.eigvalsh(H)
+    lam1, lo, up = w[0], w[k], w[-1]
+    degrees = np.full(k, 10, np.int32)
+    degrees[:3] = 4                     # mixed degrees exercise the masks
+    Hs = jax.device_put(jnp.asarray(H), grid.sharding("r", None))
+    Xs = jax.device_put(jnp.asarray(X), grid.sharding("r", None))
+    Yr = np.asarray(chebyshev_filter_ring(
+        grid, Hs, Xs, jnp.asarray(degrees), lam1, lo, up, 10))
+    Yd = np.asarray(chebyshev_filter(
+        jnp.asarray(H), jnp.asarray(X), jnp.asarray(degrees),
+        lam1, lo, up, jnp.int32(10)))
+    np.testing.assert_allclose(Yr, Yd, rtol=1e-10, atol=1e-12)
+
+
+def test_solver_ring_filter_e2e():
+    """eigsh with ring_filter=True on a (8,1) mesh converges to the exact
+    Clement spectrum."""
+    import jax
+    import chase_tpu
+    from chase_tpu.models import clement, clement_eigenvalues
+    grid = chase_tpu.make_grid(jax.devices(), shape=(8, 1))
+    cfg = chase_tpu.ChaseConfig(ring_filter=True)
+    res = chase_tpu.eigsh(clement(192), 12, 12, tol=1e-10, config=cfg,
+                          grid=grid)
+    assert res.converged
+    np.testing.assert_allclose(res.ritzv, clement_eigenvalues(192)[:12],
+                               atol=1e-7)
