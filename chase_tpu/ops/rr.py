@@ -19,6 +19,14 @@ Key deviations, all TPU-motivated:
   (the second-hottest op after the filter).
 * The rotated eigenvector block is *rolled* right by ``locked`` so callers
   can merge it into the full V with a column mask.
+* ``small_dense="host"`` routes the k×k projected eigh through host LAPACK
+  in full f64 between two jitted halves (a split-sync, NOT a
+  ``pure_callback`` — some PJRT backends don't implement host callbacks).
+  This is the redundant-heevd + RR_DOUBLE_PRECISION analogue (P8,
+  mpi/rayleighRitz.hpp:147-180): the k×k transfer is tiny and on
+  accelerators where the dense eigensolver is slow or f64 is emulated it
+  removes the dominant phase at large nev (measured: RR was 60% of a
+  N=30000/nev=2250 solve on one v5e chip).
 """
 
 from __future__ import annotations
@@ -27,37 +35,62 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..types import real_dtype
 
 __all__ = ["rayleigh_ritz_residuals"]
 
 
-def _host_eigh(A):
-    """Replicated host eigh of the small projected problem, in full f64.
-
-    The reference runs the (nev+nex)² heevd redundantly on every rank
-    (mpi/rayleighRitz.hpp:147-180) and optionally in double precision
-    (CHASE_RR_DOUBLE_PRECISION).  On TPUs f64 is emulated (slow), so for
-    64-bit problems the small dense solve can round-trip to the host LAPACK
-    instead — the k×k matrix is tiny next to the N×k transfers XLA already
-    avoids.  Upcasting to f64 on host doubles as the RR_DOUBLE_PRECISION
-    analogue for 32-bit problems.
-    """
-    import numpy as np
-
-    def cb(a):
-        wide = np.complex128 if np.iscomplexobj(a) else np.float64
-        w, z = np.linalg.eigh(a.astype(wide))
-        return (w.astype(real_dtype(a.dtype)), z.astype(a.dtype))
-
-    k = A.shape[0]
-    out_shapes = (jax.ShapeDtypeStruct((k,), real_dtype(A.dtype)),
-                  jax.ShapeDtypeStruct((k, k), A.dtype))
-    return jax.pure_callback(cb, out_shapes, A, vmap_method="sequential")
+def _pin_locked(A, active, rt):
+    """Decouple the locked slots: eigh(A + big·diag(1-active)) has
+    eigenpairs (big, e_j) there, and ‖A‖_F ≥ λ_max keeps them strictly
+    above the active spectrum."""
+    big = 2 * jnp.linalg.norm(A).real.astype(rt) + 1
+    return A + jnp.diag(jnp.where(active, jnp.zeros((), rt),
+                                  big)).astype(A.dtype)
 
 
-@partial(jax.jit, static_argnames=("precision", "small_dense"))
+@partial(jax.jit, static_argnames=("precision",))
+def _rr_project(H, V, locked, *, precision="highest"):
+    """Device half 1: masked block, H·Q, pinned projected matrix."""
+    k = V.shape[1]
+    rt = real_dtype(V.dtype)
+    active = jnp.arange(k) >= locked
+    Q = jnp.where(active[None, :], V, jnp.zeros((), V.dtype))
+    W = jnp.matmul(H, Q, precision=precision)            # H·Q (one big HEMM)
+    A = jnp.matmul(Q.conj().T, W, precision=precision)   # QᴴHQ, k×k
+    return Q, W, _pin_locked(A, active, rt)
+
+
+@partial(jax.jit, static_argnames=("precision",))
+def _rr_finish(Q, W, V, ritz, Z, locked, *, precision="highest"):
+    """Device half 2: rotate, residuals, roll, merge."""
+    k = V.shape[1]
+    rt = real_dtype(V.dtype)
+    active = jnp.arange(k) >= locked
+    Vrot = jnp.matmul(Q, Z, precision=precision)         # Ritz vectors
+    Wrot = jnp.matmul(W, Z, precision=precision)         # = H · Vrot (reused)
+    R = Wrot - Vrot * ritz[None, :].astype(V.dtype)
+    resid = jnp.linalg.norm(R, axis=0).real.astype(rt)
+    # Active results live at positions [0, k-locked); roll to [locked, k).
+    Vrot = jnp.roll(Vrot, locked, axis=1)
+    ritz = jnp.roll(ritz, locked)
+    resid = jnp.roll(resid, locked)
+    V_out = jnp.where(active[None, :], Vrot, V)
+    return V_out, ritz, resid
+
+
+@partial(jax.jit, static_argnames=("precision",))
+def _rr_device(H, V, locked, *, precision="highest"):
+    """Fully on-device RR+residuals (single program)."""
+    rt = real_dtype(V.dtype)
+    Q, W, A = _rr_project(H, V, locked, precision=precision)
+    ritz, Z = jnp.linalg.eigh(A)                         # ascending
+    ritz = ritz.real.astype(rt)
+    return _rr_finish(Q, W, V, ritz, Z, locked, precision=precision)
+
+
 def rayleigh_ritz_residuals(H, V, locked, *, precision="highest",
                             small_dense="device"):
     """Project H on the active columns of V, solve, rotate, and compute
@@ -68,6 +101,8 @@ def rayleigh_ritz_residuals(H, V, locked, *, precision="highest",
       V: (N, k) orthonormal block; columns [0, locked) are converged and are
         excluded from the projection.
       locked: traced int scalar.
+      small_dense: "device" — the k×k eigh stays in the XLA program;
+        "host" — split-sync host LAPACK eigh in f64 (see module docstring).
 
     Returns:
       V_out:  (N, k) — V with columns [locked, k) replaced by the rotated
@@ -76,35 +111,14 @@ def rayleigh_ritz_residuals(H, V, locked, *, precision="highest",
               ascending; [0, locked) are garbage (caller keeps its own).
       resid:  (k,) real — same layout; ‖H v_j − θ_j v_j‖₂ per active column.
     """
-    k = V.shape[1]
+    if small_dense != "host":
+        return _rr_device(H, V, locked, precision=precision)
+
     rt = real_dtype(V.dtype)
-    cols = jnp.arange(k)
-    active = cols >= locked
-
-    Q = jnp.where(active[None, :], V, jnp.zeros((), V.dtype))
-    W = jnp.matmul(H, Q, precision=precision)            # H·Q (one big HEMM)
-    A = jnp.matmul(Q.conj().T, W, precision=precision)   # QᴴHQ, k×k
-
-    # Decouple the locked slots: eigh(A + big·diag(1-active)) has eigenpairs
-    # (big, e_j) there, and ‖A‖_F ≥ λ_max keeps them strictly above the
-    # active spectrum.
-    big = 2 * jnp.linalg.norm(A).real.astype(rt) + 1
-    A = A + jnp.diag(jnp.where(active, jnp.zeros((), rt), big)).astype(A.dtype)
-
-    if small_dense == "host":
-        ritz, Z = _host_eigh(A)                          # host LAPACK, f64
-    else:
-        ritz, Z = jnp.linalg.eigh(A)                     # ascending
-    ritz = ritz.real.astype(rt)
-
-    Vrot = jnp.matmul(Q, Z, precision=precision)         # Ritz vectors
-    Wrot = jnp.matmul(W, Z, precision=precision)         # = H · Vrot (reused)
-    R = Wrot - Vrot * ritz[None, :].astype(V.dtype)
-    resid = jnp.linalg.norm(R, axis=0).real.astype(rt)
-
-    # Active results live at positions [0, k-locked); roll them to [locked, k).
-    Vrot = jnp.roll(Vrot, locked, axis=1)
-    ritz = jnp.roll(ritz, locked)
-    resid = jnp.roll(resid, locked)
-    V_out = jnp.where(active[None, :], Vrot, V)
-    return V_out, ritz, resid
+    Q, W, A = _rr_project(H, V, locked, precision=precision)
+    A_h = np.asarray(A)                                  # k×k device→host
+    wide = np.complex128 if np.iscomplexobj(A_h) else np.float64
+    w, Z = np.linalg.eigh(A_h.astype(wide))
+    ritz = jnp.asarray(w.astype(np.dtype(rt)))
+    Z = jnp.asarray(Z.astype(A_h.dtype))
+    return _rr_finish(Q, W, V, ritz, Z, locked, precision=precision)

@@ -253,12 +253,15 @@ def solve(op: DenseOperator, nev: int, nex: int,
     is_sp = not is_double_base(op.dtype)
     tol = rcfg.tol
     timing = perf is not None
-    # small projected eigh: on accelerators that emulate f64, round-trip the
-    # tiny k x k problem to host LAPACK (redundant heevd analogue, P8)
+    # small projected eigh: on accelerators, round-trip the k x k problem
+    # to host LAPACK (split-sync; redundant heevd analogue, P8) when the
+    # device eigensolver would dominate — 64-bit problems (emulated f64)
+    # or large subspaces (measured: k=3000 device eigh was 60% of a
+    # N=30000 solve on one v5e chip)
     small_dense = rcfg.small_dense_backend
     if small_dense == "auto":
-        small_dense = "host" if (not is_sp
-                                 and jax.default_backend() != "cpu") \
+        off_cpu = jax.default_backend() != "cpu"
+        small_dense = "host" if (off_cpu and (not is_sp or nevex >= 1024)) \
             else "device"
 
     def toc(phase, t0, *arrays):
