@@ -77,6 +77,54 @@ def cholqr(V, *, passes=2, shifted=False, precision="highest", upcast=None):
     return V.astype(in_dtype), ok
 
 
+@partial(jax.jit, static_argnames=("precision",))
+def _gram_jit(V, *, precision="highest"):
+    return _gram(V, precision)
+
+
+@partial(jax.jit, static_argnames=("precision",))
+def _apply_right_jit(V, M, *, precision="highest"):
+    return jnp.matmul(V, M, precision=precision)
+
+
+def cholqr_hostchol(V, *, passes=2, shifted=False, precision="highest"):
+    """CholQR with the k×k factorization on host, in f64.
+
+    Split-sync variant of :func:`cholqr` for accelerators whose dense
+    Cholesky/trsm are slow (both are substitution-sequential; measured QR
+    was 12% of a N=30000/nev=2250 solve on one v5e): the Gram matrix is a
+    sharded MXU matmul, the k×k Cholesky AND triangular inverse happen on
+    host LAPACK in f64 (doubling as the QR_DOUBLE_PRECISION analogue), and
+    the application ``V ← V·L⁻ᴴ`` returns to the MXU as a plain matmul —
+    no device triangular solve at all.  Well-conditioned by construction
+    on rounds > 0 (CholQR squares toward orthonormality), and the shifted
+    round-0 Gram is regularized exactly like the device path.
+    """
+    import scipy.linalg as sla
+
+    m = V.shape[0]
+    in_rt = real_dtype(V.dtype)
+    ok = True
+    for p in range(passes):
+        G = np.asarray(_gram_jit(V, precision=precision))
+        wide = np.complex128 if np.iscomplexobj(G) else np.float64
+        Gw = G.astype(wide)
+        if p == 0 and shifted:
+            coef = np.sqrt(m) if is_double_base(V.dtype) else 10.0
+            shift = coef * np.finfo(np.dtype(in_rt)).eps \
+                * np.sum(np.abs(np.diagonal(Gw).real))
+            Gw = Gw + shift * np.eye(Gw.shape[0], dtype=wide)
+        try:
+            L = np.linalg.cholesky(Gw)
+        except np.linalg.LinAlgError:
+            return V, False
+        Linv = sla.solve_triangular(L, np.eye(L.shape[0], dtype=wide),
+                                    lower=True)
+        V = _apply_right_jit(V, jnp.asarray(Linv.conj().T.astype(G.dtype)),
+                             precision=precision)
+    return V, ok
+
+
 @partial(jax.jit, static_argnames=("upcast",))
 def householder_qr(V, *, upcast=None):
     """Dense Householder QR (reference houseHoulderQR: geqrf + gqr)."""
@@ -165,7 +213,7 @@ def orthonormalize_pseudo(V, locked, cond, rcfg, grid=None):
     return permute_cols(Q, jnp.asarray(inv))
 
 
-def orthonormalize(V, locked, cond, rcfg, grid=None):
+def orthonormalize(V, locked, cond, rcfg, grid=None, small_dense="device"):
     """Condition-number-driven QR of the full block, locked cols preserved.
 
     Host-side driver mirroring Impl/chase_cpu/chase_cpu.hpp:629-776:
@@ -199,22 +247,23 @@ def orthonormalize(V, locked, cond, rcfg, grid=None):
         return restore_locked(Q, V_old, jnp.int32(locked))
 
     if cond > rcfg.cholqr_shift_threshold:
-        Q, ok = cholqr(V, passes=3, shifted=True, precision=precision,
-                       upcast=upcast)
-        variant = "shiftedCholQR2"
+        passes, shifted, variant = 3, True, "shiftedCholQR2"
     elif cond < rcfg.cholqr1_threshold:
-        Q, ok = cholqr(V, passes=1, shifted=False, precision=precision,
-                       upcast=upcast)
-        variant = "cholQR1"
+        passes, shifted, variant = 1, False, "cholQR1"
     else:
-        Q, ok = cholqr(V, passes=2, shifted=False, precision=precision,
-                       upcast=upcast)
-        variant = "cholQR2"
+        passes, shifted, variant = 2, False, "cholQR2"
+    if small_dense == "host":
+        Q, ok = cholqr_hostchol(V, passes=passes, shifted=shifted,
+                                precision=precision)
+        variant += "(host-factorized)"
+    else:
+        Q, ok = cholqr(V, passes=passes, shifted=shifted,
+                       precision=precision, upcast=upcast)
 
     if not bool(ok):
         log.warn(f"{variant} failed (non-PD Gram), falling back to "
                  f"Householder (TSQR) QR", "linalg")
-        Q = tsqr(V, grid=grid, upcast=upcast)
+        Q = tsqr(V_old, grid=grid, upcast=upcast)
     else:
         log.debug(f"QR: {variant}, cond(V) ≈ {cond:.2e}", "linalg")
     return restore_locked(Q, V_old, jnp.int32(locked))

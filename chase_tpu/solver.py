@@ -457,7 +457,8 @@ def solve(op: DenseOperator, nev: int, nex: int,
             cond = np.finfo(np.float64).max
 
         # -- QR --
-        V = qrops.orthonormalize(V, locked, cond, rcfg, op.grid)
+        V = qrops.orthonormalize(V, locked, cond, rcfg, op.grid,
+                                 small_dense=small_dense)
         t0 = toc("Qr", t0, V)
 
         # -- RR + residuals (fused) --

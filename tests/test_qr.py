@@ -163,3 +163,30 @@ def test_orthonormalize_falls_back_to_householder():
     rcfg = ChaseConfig().resolve(np.float64)
     out = np.asarray(orthonormalize(jnp.asarray(V), 0, 10.0, rcfg))
     assert _ortho_err(out) < 1e-10
+
+
+def test_cholqr_hostchol_matches_device():
+    """Host-factorized CholQR (split-sync potrf+trtri on host, MXU apply)
+    must orthonormalize as well as the device path."""
+    from chase_tpu.ops.qr import cholqr_hostchol
+    for dtype in [np.float64, np.complex128]:
+        V = _make_cond(300, 20, 1e4, dtype).astype(dtype)
+        Q, ok = cholqr_hostchol(jnp.asarray(V), passes=2)
+        assert ok
+        assert _ortho_err(Q) < 1e-12
+    # breakdown detection on a rank-deficient block
+    V = np.zeros((100, 8))
+    V[:, :4] = np.random.default_rng(0).standard_normal((100, 4))
+    V[:, 4:] = V[:, :4]
+    _, ok = cholqr_hostchol(jnp.asarray(V), passes=1)
+    assert not ok
+
+
+def test_solver_host_qr_and_rr_e2e():
+    import chase_tpu
+    from chase_tpu.models import clement, clement_eigenvalues
+    cfg = ChaseConfig(small_dense_backend="host")
+    res = chase_tpu.eigsh(clement(200), 12, 12, tol=1e-10, config=cfg)
+    assert res.converged
+    np.testing.assert_allclose(res.ritzv, clement_eigenvalues(200)[:12],
+                               atol=1e-7)
