@@ -57,7 +57,15 @@ class Grid2D:
 
 def make_grid(devices: Optional[Sequence] = None,
               shape: Optional[tuple[int, int]] = None) -> Grid2D:
-    """Build the ('r','c') grid over the given (default: all) devices."""
+    """Build the ('r','c') grid over the given (default: all) devices.
+
+    When spanning all devices, device→mesh-coordinate assignment goes
+    through ``mesh_utils.create_device_mesh`` so the heavier-traffic mesh
+    axes ride ICI torus links (and DCN only across slices) instead of the
+    arbitrary enumeration order — the analogue of the reference mapping its
+    2D grid onto the fastest interconnect (MPI_Cart_create reorder).
+    """
+    explicit = devices is not None
     if devices is None:
         devices = jax.devices()
     n = len(devices)
@@ -66,7 +74,15 @@ def make_grid(devices: Optional[Sequence] = None,
     r, c = shape
     if r * c != n:
         raise ValueError(f"grid shape {shape} does not cover {n} devices")
-    dev_array = np.asarray(devices).reshape(r, c)
+    if not explicit:
+        try:
+            from jax.experimental import mesh_utils
+            dev_array = mesh_utils.create_device_mesh((r, c),
+                                                      devices=devices)
+        except Exception:   # unusual topologies: keep enumeration order
+            dev_array = np.asarray(devices).reshape(r, c)
+    else:
+        dev_array = np.asarray(devices).reshape(r, c)
     return Grid2D(Mesh(dev_array, ("r", "c")))
 
 
