@@ -169,27 +169,13 @@ def lanczos_scan_pseudo(H, V0, *, m, precision="highest", want_basis=True):
 
 
 @partial(jax.jit, static_argnames=("precision",))
-def rayleigh_ritz_residuals_pseudo(H, V, locked, *, precision="highest"):
-    """Pseudo-Hermitian Rayleigh–Ritz (v2, Hermitianized pencil) fused with
-    residuals, static full width.
-
-    V: (N, 2·nevex) block laid out [locked_L | active 2u | locked_R] with
-    u = nevex − locked.  Columns outside the active range are masked out
-    and their pencil slots padded (A←+1, B←−1 on the diagonal) so the
-    padded eigenvalues w = +1 sort after every wanted (positive-θ) w < 0.
-
-    Returns:
-      V_out: V with columns [locked, locked+u) replaced by the positive
-             Ritz vectors (ascending θ).
-      theta: (2·nevex,) — positions [locked, locked+u) hold the positive
-             Ritz values ascending.
-      resid: same layout; ‖H v − θ v‖₂.
-    """
+@partial(jax.jit, static_argnames=("precision",))
+def _prr_project(H, V, locked, *, precision="highest"):
+    """Device half 1 of the pencil RR: masked block + both pencil matrices."""
     K2 = V.shape[1]
     rt = real_dtype(V.dtype)
     cols = jnp.arange(K2)
     active = (cols >= locked) & (cols < K2 - locked)
-    u = K2 // 2 - locked   # number of kept (positive) Ritz pairs
 
     Q = jnp.where(active[None, :], V, jnp.zeros((), V.dtype))
     W = jnp.matmul(H, Q, precision=precision)          # H·Q (reused for resid)
@@ -197,14 +183,43 @@ def rayleigh_ritz_residuals_pseudo(H, V, locked, *, precision="highest"):
     A = jnp.matmul(Q.conj().T, T, precision=precision)  # QᴴSHQ (HPD on active)
     pad_p = jnp.where(active, jnp.zeros((), rt), jnp.ones((), rt))
     A = A + jnp.diag(pad_p).astype(A.dtype)
+    SQ = apply_s(Q)
+    B = jnp.matmul(Q.conj().T, SQ, precision=precision)  # QᴴSQ
+    B = B - jnp.diag(pad_p).astype(B.dtype)               # pad −1
+    return Q, W, A, B
+
+
+@partial(jax.jit, static_argnames=("precision",))
+def _prr_finish(Q, W, V, theta, X, locked, *, precision="highest"):
+    """Device half 2: rotate, residuals, roll, merge."""
+    K2 = V.shape[1]
+    rt = real_dtype(V.dtype)
+    cols = jnp.arange(K2)
+    u = K2 // 2 - locked   # number of kept (positive) Ritz pairs
+
+    Vrot = jnp.matmul(Q, X, precision=precision)
+    Wrot = jnp.matmul(W, X, precision=precision)          # = H·Vrot
+    R = Wrot - Vrot * theta[None, :].astype(V.dtype)
+    resid = jnp.linalg.norm(R, axis=0).real.astype(rt)
+
+    # wanted pairs live at eigh positions [0, u); roll to [locked, locked+u)
+    Vrot = jnp.roll(Vrot, locked, axis=1)
+    theta = jnp.roll(theta, locked)
+    resid = jnp.roll(resid, locked)
+    write = (cols >= locked) & (cols < locked + u)
+    V_out = jnp.where(write[None, :], Vrot, V)
+    return V_out, theta, resid
+
+
+@partial(jax.jit, static_argnames=("precision",))
+def _prr_device(H, V, locked, *, precision="highest"):
+    K2 = V.shape[1]
+    rt = real_dtype(V.dtype)
+    Q, W, A, B = _prr_project(H, V, locked, precision=precision)
 
     L = jnp.linalg.cholesky(A)
     ok = jnp.isfinite(L.real).all()
     L = jnp.where(ok, L, jnp.eye(K2, dtype=A.dtype))
-
-    SQ = apply_s(Q)
-    B = jnp.matmul(Q.conj().T, SQ, precision=precision)  # QᴴSQ
-    B = B - jnp.diag(pad_p).astype(B.dtype)               # pad −1
 
     C = jax.lax.linalg.triangular_solve(L, B, left_side=True, lower=True)
     C = jax.lax.linalg.triangular_solve(L, C, left_side=False, lower=True,
@@ -219,19 +234,62 @@ def rayleigh_ritz_residuals_pseudo(H, V, locked, *, precision="highest"):
                                         transpose_a=True, conjugate_a=True)
     nrm = jnp.linalg.norm(X, axis=0).real.astype(rt)
     X = X / jnp.where(nrm > 0, nrm, jnp.ones((), rt))[None, :].astype(X.dtype)
-
-    Vrot = jnp.matmul(Q, X, precision=precision)
-    Wrot = jnp.matmul(W, X, precision=precision)          # = H·Vrot
-    R = Wrot - Vrot * theta[None, :].astype(V.dtype)
-    resid = jnp.linalg.norm(R, axis=0).real.astype(rt)
-
-    # wanted pairs live at eigh positions [0, u); roll to [locked, locked+u)
-    Vrot = jnp.roll(Vrot, locked, axis=1)
-    theta = jnp.roll(theta, locked)
-    resid = jnp.roll(resid, locked)
-    write = (cols >= locked) & (cols < locked + u)
-    V_out = jnp.where(write[None, :], Vrot, V)
+    V_out, theta, resid = _prr_finish(Q, W, V, theta, X, locked,
+                                      precision=precision)
     return V_out, theta, resid, ok
+
+
+def rayleigh_ritz_residuals_pseudo(H, V, locked, *, precision="highest",
+                                   small_dense="device"):
+    """Pseudo-Hermitian Rayleigh–Ritz (v2, Hermitianized pencil) fused with
+    residuals, static full width.
+
+    V: (N, 2·nevex) block laid out [locked_L | active 2u | locked_R] with
+    u = nevex − locked.  Columns outside the active range are masked out
+    and their pencil slots padded (A←+1, B←−1 on the diagonal) so the
+    padded eigenvalues w = +1 sort after every wanted (positive-θ) w < 0.
+
+    ``small_dense="host"``: the K2×K2 pencil factorization (Cholesky,
+    triangular solves, eigh, back-solve) runs on host LAPACK in f64
+    between two jitted halves — same split-sync rationale as
+    ops/rr.rayleigh_ritz_residuals.
+
+    Returns:
+      V_out: V with columns [locked, locked+u) replaced by the positive
+             Ritz vectors (ascending θ).
+      theta: (2·nevex,) — positions [locked, locked+u) hold the positive
+             Ritz values ascending.
+      resid: same layout; ‖H v − θ v‖₂.
+      ok:    False when the pencil Cholesky broke down.
+    """
+    if small_dense != "host":
+        return _prr_device(H, V, locked, precision=precision)
+
+    import numpy as np
+    import scipy.linalg as sla
+
+    rt = real_dtype(V.dtype)
+    Q, W, A, B = _prr_project(H, V, locked, precision=precision)
+    A_h, B_h = np.asarray(A), np.asarray(B)
+    wide = np.complex128 if np.iscomplexobj(A_h) else np.float64
+    try:
+        L = np.linalg.cholesky(A_h.astype(wide))
+        ok = True
+    except np.linalg.LinAlgError:
+        L = np.eye(A_h.shape[0], dtype=wide)
+        ok = False
+    C = sla.solve_triangular(L, B_h.astype(wide), lower=True)
+    C = sla.solve_triangular(L, C.conj().T, lower=True).conj().T
+    M = -(C + C.conj().T) / 2
+    w, Z = np.linalg.eigh(M)
+    theta = -1.0 / np.where(np.abs(w) > 0, w, 1.0)
+    X = sla.solve_triangular(L, Z, lower=True, trans="C")
+    nrm = np.linalg.norm(X, axis=0)
+    X = X / np.where(nrm > 0, nrm, 1.0)[None, :]
+    V_out, theta_d, resid = _prr_finish(
+        Q, W, V, jnp.asarray(theta.real.astype(np.dtype(rt))),
+        jnp.asarray(X.astype(A_h.dtype)), locked, precision=precision)
+    return V_out, theta_d, resid, jnp.bool_(ok)
 
 
 def rayleigh_ritz_pseudo_geev(H, Q, *, precision="highest"):

@@ -182,6 +182,10 @@ def solve_pseudo(op: DenseOperator, nev: int, nex: int,
     if rcfg.bf16_filter:
         log.warn("bf16_filter is not supported for pseudo-Hermitian solves "
                  "(no bf16 rung in the H² filter) — ignoring the flag")
+    small_dense = rcfg.small_dense_backend
+    if small_dense == "auto":
+        small_dense = "host" if (jax.default_backend() != "cpu"
+                                 and (not is_sp or K2 >= 1024)) else "device"
     tol = rcfg.tol
     timing = perf is not None
     if perf is not None:
@@ -402,7 +406,8 @@ def solve_pseudo(op: DenseOperator, nev: int, nex: int,
 
         # -- pseudo RR + residuals (fused) --
         V, th_dev, rs_dev, ok = ps.rayleigh_ritz_residuals_pseudo(
-            op.H, V, jnp.int32(locked), precision=precision)
+            op.H, V, jnp.int32(locked), precision=precision,
+            small_dense=small_dense)
         if not bool(ok):
             log.warn("pseudo-RR Cholesky of QᴴSHQ failed — subspace drifted; "
                      "results this iteration may be poor", "linalg")

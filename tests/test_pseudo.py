@@ -162,3 +162,39 @@ def test_geev_debug_rr_matches_v2():
         jnp.asarray(H), jnp.asarray(Q), jnp.int32(0))
     pos_geev = np.sort(th_geev[th_geev > 0])[:4]
     np.testing.assert_allclose(pos_geev, np.asarray(th_v2)[:4], atol=1e-12)
+
+
+def test_pseudo_rr_host_matches_device():
+    """Split-sync host pencil RR must match the device path."""
+    import jax.numpy as jnp
+    from chase_tpu.ops.pseudo import rayleigh_ritz_residuals_pseudo
+    from chase_tpu.models import random_pseudo_hermitian
+    import chase_tpu
+
+    H = random_pseudo_hermitian(96, dtype=np.float64, seed=9)
+    # build an S-orthonormal-ish block via one solver QR step
+    rng = np.random.default_rng(0)
+    V = rng.standard_normal((96, 16))
+    Q, _ = np.linalg.qr(V)
+    Hd, Qd = jnp.asarray(H), jnp.asarray(Q)
+    Vd_d, th_d, rs_d, ok_d = rayleigh_ritz_residuals_pseudo(
+        Hd, Qd, jnp.int32(0))
+    Vd_h, th_h, rs_h, ok_h = rayleigh_ritz_residuals_pseudo(
+        Hd, Qd, jnp.int32(0), small_dense="host")
+    assert bool(ok_d) == bool(ok_h)
+    np.testing.assert_allclose(np.asarray(th_d), np.asarray(th_h),
+                               atol=1e-9)
+    np.testing.assert_allclose(np.asarray(rs_d), np.asarray(rs_h),
+                               atol=1e-7)
+
+
+def test_pseudo_solver_host_small_dense_e2e():
+    import chase_tpu
+    from chase_tpu.models import random_pseudo_hermitian
+    H = random_pseudo_hermitian(128, dtype=np.float64, seed=3)
+    cfg = chase_tpu.ChaseConfig(small_dense_backend="host")
+    res = chase_tpu.eigsh_pseudo(H, 6, 6, tol=1e-8, config=cfg)
+    assert res.converged
+    exact = np.linalg.eigvals(np.asarray(H, np.float64))
+    pos = np.sort(exact.real[exact.real > 0])[:6]
+    np.testing.assert_allclose(res.ritzv, pos, atol=1e-6)
