@@ -259,10 +259,15 @@ def solve(op: DenseOperator, nev: int, nex: int,
     # or large subspaces (measured: k=3000 device eigh was 60% of a
     # N=30000 solve on one v5e chip)
     small_dense = rcfg.small_dense_backend
+    qr_backend = small_dense
     if small_dense == "auto":
         off_cpu = jax.default_backend() != "cpu"
         small_dense = "host" if (off_cpu and (not is_sp or nevex >= 1024)) \
             else "device"
+        # QR stays on device under auto: the warm device CholQR is fast
+        # (measured 0.9 s/iter at k=3000 vs ~35 s for the device eigh) and
+        # host factorization would pay two k x k transfers per pass
+        qr_backend = "device"
 
     def toc(phase, t0, *arrays):
         if timing:
@@ -458,7 +463,7 @@ def solve(op: DenseOperator, nev: int, nex: int,
 
         # -- QR --
         V = qrops.orthonormalize(V, locked, cond, rcfg, op.grid,
-                                 small_dense=small_dense)
+                                 small_dense=qr_backend)
         t0 = toc("Qr", t0, V)
 
         # -- RR + residuals (fused) --
