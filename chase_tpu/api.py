@@ -29,6 +29,22 @@ __all__ = ["eigsh", "eigsh_fused", "eigsh_pseudo",
            "eigsh_pseudo_fused", "eigsh_sequence", "EigshResult"]
 
 
+def _fused_small_dense(rcfg, op, k: int) -> str:
+    """Resolve small_dense for the fused (in-graph) solvers.
+
+    'host' needs PJRT host callbacks (pure_callback), which some backends
+    don't implement — 'auto' only picks it on a genuine Cloud TPU backend
+    with a large subspace or 64-bit problem."""
+    import jax
+    from .types import is_double_base
+    sd = rcfg.small_dense_backend
+    if sd == "auto":
+        on_tpu = jax.default_backend() == "tpu"
+        sd = "host" if (on_tpu and (is_double_base(op.dtype)
+                                    or k >= 1024)) else "device"
+    return sd
+
+
 def _collect_fused_perf(out, iters: int, t_all: float,
                         matrix_type: int = 0) -> PerfData:
     """PerfData from the fused solvers' in-graph counters (single dispatch
@@ -188,7 +204,8 @@ def eigsh_fused(H, nev: int, nex: Optional[int] = None, *,
         num_lanczos=rcfg.num_lanczos, optimization=rcfg.optimization,
         precision=rcfg.matmul_precision, inject_dos=not warm,
         bf16_filter=rcfg.bf16_filter,
-        bf16_threshold=rcfg.bf16_filter_threshold)
+        bf16_threshold=rcfg.bf16_filter_threshold,
+        small_dense=_fused_small_dense(rcfg, op, nev + nex))
     ritzv = np.asarray(out["ritzv"], np.float64)
     resid = np.asarray(out["resid"], np.float64)
     locked = int(out["locked"])

@@ -90,12 +90,14 @@ def _cheb_rho(t):
          static_argnames=("nev", "nex", "deg0", "max_deg", "deg_extra",
                           "max_iter", "lanczos_iter", "num_lanczos",
                           "optimization", "precision", "cholqr_passes",
-                          "inject_dos", "bf16_filter", "bf16_threshold"))
+                          "inject_dos", "bf16_filter", "bf16_threshold",
+                          "small_dense"))
 def solve_fused(H, V0, *, nev, nex, tol, deg0, max_deg, deg_extra=2,
                 max_iter=25, lanczos_iter=25, num_lanczos=4,
                 optimization=True, precision="highest", cholqr_passes=3,
                 cond_shift_threshold=1e8, inject_dos=True,
-                bf16_filter=False, bf16_threshold=1e-2):
+                bf16_filter=False, bf16_threshold=1e-2,
+                small_dense="device"):
     """Fully device-resident Hermitian solve.
 
     Args:
@@ -305,7 +307,22 @@ def solve_fused(H, V0, *, nev, nex, tol, deg0, max_deg, deg_extra=2,
         A = jnp.matmul(Qm.conj().T, W, precision=precision)
         pad = 2 * jnp.linalg.norm(A).real.astype(rt) + 1
         A = A + jnp.diag(jnp.where(active, jnp.zeros((), rt), pad)).astype(A.dtype)
-        w_eig, Z = jnp.linalg.eigh(A)
+        if small_dense == "host":
+            # host LAPACK f64 eigh via pure_callback (real TPU runtimes
+            # support host callbacks under jit; the device eigensolver
+            # dominates large-nev solves — ops/rr.py module docstring)
+            def _host_eigh_cb(a):
+                wide = np.complex128 if np.iscomplexobj(a) else np.float64
+                w, z = np.linalg.eigh(a.astype(wide))
+                return (w.astype(np.dtype(rt)), z.astype(a.dtype))
+
+            w_eig, Z = jax.pure_callback(
+                _host_eigh_cb,
+                (jax.ShapeDtypeStruct((k,), rt),
+                 jax.ShapeDtypeStruct((k, k), A.dtype)),
+                A, vmap_method="sequential")
+        else:
+            w_eig, Z = jnp.linalg.eigh(A)
         w_eig = w_eig.real.astype(rt)
         Vrot = jnp.matmul(Qm, Z, precision=precision)
         Wrot = jnp.matmul(W, Z, precision=precision)

@@ -116,3 +116,14 @@ def test_fused_warm_start_converges_faster():
     assert warm.iterations <= cold.iterations
     exact = np.linalg.eigvalsh(np.asarray(H2, np.float64))[:16]
     np.testing.assert_allclose(warm.ritzv, exact, atol=1e-6)
+
+
+def test_fused_host_small_dense():
+    """pure_callback host eigh inside the fused while loop (CPU backend
+    supports host callbacks; some PJRT backends don't — 'auto' guards)."""
+    N, nev, nex = 160, 8, 8
+    cfg = chase_tpu.ChaseConfig(small_dense_backend="host")
+    res = chase_tpu.eigsh_fused(clement(N), nev, nex, tol=1e-9, config=cfg)
+    assert res.converged
+    np.testing.assert_allclose(res.ritzv, clement_eigenvalues(N)[:nev],
+                               atol=1e-6)
