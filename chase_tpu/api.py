@@ -268,7 +268,8 @@ def eigsh_pseudo_fused(H, nev: int, nex: Optional[int] = None, *,
         max_iter=rcfg.max_iter, lanczos_iter=rcfg.lanczos_iter,
         num_lanczos=rcfg.num_lanczos, optimization=rcfg.optimization,
         cluster_aware=rcfg.cluster_aware_degrees,
-        precision=rcfg.matmul_precision)
+        precision=rcfg.matmul_precision,
+        small_dense=_fused_small_dense(rcfg, op, 2 * (nev + nex)))
     ritzv = np.asarray(out["ritzv"], np.float64)
     resid = np.asarray(out["resid"], np.float64)
     locked = int(out["locked"])

@@ -57,3 +57,16 @@ def test_fused_pseudo_perf_counters():
     assert res.perf.filtered_vecs > 0
     assert res.perf.iter_count == res.iterations
     assert res.perf.get_flops(128, 25, 4, H.dtype) > 0
+
+
+def test_fused_pseudo_host_small_dense():
+    import numpy as np
+    import chase_tpu
+    from chase_tpu.models import random_pseudo_hermitian
+    H = random_pseudo_hermitian(128, dtype=np.float64, seed=5)
+    cfg = chase_tpu.ChaseConfig(small_dense_backend="host")
+    res = chase_tpu.eigsh_pseudo_fused(H, 6, 6, tol=1e-8, config=cfg)
+    assert res.converged
+    exact = np.linalg.eigvals(np.asarray(H, np.float64))
+    pos = np.sort(exact.real[exact.real > 0])[:6]
+    np.testing.assert_allclose(res.ritzv, pos, atol=1e-6)
