@@ -192,10 +192,14 @@ def eigsh_fused(H, nev: int, nex: Optional[int] = None, *,
     if key is None:
         key = jax.random.key(rcfg.seed)
     warm = v0 is not None
+    probes = None
     if v0 is None:
         v0 = jax.random.normal(key, (op.N, nev + nex), dtype=op.dtype)
     else:
         v0 = op.place_block(jnp.asarray(v0, op.dtype))
+        probes = op.place_block(jax.random.normal(
+            jax.random.fold_in(key, 1), (op.N, rcfg.num_lanczos),
+            dtype=op.dtype))
     t0 = _time.perf_counter()
     out = solve_fused(
         op.H, v0, nev=nev, nex=nex, tol=tol, deg0=rcfg.deg,
@@ -205,7 +209,8 @@ def eigsh_fused(H, nev: int, nex: Optional[int] = None, *,
         precision=rcfg.matmul_precision, inject_dos=not warm,
         bf16_filter=rcfg.bf16_filter,
         bf16_threshold=rcfg.bf16_filter_threshold,
-        small_dense=_fused_small_dense(rcfg, op, nev + nex))
+        small_dense=_fused_small_dense(rcfg, op, nev + nex),
+        probes=probes)
     ritzv = np.asarray(out["ritzv"], np.float64)
     resid = np.asarray(out["resid"], np.float64)
     locked = int(out["locked"])
@@ -256,11 +261,16 @@ def eigsh_pseudo_fused(H, nev: int, nex: Optional[int] = None, *,
     if key is None:
         key = jax.random.key(rcfg.seed)
     K2 = 2 * (nev + nex)
+    warm = v0 is not None
+    probes = None
     if v0 is None:
         v0 = jax.random.normal(key, (op.N, K2), dtype=op.dtype)
         v0 = scale_lower_rows(v0, 0.001)
     else:
         v0 = op.place_block(jnp.asarray(v0, op.dtype))
+        probes = op.place_block(scale_lower_rows(jax.random.normal(
+            jax.random.fold_in(key, 1), (op.N, rcfg.num_lanczos),
+            dtype=op.dtype), 0.001))
     t0 = _time.perf_counter()
     out = solve_pseudo_fused(
         op.H, v0, nev=nev, nex=nex, tol=tol, deg0=rcfg.deg,
@@ -269,7 +279,8 @@ def eigsh_pseudo_fused(H, nev: int, nex: Optional[int] = None, *,
         num_lanczos=rcfg.num_lanczos, optimization=rcfg.optimization,
         cluster_aware=rcfg.cluster_aware_degrees,
         precision=rcfg.matmul_precision,
-        small_dense=_fused_small_dense(rcfg, op, 2 * (nev + nex)))
+        small_dense=_fused_small_dense(rcfg, op, 2 * (nev + nex)),
+        inject_dos=not warm, probes=probes)
     ritzv = np.asarray(out["ritzv"], np.float64)
     resid = np.asarray(out["resid"], np.float64)
     locked = int(out["locked"])

@@ -97,7 +97,7 @@ def solve_fused(H, V0, *, nev, nex, tol, deg0, max_deg, deg_extra=2,
                 optimization=True, precision="highest", cholqr_passes=3,
                 cond_shift_threshold=1e8, inject_dos=True,
                 bf16_filter=False, bf16_threshold=1e-2,
-                small_dense="device"):
+                small_dense="device", probes=None):
     """Fully device-resident Hermitian solve.
 
     Args:
@@ -161,7 +161,10 @@ def solve_fused(H, V0, *, nev, nex, tol, deg0, max_deg, deg_extra=2,
         return (v1, w / safe[None, :].astype(w.dtype), beta), \
             (alpha, beta, v1[:, -1])
 
-    probes = V[:, :nv]
+    # Warm starts pass fresh random probes: a Krylov space seeded with the
+    # previous problem's converged eigenvectors underestimates the drifted
+    # lambda_max and the filter then amplifies the unwanted end.
+    probes = V[:, :nv] if probes is None else probes.astype(H.dtype)
     nrm = jnp.linalg.norm(probes, axis=0).real
     probes = probes / nrm[None, :].astype(probes.dtype)
     _, (alphas, betas, basis) = jax.lax.scan(

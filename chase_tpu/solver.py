@@ -346,8 +346,19 @@ def solve(op: DenseOperator, nev: int, nex: int,
     else:
         if ritzv0 is None:
             raise ValueError("approx mode needs ritzv0 from a previous solve")
+        # Bounds-only Lanczos from a FRESH random probe.  The reference
+        # starts from the user's approximate eigenvector
+        # (cpu/lanczos.hpp:227-252) — but a Krylov space seeded with a
+        # converged eigenvector of the *previous* problem barely explores
+        # the drifted spectrum and underestimates lambda_max, and a filter
+        # interval that misses the true spectral top AMPLIFIES the
+        # unwanted end (Chebyshev grows outside [lowerb, upperb]).
+        # Observed: divergence after a few warm-started sequence members.
+        probe = op.place_block(
+            jax.random.normal(jax.random.fold_in(key, 1), (N, 1),
+                              dtype=op.dtype))
         alphas, betas, _ = lz.lanczos_scan(
-            op.H, V[:, :1], m=m, precision=precision, want_basis=False)
+            op.H, probe, m=m, precision=precision, want_basis=False)
         a_np, b_np = np.asarray(alphas, np.float64), np.asarray(betas, np.float64)
         t0 = toc("Lanczos", t0, alphas)
         theta, _, _ = lz.lanczos_tridiag_host(a_np, b_np, want_vectors=False)

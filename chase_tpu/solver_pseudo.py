@@ -232,8 +232,19 @@ def solve_pseudo(op: DenseOperator, nev: int, nex: int,
     m -= m % 2
     m = max(m, 2)
     numvec = rcfg.num_lanczos
+    # Warm starts probe with FRESH random vectors: a Krylov space seeded
+    # with the previous problem's converged eigenvectors underestimates the
+    # drifted spectral top and the H² filter then amplifies the unwanted
+    # end (same rationale as solver.py's approx branch; deviation from the
+    # reference, which reuses the approximate V for lanczos_for_H2).
+    if approx:
+        probes = op.place_block(scale_lower_rows(
+            jax.random.normal(jax.random.fold_in(key, 1), (N, numvec),
+                              dtype=op.dtype), 0.001))
+    else:
+        probes = V[:, :numvec]
     alphas, betas, basis = ps.lanczos_scan_pseudo(
-        op.H, V[:, :numvec], m=m, precision=precision, want_basis=True)
+        op.H, probes, m=m, precision=precision, want_basis=True)
     a_np = np.asarray(alphas, np.float64)
     b_np = np.asarray(betas, np.float64)
     t0 = toc("Lanczos", t0, alphas)
@@ -290,6 +301,10 @@ def solve_pseudo(op: DenseOperator, nev: int, nex: int,
         idx = i + 1
     idx = max(idx, 0)
     idx = min(idx, nevex - 1)
+    if approx:
+        # keep the caller's warm subspace intact — no DoS vector injection
+        # (fused drivers already skip it for warm starts)
+        idx = 0
     if idx > 0:
         mask = jnp.asarray(np.arange(m) < idx)
         Vd = lz.lanczos_dos_vectors(basis, jnp.asarray(ritzV_last), mask,

@@ -127,3 +127,25 @@ def test_fused_host_small_dense():
     assert res.converged
     np.testing.assert_allclose(res.ritzv, clement_eigenvalues(N)[:nev],
                                atol=1e-6)
+
+
+def test_fused_warm_start_survives_spectral_drift():
+    """Regression (found by the sequence benchmark): warm-started solves
+    must re-estimate bounds from FRESH random Lanczos probes.  Probing
+    with the previous eigenvectors underestimates the drifted spectral
+    top and the filter then amplifies the unwanted end — members 4+ of a
+    10-long drifting sequence diverged (residuals ~40)."""
+    N, nev, nex = 200, 10, 10
+    rng = np.random.default_rng(7)
+    H = np.asarray(random_hermitian(N, dtype=np.float64, seed=7))
+    v0 = None
+    for i in range(8):
+        if i:
+            E = rng.standard_normal((N, N))
+            H = H + (2e-3 / np.sqrt(N)) * (E + E.T)
+        res = chase_tpu.eigsh_fused(H, nev, nex, tol=1e-8, v0=v0)
+        assert res.converged, f"member {i} diverged"
+        exact = np.linalg.eigvalsh(H)[:nev]
+        np.testing.assert_allclose(res.ritzv, exact, atol=1e-5,
+                                   err_msg=f"member {i}")
+        v0 = np.asarray(res.V)
