@@ -149,7 +149,8 @@ def load_matrix_blockcyclic(path: str, N: int, dtype, grid: Grid2D, mb: int,
     like ScaLAPACK block-cyclic would.
 
     Returns (H_sharded, layout); pass eigenvector rows through
-    ``layout.restore_rows`` on the way out.
+    ``layout.restore_rows`` on the way out.  N must divide the mesh tiling
+    (use DenseOperator's padding for ragged N); mb need not divide N.
     """
     from .parallel.layouts import BlockCyclicLayout
     dtype = np.dtype(dtype)

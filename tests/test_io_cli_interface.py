@@ -205,3 +205,16 @@ def test_sharded_state_checkpoint_roundtrip(tmp_path):
     # host load (no grid) also works
     V2, _, _ = cio.load_state(p)
     np.testing.assert_array_equal(np.asarray(V2), np.asarray(r.V))
+
+
+def test_blockcyclic_load_indivisible_shapes(tmp_path):
+    """Run-based darray reads with N not divisible by mb*p (ragged block
+    runs; N itself must divide the mesh — the operator pads otherwise)."""
+    N, mb = 176, 24
+    H = random_hermitian(N, dtype=np.float64, seed=8)
+    p = str(tmp_path / "h.bin")
+    cio.save_matrix(H, p)
+    grid = chase_tpu.make_grid()
+    Hbc, layout = cio.load_matrix_blockcyclic(p, N, np.float64, grid, mb)
+    np.testing.assert_array_equal(np.asarray(Hbc),
+                                  np.asarray(layout.apply(H)))
