@@ -251,6 +251,17 @@ def solve_fused(H, V0, *, nev, nex, tol, deg0, max_deg, deg_extra=2,
         filtered = filtered + jnp.sum(degrees)
         blk_hist = blk_hist.at[it].set(k - locked)
 
+        # Sort columns ascending by degree (stable; locked columns carry
+        # degree 0 and stay in front) — the reference's calc_degrees sort
+        # (algorithm.inc:136-193).  Ritz/resid bookkeeping rides along like
+        # the host driver's permutation; RR re-sorts by Ritz value after.
+        dperm = jnp.argsort(degrees, stable=True)
+        V = jnp.take(V, dperm, axis=1)
+        ritzv = ritzv[dperm]
+        resid = resid[dperm]
+        resid_last = resid_last[dperm]
+        degrees = degrees[dperm]
+
         # -- filter --
         c = (upperb + lowerb) / 2
         e = (upperb - lowerb) / 2
@@ -258,20 +269,33 @@ def solve_fused(H, V0, *, nev, nex, tol, deg0, max_deg, deg_extra=2,
         dmax = jnp.max(degrees)
 
         def run_filter(matvec, Vin):
+            """Two-window degree-retiring recurrence (P12): columns are
+            sorted ascending by degree, so the left half is final after
+            its max degree — steps beyond it run on the right static half
+            only, saving up to ~half the tail-step FLOPs."""
+            def fbody(degs):
+                def body(t, carry):
+                    Xp, Yc, sigma = carry
+                    sigma_new = 1.0 / (2.0 / sigma1 - sigma)
+                    Z = (2.0 * sigma_new / e) * (matvec(Yc) - c * Yc) \
+                        - (sigma * sigma_new) * Xp
+                    Z = jnp.where(degs[None, :] >= t, Z, Yc)
+                    return (Yc, Z, sigma_new)
+                return body
+
             Y = (sigma1 / e) * (matvec(Vin) - c * Vin)
             Y = jnp.where(degrees[None, :] >= 1, Y, Vin)
-
-            def fbody(t, carry):
-                Xp, Yc, sigma = carry
-                sigma_new = 1.0 / (2.0 / sigma1 - sigma)
-                Z = (2.0 * sigma_new / e) * (matvec(Yc) - c * Yc) \
-                    - (sigma * sigma_new) * Xp
-                Z = jnp.where(degrees[None, :] >= t, Z, Yc)
-                return (Yc, Z, sigma_new)
-
-            _, Vf, _ = jax.lax.fori_loop(2, dmax + 1, fbody,
-                                         (Vin, Y, sigma1))
-            return Vf
+            khalf = k // 2
+            dmid = jnp.clip(degrees[khalf - 1], 1, dmax)  # sorted ascending
+            Xp, Yc, sig = jax.lax.fori_loop(
+                2, dmid + 1, fbody(degrees), (Vin, Y, sigma1))
+            Xp_r = jax.lax.slice_in_dim(Xp, khalf, k, axis=1)
+            Yc_r = jax.lax.slice_in_dim(Yc, khalf, k, axis=1)
+            _, Yc_r, _ = jax.lax.fori_loop(
+                dmid + 1, dmax + 1, fbody(degrees[khalf:]),
+                (Xp_r, Yc_r, sig))
+            return jnp.concatenate(
+                [jax.lax.slice_in_dim(Yc, 0, khalf, axis=1), Yc_r], axis=1)
 
         def mv_full(X):
             return jnp.matmul(H, X, precision=precision)
