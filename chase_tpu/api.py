@@ -220,13 +220,15 @@ def eigsh_fused(H, nev: int, nex: Optional[int] = None, *,
     perf = _collect_fused_perf(out, iters, t_all) if collect_perf else None
     if rcfg.save_residuals:
         _write_resid_history(rcfg.save_residuals, out, iters)
+    eh = np.asarray(out["early_history"])[:iters]
+    early = [float(x) for x in eh[eh >= 0]]
 
     res = SolveResult(
         ritzv=ritzv[:nev], V=out["V"], resid=resid[:nev],
         iterations=iters, locked=locked,
         converged=bool(locked >= nev),
         upperb=float(out["upperb"]), lowerb=float(out["lowerb"]),
-        perf=perf, ritzv_full=ritzv, early_locked=None)
+        perf=perf, ritzv_full=ritzv, early_locked=early)
     return _unpad(res, op)
 
 

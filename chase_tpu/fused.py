@@ -208,12 +208,12 @@ def solve_fused(H, V0, *, nev, nex, tol, deg0, max_deg, deg_extra=2,
     # driver writes under CHASE_SAVE_RESIDUALS (locked slots as -1.0).
     def cond_fn(st):
         (V, ritzv, resid, resid_last, degrees, locked, it, lowerb,
-         filtered, blk_hist, r_hist) = st
+         filtered, blk_hist, r_hist, e_hist) = st
         return (k - locked > nex) & (it < max_iter)
 
     def body_fn(st):
         (V, ritzv, resid, resid_last, degrees, locked, it, lowerb,
-         filtered, blk_hist, r_hist) = st
+         filtered, blk_hist, r_hist, e_hist) = st
         active = cols >= locked
 
         # lowerb refresh + clamp
@@ -368,6 +368,11 @@ def solve_fused(H, V0, *, nev, nex, tol, deg0, max_deg, deg_extra=2,
         examined = active & (cols < k - nex)
         stag = (resid >= resid_last) & (resid < 100.0 * tol)
         conv = examined & ((resid <= tol) | stag)
+        # early-locked (stagnation) residuals, -1 elsewhere — the perf
+        # table's early-lock statistics (performance.hpp:406-448)
+        e_row = jnp.where(examined & stag & (resid > tol), resid,
+                          jnp.asarray(-1.0, rt))
+        e_hist = e_hist.at[it].set(e_row)
         group = jnp.where(cols < locked, 0, jnp.where(conv, 1, 2))
         perm = jnp.argsort(group, stable=True)
         V = jnp.take(V, perm, axis=1)
@@ -378,15 +383,16 @@ def solve_fused(H, V0, *, nev, nex, tol, deg0, max_deg, deg_extra=2,
         locked = locked + jnp.sum(conv).astype(locked.dtype)
 
         return (V, ritzv, resid, resid_last, degrees, locked, it + 1, lowerb,
-                filtered, blk_hist, r_hist)
+                filtered, blk_hist, r_hist, e_hist)
 
     state = (V, ritzv, resid, resid_last, degrees,
              jnp.int32(0), jnp.int32(0), lowerb.astype(rt),
              jnp.int64(0) if jax.config.jax_enable_x64 else jnp.int32(0),
              jnp.zeros((max_iter,), jnp.int32),
+             jnp.full((max_iter, k), -1.0, rt),
              jnp.full((max_iter, k), -1.0, rt))
     (V, ritzv, resid, resid_last, degrees, locked, it, lowerb,
-     filtered, blk_hist, r_hist) = \
+     filtered, blk_hist, r_hist, e_hist) = \
         jax.lax.while_loop(cond_fn, body_fn, state)
 
     # ---- final sort of the first nev by Ritz value -------------------------
@@ -399,4 +405,4 @@ def solve_fused(H, V0, *, nev, nex, tol, deg0, max_deg, deg_extra=2,
     return {"V": V, "ritzv": ritzv, "resid": resid, "locked": locked,
             "iterations": it, "lowerb": lowerb, "upperb": upperb,
             "filtered_vecs": filtered, "block_history": blk_hist,
-            "resid_history": r_hist}
+            "resid_history": r_hist, "early_history": e_hist}

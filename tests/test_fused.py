@@ -149,3 +149,16 @@ def test_fused_warm_start_survives_spectral_drift():
         np.testing.assert_allclose(res.ritzv, exact, atol=1e-5,
                                    err_msg=f"member {i}")
         v0 = np.asarray(res.V)
+
+
+def test_fused_early_lock_reporting():
+    """Stagnation-locked residuals surface in result.early_locked (the
+    reference perf table's early-lock statistics)."""
+    # tol just below the f32 floor: pairs stagnate inside 100*tol and
+    # early-lock instead of converging outright
+    N, nev, nex = 160, 8, 8
+    H = clement(N).astype(np.float32)
+    res = chase_tpu.eigsh_fused(H, nev, nex, tol=1e-5)
+    assert res.converged
+    assert res.early_locked is not None and len(res.early_locked) > 0
+    assert all(r > 1e-5 for r in res.early_locked)
