@@ -364,7 +364,11 @@ def solve(op: DenseOperator, nev: int, nex: int,
         theta, _, _ = lz.lanczos_tridiag_host(a_np, b_np, want_vectors=False)
         upperb = lz.upper_bound(theta, b_np[-1])
         ritzv = np.asarray(ritzv0, np.float64).copy()
-    upperb *= rcfg.upperb_scale
+    # sign-aware scaling (reference applies this in the pseudo path,
+    # algorithm.inc:1920-1927; extended to the Hermitian driver here):
+    # scaling must push a negative upperb toward zero-crossing correctly
+    upperb = upperb * rcfg.upperb_scale if upperb > 0 \
+        else upperb / rcfg.upperb_scale
 
     lowerb = float(np.max(ritzv)) * rcfg.decaying_rate
     lam_filter = float(np.min(ritzv))
