@@ -32,17 +32,15 @@ __all__ = ["eigsh", "eigsh_fused", "eigsh_pseudo",
 def _fused_small_dense(rcfg, op, k: int) -> str:
     """Resolve small_dense for the fused (in-graph) solvers.
 
-    'host' needs PJRT host callbacks (pure_callback), which some backends
-    don't implement — 'auto' only picks it on a genuine Cloud TPU backend
-    with a large subspace or 64-bit problem."""
-    import jax
-    from .types import is_double_base
+    'host' needs PJRT host callbacks (pure_callback), which some TPU
+    runtimes don't implement (the axon relay registers as platform 'tpu'
+    yet raises UNIMPLEMENTED) and the platform name cannot distinguish
+    them — so 'auto' always stays on device here; users on runtimes with
+    working callbacks opt in with small_dense_backend='host'.  The host
+    driver's split-sync variant (ops/rr.py) is backend-portable and keeps
+    its own auto policy."""
     sd = rcfg.small_dense_backend
-    if sd == "auto":
-        on_tpu = jax.default_backend() == "tpu"
-        sd = "host" if (on_tpu and (is_double_base(op.dtype)
-                                    or k >= 1024)) else "device"
-    return sd
+    return "device" if sd == "auto" else sd
 
 
 def _collect_fused_perf(out, iters: int, t_all: float,
@@ -132,7 +130,8 @@ def eigsh(H, nev: int, nex: Optional[int] = None, *,
         full = np.concatenate([order, np.arange(nev, res.V.shape[1])])
         res.V = jnp.take(res.V, jnp.asarray(full), axis=1)
         if res.ritzv_full is not None:
-            res.ritzv_full = -res.ritzv_full
+            # keep ritzv_full column-aligned with the reordered V
+            res.ritzv_full = (-res.ritzv_full)[full[:len(res.ritzv_full)]]
         return res
 
     op = H if isinstance(H, DenseOperator) else DenseOperator(H, grid=grid)
@@ -183,7 +182,8 @@ def eigsh_fused(H, nev: int, nex: Optional[int] = None, *,
         full = np.concatenate([order, np.arange(nev, res.V.shape[1])])
         res.V = jnp.take(res.V, jnp.asarray(full), axis=1)
         if res.ritzv_full is not None:
-            res.ritzv_full = -res.ritzv_full
+            # keep ritzv_full column-aligned with the reordered V
+            res.ritzv_full = (-res.ritzv_full)[full[:len(res.ritzv_full)]]
         return res
     cfg = config or ChaseConfig()
     op = H if isinstance(H, DenseOperator) else DenseOperator(H, grid=grid)

@@ -19,9 +19,10 @@ convergence guarantees):
   * QR always uses shifted CholQR (shift applied only when the condition
     estimate crosses the threshold) + an in-graph Householder rescue,
     instead of the 3-way host selection;
-  * per-vector degrees are used as masks without the sort-by-degree column
-    permutation (the sort only enabled shrinking GEMMs, which static
-    shapes forgo anyway).
+  * per-vector degrees drive a two-window filter over a degree-sorted
+    VIEW of the block (the permutation is applied on filter entry and
+    undone on exit, so the iteration's column order — and locking-v3's
+    positional resid_last pairing — is untouched).
 """
 
 from __future__ import annotations
@@ -251,16 +252,17 @@ def solve_fused(H, V0, *, nev, nex, tol, deg0, max_deg, deg_extra=2,
         filtered = filtered + jnp.sum(degrees)
         blk_hist = blk_hist.at[it].set(k - locked)
 
-        # Sort columns ascending by degree (stable; locked columns carry
-        # degree 0 and stay in front) — the reference's calc_degrees sort
-        # (algorithm.inc:136-193).  Ritz/resid bookkeeping rides along like
-        # the host driver's permutation; RR re-sorts by Ritz value after.
+        # Sort columns ascending by degree for the two-window filter
+        # (stable; locked columns carry degree 0 and stay in front — the
+        # reference's calc_degrees sort, algorithm.inc:136-193).  The
+        # permutation is UNDONE right after the filter: locking-v3's
+        # stagnation early-lock compares resid/resid_last positionally
+        # across iterations, and leaving the block in degree order breaks
+        # that pairing (measured 25-iteration stalls in the pseudo solver
+        # before its identical sort was reverted).
         dperm = jnp.argsort(degrees, stable=True)
-        V = jnp.take(V, dperm, axis=1)
-        ritzv = ritzv[dperm]
-        resid = resid[dperm]
-        resid_last = resid_last[dperm]
-        degrees = degrees[dperm]
+        dperm_inv = jnp.argsort(dperm)
+        deg_sorted = degrees[dperm]
 
         # -- filter --
         c = (upperb + lowerb) / 2
@@ -268,11 +270,16 @@ def solve_fused(H, V0, *, nev, nex, tol, deg0, max_deg, deg_extra=2,
         sigma1 = e / (lam - c)
         dmax = jnp.max(degrees)
 
-        def run_filter(matvec, Vin):
-            """Two-window degree-retiring recurrence (P12): columns are
-            sorted ascending by degree, so the left half is final after
+        def run_filter(matvec, Vin_unsorted):
+            """Two-window degree-retiring recurrence (P12): the block is
+            permuted ascending by degree, so the left half is final after
             its max degree — steps beyond it run on the right static half
-            only, saving up to ~half the tail-step FLOPs."""
+            only, saving up to ~half the tail-step FLOPs.  The permutation
+            is undone on return, so every consumer (QR cond heuristic,
+            RR, locking's positional resid_last pairing) sees the original
+            column order."""
+            Vin = jnp.take(Vin_unsorted, dperm, axis=1)
+
             def fbody(degs):
                 def body(t, carry):
                     Xp, Yc, sigma = carry
@@ -284,18 +291,19 @@ def solve_fused(H, V0, *, nev, nex, tol, deg0, max_deg, deg_extra=2,
                 return body
 
             Y = (sigma1 / e) * (matvec(Vin) - c * Vin)
-            Y = jnp.where(degrees[None, :] >= 1, Y, Vin)
+            Y = jnp.where(deg_sorted[None, :] >= 1, Y, Vin)
             khalf = k // 2
-            dmid = jnp.clip(degrees[khalf - 1], 1, dmax)  # sorted ascending
+            dmid = jnp.clip(deg_sorted[khalf - 1], 1, dmax)  # ascending
             Xp, Yc, sig = jax.lax.fori_loop(
-                2, dmid + 1, fbody(degrees), (Vin, Y, sigma1))
+                2, dmid + 1, fbody(deg_sorted), (Vin, Y, sigma1))
             Xp_r = jax.lax.slice_in_dim(Xp, khalf, k, axis=1)
             Yc_r = jax.lax.slice_in_dim(Yc, khalf, k, axis=1)
             _, Yc_r, _ = jax.lax.fori_loop(
-                dmid + 1, dmax + 1, fbody(degrees[khalf:]),
+                dmid + 1, dmax + 1, fbody(deg_sorted[khalf:]),
                 (Xp_r, Yc_r, sig))
-            return jnp.concatenate(
+            Yfull = jnp.concatenate(
                 [jax.lax.slice_in_dim(Yc, 0, khalf, axis=1), Yc_r], axis=1)
+            return jnp.take(Yfull, dperm_inv, axis=1)
 
         def mv_full(X):
             return jnp.matmul(H, X, precision=precision)
@@ -339,9 +347,8 @@ def solve_fused(H, V0, *, nev, nex, tol, deg0, max_deg, deg_extra=2,
             # support host callbacks under jit; the device eigensolver
             # dominates large-nev solves — ops/rr.py module docstring)
             def _host_eigh_cb(a):
-                wide = np.complex128 if np.iscomplexobj(a) else np.float64
-                w, z = np.linalg.eigh(a.astype(wide))
-                return (w.astype(np.dtype(rt)), z.astype(a.dtype))
+                from .ops.rr import host_eigh_f64
+                return host_eigh_f64(a, rt)
 
             w_eig, Z = jax.pure_callback(
                 _host_eigh_cb,

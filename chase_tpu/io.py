@@ -214,12 +214,18 @@ def save_state(path: str, V, ritzv, meta: Optional[dict] = None, *,
     the npz; V never gathers to one host.
     """
     if sharded:
+        import jax
+        base = path[:-4] if path.endswith(".npz") else path
         meta = dict(meta or {})
         meta["_sharded_V"] = {"rows": int(V.shape[0]),
                               "cols": int(V.shape[1]),
                               "dtype": np.dtype(V.dtype).name}
-        save_matrix_sharded(V, path + ".V.bin")
-        np.savez(path, ritzv=np.asarray(ritzv), meta=json.dumps(meta))
+        save_matrix_sharded(V, base + ".V.bin")
+        # sidecar written once (np.savez is not atomic; concurrent hosts
+        # writing the same shared-FS file would corrupt it)
+        if jax.process_index() == 0:
+            np.savez(base + ".npz", ritzv=np.asarray(ritzv),
+                     meta=json.dumps(meta))
         return
     np.savez(path, V=np.asarray(V), ritzv=np.asarray(ritzv),
              meta=json.dumps(meta or {}))
@@ -228,12 +234,12 @@ def save_state(path: str, V, ritzv, meta: Optional[dict] = None, *,
 def load_state(path: str, grid: Optional[Grid2D] = None):
     """Load a warm-restart checkpoint; pass ``grid`` to load a sharded V
     directly onto the mesh (each process reads only its shards)."""
-    z = np.load(path if path.endswith(".npz") else path + ".npz",
-                allow_pickle=False)
+    base = path[:-4] if path.endswith(".npz") else path
+    z = np.load(base + ".npz", allow_pickle=False)
     meta = json.loads(str(z["meta"]))
     sv = meta.pop("_sharded_V", None)
     if sv is not None:
-        vpath = (path[:-4] if path.endswith(".npz") else path) + ".V.bin"
+        vpath = base + ".V.bin"
         if grid is not None:
             V = _load_tall_sharded(vpath, sv["rows"], sv["cols"],
                                    np.dtype(sv["dtype"]), grid)

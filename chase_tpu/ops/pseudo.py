@@ -168,7 +168,34 @@ def lanczos_scan_pseudo(H, V0, *, m, precision="highest", want_basis=True):
     return alphas, betas, None
 
 
-@partial(jax.jit, static_argnames=("precision",))
+def host_pencil_factor(A_h, B_h, rt):
+    """Host LAPACK f64 factorization of the Hermitianized pencil: Cholesky
+    of A = QᴴSHQ, M = −L⁻¹ B L⁻ᴴ, eigh, back-solve, normalize.  Returns
+    (theta, X, ok); on Cholesky breakdown L falls back to identity (the
+    device path's behavior) with ok=False.  Shared by the split-sync host
+    RR below and the fused pseudo solver's pure_callback."""
+    import numpy as _np
+    import scipy.linalg as sla
+
+    A_h, B_h = _np.asarray(A_h), _np.asarray(B_h)
+    wide = _np.complex128 if _np.iscomplexobj(A_h) else _np.float64
+    try:
+        L = _np.linalg.cholesky(A_h.astype(wide))
+        ok = True
+    except _np.linalg.LinAlgError:
+        L = _np.eye(A_h.shape[0], dtype=wide)
+        ok = False
+    C = sla.solve_triangular(L, B_h.astype(wide), lower=True)
+    C = sla.solve_triangular(L, C.conj().T, lower=True).conj().T
+    M = -(C + C.conj().T) / 2
+    w, Z = _np.linalg.eigh(M)
+    theta = -1.0 / _np.where(_np.abs(w) > 0, w, 1.0)
+    X = sla.solve_triangular(L, Z, lower=True, trans="C")
+    nrm = _np.linalg.norm(X, axis=0)
+    X = X / _np.where(nrm > 0, nrm, 1.0)[None, :]
+    return (theta.real.astype(_np.dtype(rt)), X.astype(A_h.dtype), ok)
+
+
 @partial(jax.jit, static_argnames=("precision",))
 def _prr_project(H, V, locked, *, precision="highest"):
     """Device half 1 of the pencil RR: masked block + both pencil matrices."""
@@ -265,30 +292,12 @@ def rayleigh_ritz_residuals_pseudo(H, V, locked, *, precision="highest",
     if small_dense != "host":
         return _prr_device(H, V, locked, precision=precision)
 
-    import numpy as np
-    import scipy.linalg as sla
-
     rt = real_dtype(V.dtype)
     Q, W, A, B = _prr_project(H, V, locked, precision=precision)
-    A_h, B_h = np.asarray(A), np.asarray(B)
-    wide = np.complex128 if np.iscomplexobj(A_h) else np.float64
-    try:
-        L = np.linalg.cholesky(A_h.astype(wide))
-        ok = True
-    except np.linalg.LinAlgError:
-        L = np.eye(A_h.shape[0], dtype=wide)
-        ok = False
-    C = sla.solve_triangular(L, B_h.astype(wide), lower=True)
-    C = sla.solve_triangular(L, C.conj().T, lower=True).conj().T
-    M = -(C + C.conj().T) / 2
-    w, Z = np.linalg.eigh(M)
-    theta = -1.0 / np.where(np.abs(w) > 0, w, 1.0)
-    X = sla.solve_triangular(L, Z, lower=True, trans="C")
-    nrm = np.linalg.norm(X, axis=0)
-    X = X / np.where(nrm > 0, nrm, 1.0)[None, :]
+    theta, X, ok = host_pencil_factor(A, B, rt)
     V_out, theta_d, resid = _prr_finish(
-        Q, W, V, jnp.asarray(theta.real.astype(np.dtype(rt))),
-        jnp.asarray(X.astype(A_h.dtype)), locked, precision=precision)
+        Q, W, V, jnp.asarray(theta), jnp.asarray(X), locked,
+        precision=precision)
     return V_out, theta_d, resid, jnp.bool_(ok)
 
 

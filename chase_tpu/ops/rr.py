@@ -39,7 +39,16 @@ import numpy as np
 
 from ..types import real_dtype
 
-__all__ = ["rayleigh_ritz_residuals"]
+__all__ = ["rayleigh_ritz_residuals", "host_eigh_f64"]
+
+
+def host_eigh_f64(A_h, rt):
+    """Host LAPACK eigh of the projected matrix in full f64/c128; results
+    cast back to the problem precision.  Shared by the split-sync host
+    path below and the fused solver's pure_callback."""
+    wide = np.complex128 if np.iscomplexobj(A_h) else np.float64
+    w, Z = np.linalg.eigh(np.asarray(A_h).astype(wide))
+    return w.astype(np.dtype(rt)), Z.astype(A_h.dtype)
 
 
 def _pin_locked(A, active, rt):
@@ -116,9 +125,6 @@ def rayleigh_ritz_residuals(H, V, locked, *, precision="highest",
 
     rt = real_dtype(V.dtype)
     Q, W, A = _rr_project(H, V, locked, precision=precision)
-    A_h = np.asarray(A)                                  # k×k device→host
-    wide = np.complex128 if np.iscomplexobj(A_h) else np.float64
-    w, Z = np.linalg.eigh(A_h.astype(wide))
-    ritz = jnp.asarray(w.astype(np.dtype(rt)))
-    Z = jnp.asarray(Z.astype(A_h.dtype))
-    return _rr_finish(Q, W, V, ritz, Z, locked, precision=precision)
+    w, Z = host_eigh_f64(np.asarray(A), rt)              # k×k device→host
+    return _rr_finish(Q, W, V, jnp.asarray(w), jnp.asarray(Z), locked,
+                      precision=precision)

@@ -26,7 +26,7 @@ from .logger import get_logger
 from .perf import PerfData
 from .types import is_double_base
 from .parallel.operator import DenseOperator
-from .solver import SolveResult
+from .solver import SolveResult, _col_block
 from .ops.blocks import (permute_cols, slice_cols, update_cols,
                          set_head_cols, scale_lower_rows)
 from .ops import lanczos as lz
@@ -369,7 +369,6 @@ def solve_pseudo(op: DenseOperator, nev: int, nex: int,
                 V = permute_cols(V, jnp.asarray(full_perm))
 
         # -- filter on H² over the positive-candidate window --
-        from .solver import _col_block
         B = _col_block(rcfg.col_block, nevex)
         w_pad = min(nevex, -(-u // B) * B)
         # window right-aligned at locked+u

@@ -196,3 +196,22 @@ def test_eigsh_accepts_operator():
     assert res.converged
     np.testing.assert_allclose(res.ritzv, clement_eigenvalues(128)[:6],
                                atol=1e-7)
+
+
+def test_largest_mode_warm_restart_alignment():
+    """ritzv_full must stay column-aligned with V after the largest-mode
+    reorder, or warm restarts feed the wrong Ritz estimates."""
+    N, nev, nex = 200, 10, 10
+    H = np.asarray(clement(N))
+    r1 = chase_tpu.eigsh(H, nev, nex, tol=1e-9, largest=True)
+    assert r1.converged
+    # each ritzv_full[i] must be the Rayleigh quotient of V[:, i]
+    V = np.asarray(r1.V)
+    for i in range(nev):
+        rq = V[:, i] @ H @ V[:, i] / (V[:, i] @ V[:, i])
+        assert abs(rq - r1.ritzv_full[i]) < 1e-6, i
+    # and the warm restart converges quickly with correct estimates
+    r2 = chase_tpu.eigsh(H, nev, nex, tol=1e-9, largest=True,
+                         v0=np.asarray(r1.V), ritzv0=r1.ritzv_full,
+                         approx=True)
+    assert r2.converged and r2.iterations <= r1.iterations
