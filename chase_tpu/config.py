@@ -68,6 +68,10 @@ class ChaseConfig:
     cholqr: bool = True                  # False => Householder QR always
     cholqr1_threshold: Optional[float] = None  # cond below which CholQR1 is enough
     qr_hi_prec: bool = True              # QR in wider dtype for SP problems
+    # post-QR orthogonality validation (reference CHASE_QR_CHECK_ORTHO,
+    # nccl/householder_qr.hpp:292): computes ||Q^H Q - I||_max after every
+    # orthonormalization and warns past 100x the dtype eps.  Debug aid.
+    qr_check_ortho: bool = False
                                          # (QR_DOUBLE_PRECISION analogue)
 
     # --- warm start / sequences -------------------------------------------
@@ -121,6 +125,9 @@ class ChaseConfig:
         bf16_filter = self.bf16_filter
         if os.environ.get("CHASE_BF16_FILTER"):
             bf16_filter = bool(int(os.environ["CHASE_BF16_FILTER"]))
+        qr_check_ortho = self.qr_check_ortho
+        if os.environ.get("CHASE_QR_CHECK_ORTHO"):
+            qr_check_ortho = bool(int(os.environ["CHASE_QR_CHECK_ORTHO"]))
         return ResolvedConfig(
             base=self, tol=float(tol), deg=int(deg), max_deg=int(max_deg),
             lanczos_iter=int(lanczos_iter), cholqr=cholqr,
@@ -128,6 +135,7 @@ class ChaseConfig:
             cholqr_shift_threshold=float(chol_upper),
             save_residuals=save_residuals,
             bf16_filter=bf16_filter,
+            qr_check_ortho=qr_check_ortho,
         )
 
 
@@ -144,6 +152,7 @@ class ResolvedConfig:
     cholqr_shift_threshold: float
     save_residuals: Optional[str] = None
     bf16_filter: bool = False
+    qr_check_ortho: bool = False
 
     def __getattr__(self, name):
         return getattr(self.base, name)

@@ -266,4 +266,15 @@ def orthonormalize(V, locked, cond, rcfg, grid=None, small_dense="device"):
         Q = tsqr(V_old, grid=grid, upcast=upcast)
     else:
         log.debug(f"QR: {variant}, cond(V) ≈ {cond:.2e}", "linalg")
+    if rcfg.qr_check_ortho:
+        # CHASE_QR_CHECK_ORTHO analogue (nccl/householder_qr.hpp:292)
+        err = float(jnp.max(jnp.abs(
+            _gram(Q, rcfg.matmul_precision)
+            - jnp.eye(Q.shape[1], dtype=Q.dtype))))
+        thr = 100 * np.finfo(np.dtype(real_dtype(Q.dtype))).eps
+        if err > thr:
+            log.warn(f"QR orthogonality check: ||Q^H Q - I|| = {err:.2e} "
+                     f"> {thr:.2e}", "linalg")
+        else:
+            log.debug(f"QR orthogonality check: {err:.2e}", "linalg")
     return restore_locked(Q, V_old, jnp.int32(locked))

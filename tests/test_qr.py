@@ -190,3 +190,14 @@ def test_solver_host_qr_and_rr_e2e():
     assert res.converged
     np.testing.assert_allclose(res.ritzv, clement_eigenvalues(200)[:12],
                                atol=1e-7)
+
+
+def test_qr_check_ortho_knob(caplog, capsys):
+    """CHASE_QR_CHECK_ORTHO analogue: validation runs without affecting
+    the result."""
+    import dataclasses
+    rng = np.random.default_rng(4)
+    V = rng.standard_normal((100, 8))
+    rcfg = ChaseConfig(qr_check_ortho=True).resolve(np.float64)
+    out = np.asarray(orthonormalize(jnp.asarray(V), 0, 10.0, rcfg))
+    assert _ortho_err(out) < 1e-12
