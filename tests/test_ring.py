@@ -141,3 +141,29 @@ def test_solver_ring_filter_e2e():
     assert res.converged
     np.testing.assert_allclose(res.ritzv, clement_eigenvalues(192)[:12],
                                atol=1e-7)
+
+
+@pytest.mark.slow
+def test_combined_features_e2e():
+    """Everything at once on the mesh: block-cyclic layout + ring filter
+    (1D grid) + TSQR availability + host small-dense + warm start."""
+    import jax
+    import chase_tpu
+    from chase_tpu.parallel.layouts import BlockCyclicLayout
+    from chase_tpu.models import clement, clement_eigenvalues
+
+    N, nev, nex, mb = 192, 10, 10, 16
+    grid = chase_tpu.make_grid(jax.devices(), shape=(8, 1))
+    layout = BlockCyclicLayout(N, mb, 8, 1)
+    H = np.asarray(layout.apply(clement(N)))
+    cfg = chase_tpu.ChaseConfig(ring_filter=True,
+                                small_dense_backend="host",
+                                qr_check_ortho=True)
+    r1 = chase_tpu.eigsh(H, nev, nex, tol=1e-10, config=cfg, grid=grid)
+    assert r1.converged
+    np.testing.assert_allclose(r1.ritzv, clement_eigenvalues(N)[:nev],
+                               atol=1e-7)
+    r2 = chase_tpu.eigsh(H, nev, nex, tol=1e-10, config=cfg, grid=grid,
+                         v0=np.asarray(r1.V), ritzv0=r1.ritzv_full,
+                         approx=True)
+    assert r2.converged and r2.iterations <= r1.iterations

@@ -215,3 +215,28 @@ def test_largest_mode_warm_restart_alignment():
                          v0=np.asarray(r1.V), ritzv0=r1.ritzv_full,
                          approx=True)
     assert r2.converged and r2.iterations <= r1.iterations
+
+
+@pytest.mark.slow
+def test_randomized_parity_sweep():
+    """Property-style sweep: random (N, nev, nex, dtype, spectrum shift)
+    configurations must match numpy's eigh at the dtype tolerance."""
+    rng = np.random.default_rng(99)
+    for trial in range(6):
+        N = int(rng.integers(80, 320))
+        nev = int(rng.integers(4, max(5, N // 12)))
+        nex = int(rng.integers(4, 16))
+        dtype = np.dtype([np.float32, np.float64, np.complex64,
+                          np.complex128][trial % 4])
+        shift = float(rng.normal()) * N / 4
+        H = np.asarray(random_hermitian(N, dtype=dtype, seed=100 + trial))
+        H = (H + shift * np.eye(N)).astype(dtype)
+        tol = 1e-4 if dtype.itemsize <= 8 else 1e-9
+        res = chase_tpu.eigsh(H, nev, nex, tol=tol)
+        assert res.converged, (trial, N, nev, nex, dtype)
+        wide = np.complex128 if np.issubdtype(dtype, np.complexfloating) \
+            else np.float64
+        exact = np.linalg.eigvalsh(H.astype(wide))[:nev]
+        np.testing.assert_allclose(res.ritzv, exact,
+                                   atol=tol * np.sqrt(N) * 20,
+                                   err_msg=str((trial, N, nev, nex, dtype)))
