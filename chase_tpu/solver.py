@@ -109,7 +109,8 @@ def _filter_windowed(H_f, V, degrees_act, locked, nevex, B, lam, lo, up,
                                            c, e, sigma1,
                                            precision=precision)
     t_done = 1
-    for (t_end, new_off) in plan:
+    start0 = start             # V-column of the initial window's left edge
+    for (t_end, plan_off) in plan:
         if t_end > t_done:
             Xp, Yc, sigma = filt.filter_steps(
                 H_f, Xp, Yc, dwin, sigma, sigma1, c, e,
@@ -118,16 +119,21 @@ def _filter_windowed(H_f, V, degrees_act, locked, nevex, B, lam, lo, up,
             t_done = t_end
         # write back the current window (retired columns are final there)
         V = _update_cols(V, Yc, jnp.int32(start))
-        if new_off < w_pad:
-            new_w = w_pad - new_off
-            new_w_pad = -(-new_w // B) * B
-            new_start = start + w_pad - new_w_pad
-            off2 = w_pad - new_w_pad
-            Xp = _slice_cols(Xp, jnp.int32(off2), new_w_pad)
-            Yc = _slice_cols(Yc, jnp.int32(off2), new_w_pad)
-            deg_win = deg_win[off2:]
-            dwin = jnp.asarray(deg_win)
-            start, w_pad = new_start, new_w_pad
+        # plan offsets are positions in the INITIAL window; convert to the
+        # absolute V-column boundary, then shrink relative to the CURRENT
+        # window (the window's right edge is pinned at nevex)
+        retire_to = start0 + plan_off
+        if retire_to < nevex:
+            new_w = nevex - retire_to
+            new_w_pad = min(-(-new_w // B) * B, w_pad)
+            new_start = nevex - new_w_pad
+            off2 = new_start - start
+            if off2 > 0:
+                Xp = _slice_cols(Xp, jnp.int32(off2), new_w_pad)
+                Yc = _slice_cols(Yc, jnp.int32(off2), new_w_pad)
+                deg_win = deg_win[off2:]
+                dwin = jnp.asarray(deg_win)
+                start, w_pad = new_start, new_w_pad
     return V
 
 

@@ -107,3 +107,42 @@ def test_filter_amplifies_wanted_end():
     c_low = abs(evecs[:, 0] @ Y[:, 0])
     c_mid = abs(evecs[:, N // 2] @ Y[:, 0])
     assert c_low / max(c_mid, 1e-300) > 1e6
+
+
+def test_windowed_filter_matches_plain():
+    """The host driver's shrinking-window segmented filter must equal the
+    plain degree-masked recurrence bit-for-bit up to reduction order."""
+    import jax.numpy as jnp
+    from chase_tpu.ops.filter import chebyshev_filter
+    from chase_tpu.solver import _filter_windowed
+
+    rng = np.random.default_rng(21)
+    N, k = 96, 24
+    A = rng.standard_normal((N, N))
+    H = jnp.asarray((A + A.T) / 2)
+    V = jnp.asarray(rng.standard_normal((N, k)))
+    w = np.linalg.eigvalsh(np.asarray(H))
+    lam, lo, up = w[0], w[k], w[-1]
+    degrees = np.sort(rng.integers(2, 18, size=k)) * 2   # ascending, even
+    locked = 3
+    deg_act = degrees[locked:].astype(np.int64)
+
+    Y_plain = np.asarray(V).copy()
+    act = np.asarray(chebyshev_filter(
+        H, jnp.asarray(Y_plain), jnp.asarray(
+            np.concatenate([np.zeros(locked, np.int32),
+                            deg_act.astype(np.int32)])),
+        lam, lo, up, int(deg_act.max())))
+    for B in [4, 8, 24]:
+        Yw = np.asarray(_filter_windowed(
+            H, V, deg_act, locked, k, B, lam, lo, up,
+            np.float64, "highest"))
+        # the filter amplifies reduction-order noise by ~rho^deg, so
+        # compare per-column directions at a realistic tolerance
+        for j in range(locked, k):
+            a, b = Yw[:, j], act[:, j]
+            rel = np.linalg.norm(a - b) / np.linalg.norm(b)
+            assert rel < 1e-8, (B, j, rel)
+        # locked columns untouched
+        np.testing.assert_array_equal(Yw[:, :locked],
+                                      np.asarray(V)[:, :locked])
