@@ -29,7 +29,7 @@ __all__ = ["eigsh", "eigsh_fused", "eigsh_pseudo",
            "eigsh_pseudo_fused", "eigsh_sequence", "EigshResult"]
 
 
-def _fused_small_dense(rcfg, op, k: int) -> str:
+def _fused_small_dense(rcfg) -> str:
     """Resolve small_dense for the fused (in-graph) solvers.
 
     'host' needs PJRT host callbacks (pure_callback), which some TPU
@@ -198,8 +198,8 @@ def eigsh_fused(H, nev: int, nex: Optional[int] = None, *,
     else:
         v0 = op.place_block(jnp.asarray(v0, op.dtype))
         probes = op.place_block(jax.random.normal(
-            jax.random.fold_in(key, 1), (op.N, rcfg.num_lanczos),
-            dtype=op.dtype))
+            jax.random.fold_in(key, 1),
+            (op.N, min(rcfg.num_lanczos, nev + nex)), dtype=op.dtype))
     t0 = _time.perf_counter()
     out = solve_fused(
         op.H, v0, nev=nev, nex=nex, tol=tol, deg0=rcfg.deg,
@@ -209,7 +209,7 @@ def eigsh_fused(H, nev: int, nex: Optional[int] = None, *,
         precision=rcfg.matmul_precision, inject_dos=not warm,
         bf16_filter=rcfg.bf16_filter,
         bf16_threshold=rcfg.bf16_filter_threshold,
-        small_dense=_fused_small_dense(rcfg, op, nev + nex),
+        small_dense=_fused_small_dense(rcfg),
         probes=probes)
     ritzv = np.asarray(out["ritzv"], np.float64)
     resid = np.asarray(out["resid"], np.float64)
@@ -271,7 +271,8 @@ def eigsh_pseudo_fused(H, nev: int, nex: Optional[int] = None, *,
     else:
         v0 = op.place_block(jnp.asarray(v0, op.dtype))
         probes = op.place_block(scale_lower_rows(jax.random.normal(
-            jax.random.fold_in(key, 1), (op.N, rcfg.num_lanczos),
+            jax.random.fold_in(key, 1),
+            (op.N, min(rcfg.num_lanczos, nev + nex)),
             dtype=op.dtype), 0.001))
     t0 = _time.perf_counter()
     out = solve_pseudo_fused(
@@ -281,7 +282,7 @@ def eigsh_pseudo_fused(H, nev: int, nex: Optional[int] = None, *,
         num_lanczos=rcfg.num_lanczos, optimization=rcfg.optimization,
         cluster_aware=rcfg.cluster_aware_degrees,
         precision=rcfg.matmul_precision,
-        small_dense=_fused_small_dense(rcfg, op, 2 * (nev + nex)),
+        small_dense=_fused_small_dense(rcfg),
         inject_dos=not warm, probes=probes)
     ritzv = np.asarray(out["ritzv"], np.float64)
     resid = np.asarray(out["resid"], np.float64)
@@ -293,13 +294,15 @@ def eigsh_pseudo_fused(H, nev: int, nex: Optional[int] = None, *,
         if collect_perf else None
     if rcfg.save_residuals:
         _write_resid_history(rcfg.save_residuals, out, iters)
+    eh = np.asarray(out["early_history"])[:iters]
+    early = [float(x) for x in eh[eh >= 0]]
 
     return SolveResult(
         ritzv=ritzv[:nev], V=out["V"], resid=resid[:nev],
         iterations=iters, locked=locked,
         converged=bool(locked >= nev),
         upperb=float(out["upperb"]), lowerb=float(out["lowerb"]),
-        perf=perf, ritzv_full=ritzv, early_locked=None)
+        perf=perf, ritzv_full=ritzv, early_locked=early)
 
 
 def eigsh_pseudo(H, nev: int, nex: Optional[int] = None, *,

@@ -68,11 +68,11 @@ class ChaseConfig:
     cholqr: bool = True                  # False => Householder QR always
     cholqr1_threshold: Optional[float] = None  # cond below which CholQR1 is enough
     qr_hi_prec: bool = True              # QR in wider dtype for SP problems
+                                         # (QR_DOUBLE_PRECISION analogue)
     # post-QR orthogonality validation (reference CHASE_QR_CHECK_ORTHO,
     # nccl/householder_qr.hpp:292): computes ||Q^H Q - I||_max after every
     # orthonormalization and warns past 100x the dtype eps.  Debug aid.
     qr_check_ortho: bool = False
-                                         # (QR_DOUBLE_PRECISION analogue)
 
     # --- warm start / sequences -------------------------------------------
     approx: bool = False                 # mode='A': reuse caller's V as subspace

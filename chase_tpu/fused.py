@@ -149,7 +149,9 @@ def solve_fused(H, V0, *, nev, nex, tol, deg0, max_deg, deg_extra=2,
 
     # ---- Lanczos + DoS (device) -------------------------------------------
     m = max(2, min(k, N // 2, lanczos_iter) - (min(k, N // 2, lanczos_iter) % 2))
-    nv = num_lanczos
+    # probe count can never exceed the block width (nev+nex < num_lanczos
+    # would slice fewer columns than the scan carry expects)
+    nv = probes.shape[1] if probes is not None else min(num_lanczos, k)
 
     def lz_step(carry, _):
         v0, v1, beta_prev = carry

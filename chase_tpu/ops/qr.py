@@ -87,7 +87,8 @@ def _apply_right_jit(V, M, *, precision="highest"):
     return jnp.matmul(V, M, precision=precision)
 
 
-def cholqr_hostchol(V, *, passes=2, shifted=False, precision="highest"):
+def cholqr_hostchol(V, *, passes=2, shifted=False, precision="highest",
+                    upcast=None):
     """CholQR with the k×k factorization on host, in f64.
 
     Split-sync variant of :func:`cholqr` for accelerators whose dense
@@ -102,6 +103,12 @@ def cholqr_hostchol(V, *, passes=2, shifted=False, precision="highest"):
     """
     import scipy.linalg as sla
 
+    in_dtype = V.dtype
+    if upcast is not None:
+        # QR_DOUBLE_PRECISION upcast of the GRAM ACCUMULATION too — an f32
+        # Gram of an ill-conditioned block can go numerically non-PD even
+        # though the f64 host factorization would succeed
+        V = V.astype(upcast)
     m = V.shape[0]
     in_rt = real_dtype(V.dtype)
     ok = True
@@ -117,12 +124,12 @@ def cholqr_hostchol(V, *, passes=2, shifted=False, precision="highest"):
         try:
             L = np.linalg.cholesky(Gw)
         except np.linalg.LinAlgError:
-            return V, False
+            return V.astype(in_dtype), False
         Linv = sla.solve_triangular(L, np.eye(L.shape[0], dtype=wide),
                                     lower=True)
         V = _apply_right_jit(V, jnp.asarray(Linv.conj().T.astype(G.dtype)),
                              precision=precision)
-    return V, ok
+    return V.astype(in_dtype), ok
 
 
 @partial(jax.jit, static_argnames=("upcast",))
@@ -186,7 +193,8 @@ def restore_locked(V_new, V_old, locked):
     return jnp.where(cols[None, :] < locked, V_old, V_new)
 
 
-def orthonormalize_pseudo(V, locked, cond, rcfg, grid=None):
+def orthonormalize_pseudo(V, locked, cond, rcfg, grid=None,
+                          small_dense="device"):
     """S-aware QR for the pseudo-Hermitian path.
 
     Mirrors the pseudo branch of Impl/chase_cpu/chase_cpu.hpp:597-626 and
@@ -200,7 +208,8 @@ def orthonormalize_pseudo(V, locked, cond, rcfg, grid=None):
     from .pseudo import flip_locked_cols
 
     if locked == 0:
-        return orthonormalize(V, 0, cond, rcfg, grid)
+        return orthonormalize(V, 0, cond, rcfg, grid,
+                              small_dense=small_dense)
     K2 = V.shape[1]
     perm_to = np.concatenate([
         np.arange(locked), np.arange(K2 - locked, K2),
@@ -208,7 +217,7 @@ def orthonormalize_pseudo(V, locked, cond, rcfg, grid=None):
     inv = np.argsort(perm_to)
     Vp = permute_cols(V, jnp.asarray(perm_to))
     Vf = flip_locked_cols(Vp, jnp.int32(2 * locked))
-    Q = orthonormalize(Vf, 0, cond, rcfg, grid)
+    Q = orthonormalize(Vf, 0, cond, rcfg, grid, small_dense=small_dense)
     Q = restore_locked(Q, Vp, jnp.int32(2 * locked))
     return permute_cols(Q, jnp.asarray(inv))
 
@@ -254,7 +263,7 @@ def orthonormalize(V, locked, cond, rcfg, grid=None, small_dense="device"):
         passes, shifted, variant = 2, False, "cholQR2"
     if small_dense == "host":
         Q, ok = cholqr_hostchol(V, passes=passes, shifted=shifted,
-                                precision=precision)
+                                precision=precision, upcast=upcast)
         variant += "(host-factorized)"
     else:
         Q, ok = cholqr(V, passes=passes, shifted=shifted,

@@ -313,7 +313,7 @@ def solve(op: DenseOperator, nev: int, nex: int,
     m = min(nevex, N // 2, rcfg.lanczos_iter)
     m -= m % 2
     m = max(m, 2)
-    numvec = rcfg.num_lanczos
+    numvec = min(rcfg.num_lanczos, nevex)
     if not approx:
         alphas, betas, basis = lz.lanczos_scan(
             op.H, V[:, :numvec], m=m, precision=precision, want_basis=True)

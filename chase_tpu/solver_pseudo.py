@@ -183,9 +183,11 @@ def solve_pseudo(op: DenseOperator, nev: int, nex: int,
         log.warn("bf16_filter is not supported for pseudo-Hermitian solves "
                  "(no bf16 rung in the H² filter) — ignoring the flag")
     small_dense = rcfg.small_dense_backend
+    qr_backend = small_dense
     if small_dense == "auto":
         small_dense = "host" if (jax.default_backend() != "cpu"
                                  and (not is_sp or K2 >= 1024)) else "device"
+        qr_backend = "device"   # warm device CholQR is fast (solver.py)
     tol = rcfg.tol
     timing = perf is not None
     if perf is not None:
@@ -231,7 +233,7 @@ def solve_pseudo(op: DenseOperator, nev: int, nex: int,
     m = min(nevex, N // 2, rcfg.lanczos_iter)
     m -= m % 2
     m = max(m, 2)
-    numvec = rcfg.num_lanczos
+    numvec = min(rcfg.num_lanczos, K2)
     # Warm starts probe with FRESH random vectors: a Krylov space seeded
     # with the previous problem's converged eigenvectors underestimates the
     # drifted spectral top and the H² filter then amplifies the unwanted
@@ -415,7 +417,8 @@ def solve_pseudo(op: DenseOperator, nev: int, nex: int,
             cond = np.finfo(np.float64).max
 
         # -- QR (S-orthogonalizing against locked) --
-        V = orthonormalize_pseudo(V, locked, cond, rcfg, op.grid)
+        V = orthonormalize_pseudo(V, locked, cond, rcfg, op.grid,
+                                  small_dense=qr_backend)
         t0 = toc("Qr", t0, V)
 
         # -- pseudo RR + residuals (fused) --

@@ -162,3 +162,12 @@ def test_fused_early_lock_reporting():
     assert res.converged
     assert res.early_locked is not None and len(res.early_locked) > 0
     assert all(r > 1e-5 for r in res.early_locked)
+
+
+def test_fused_tiny_block_smaller_than_num_lanczos():
+    """Regression: nev+nex < num_lanczos must not crash the probe scan."""
+    N = 64
+    res = chase_tpu.eigsh_fused(clement(N), 2, 1, tol=1e-9)
+    assert res.converged
+    np.testing.assert_allclose(res.ritzv, clement_eigenvalues(N)[:2],
+                               atol=1e-7)

@@ -70,3 +70,18 @@ def test_fused_pseudo_host_small_dense():
     exact = np.linalg.eigvals(np.asarray(H, np.float64))
     pos = np.sort(exact.real[exact.real > 0])[:6]
     np.testing.assert_allclose(res.ritzv, pos, atol=1e-6)
+
+
+def test_fused_pseudo_tiny_block():
+    """Regression: 2*(nev+nex) < num_lanczos must not crash the probe
+    scan.  (Convergence at k=3 is limited like the reference: the Lanczos
+    step count is capped by nev+nex, so the spectral estimate is crude —
+    assert the eigenvalues, not full locking.)"""
+    import numpy as np
+    import chase_tpu
+    from chase_tpu.models import random_pseudo_hermitian
+    H = random_pseudo_hermitian(64, dtype=np.float64, seed=1)
+    res = chase_tpu.eigsh_pseudo_fused(H, 2, 1, tol=1e-8)
+    exact = np.linalg.eigvals(H)
+    pos = np.sort(exact.real[exact.real > 0])[:2]
+    np.testing.assert_allclose(res.ritzv, pos, atol=1e-5)
