@@ -26,7 +26,8 @@ from .perf import PerfData
 from .solver import solve, SolveResult
 
 __all__ = ["eigsh", "eigsh_fused", "eigsh_pseudo",
-           "eigsh_pseudo_fused", "eigsh_sequence", "EigshResult"]
+           "eigsh_pseudo_fused", "eigsh_sequence", "EigshResult",
+           "estimate_spectral_bounds"]
 
 
 def _fused_small_dense(rcfg) -> str:
@@ -365,3 +366,42 @@ def eigsh_sequence(matrices, nev: int, nex: Optional[int] = None, *,
 
 # Back-compat style alias matching scipy naming
 EigshResult = SolveResult
+
+
+def estimate_spectral_bounds(H, *, num_lanczos: int = 4,
+                             lanczos_iter: int = 25, nev: int = 0,
+                             grid: Optional[Grid2D] = None,
+                             key=None) -> dict:
+    """Standalone stochastic Lanczos + DoS spectral estimator.
+
+    Exposes the bounds machinery the solvers use internally
+    (algorithm.inc:1067-1214): a spectral upper bound, the smallest-Ritz
+    estimate, and — when ``nev > 0`` — the DoS quantile locating the
+    damping interval's lower edge for a nev-sized subspace.
+
+    Returns {"upperb", "lambda_min", "lowerb"} (lowerb = lambda_min when
+    nev == 0).
+    """
+    import jax
+    import jax.numpy as jnp
+    from .ops import lanczos as lz
+
+    op = H if isinstance(H, DenseOperator) else DenseOperator(H, grid=grid)
+    N = op.N
+    if key is None:
+        key = jax.random.key(1337)
+    m = max(2, min(N // 2, lanczos_iter))
+    probes = op.place_block(jax.random.normal(key, (N, num_lanczos),
+                                              dtype=op.dtype))
+    alphas, betas, _ = lz.lanczos_scan(op.H, probes, m=m,
+                                       want_basis=False)
+    a_np = np.asarray(alphas, np.float64)
+    b_np = np.asarray(betas, np.float64)
+    theta, tau, _ = lz.lanczos_tridiag_host(a_np, b_np)
+    upperb = lz.upper_bound(theta, b_np[-1])
+    lam_min = float(theta.min())
+    lowerb = lam_min
+    if nev > 0:
+        _, lowerb = lz.dos_lower_bound(theta, tau, nev, N)
+    return {"upperb": float(upperb), "lambda_min": lam_min,
+            "lowerb": float(lowerb)}

@@ -79,3 +79,18 @@ def test_dos_lower_bound_in_range():
     lam, lowerb = dos_lower_bound(theta, tau, nevex, N)
     assert evals[0] - 1 <= lam <= evals[0] + 0.2 * (evals[-1] - evals[0])
     assert evals[0] < lowerb < evals[-1]
+
+
+def test_estimate_spectral_bounds_api():
+    """Standalone spectral estimator brackets the true spectrum."""
+    import numpy as np
+    from chase_tpu.api import estimate_spectral_bounds
+    from chase_tpu.models import clement
+
+    N = 300
+    H = np.asarray(clement(N))
+    b = estimate_spectral_bounds(H, nev=30)
+    assert b["upperb"] >= N - 1            # true lambda_max = N-1
+    assert b["lambda_min"] >= -(N - 1) - 1e-6
+    assert b["lambda_min"] <= -(N - 1) * 0.8   # Lanczos reaches the edge
+    assert b["lambda_min"] <= b["lowerb"] <= b["upperb"]
