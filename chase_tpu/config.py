@@ -73,6 +73,10 @@ class ChaseConfig:
     # nccl/householder_qr.hpp:292): computes ||Q^H Q - I||_max after every
     # orthonormalization and warns past 100x the dtype eps.  Debug aid.
     qr_check_ortho: bool = False
+    # N above which the unshifted CholQR variants switch to the panelized
+    # Gram-Schmidt CholQR (reference MINIMAL_N_INVOKE_MODIFIED_GRAM_
+    # SCHMIDT_QR = 100000, Impl/config/config.hpp:9)
+    mgs_qr_min_n: int = 100_000
 
     # --- warm start / sequences -------------------------------------------
     approx: bool = False                 # mode='A': reuse caller's V as subspace

@@ -132,6 +132,47 @@ def cholqr_hostchol(V, *, passes=2, shifted=False, precision="highest",
     return V.astype(in_dtype), ok
 
 
+@partial(jax.jit, static_argnames=("n_panels", "precision", "upcast"))
+def mgs_cholqr(V, *, n_panels=6, precision="highest", upcast=None):
+    """Panelized block-Gram-Schmidt CholQR (BCGS2 shape).
+
+    TPU-native analogue of the reference's ``modifiedGramSchmidtCholQR``
+    (nccl/cholqr.hpp:1025-1190; auto-invoked at N ≥ 1e5,
+    Impl/config/config.hpp:9): panel 0 gets CholQR2; every later panel is
+    projected against the previous panel, CholQR1'd, re-projected against
+    ALL previous columns, and CholQR1'd again.  Bounds the Gram
+    accumulation error that plain CholQR suffers on very tall blocks.
+    All panel boundaries are static; projections are MXU matmuls and the
+    k_p×k_p Cholesky factors replicate (the P6/P8 pattern).
+    Returns (Q, ok).
+    """
+    in_dtype = V.dtype
+    if upcast is not None:
+        V = V.astype(upcast)
+    k = V.shape[1]
+    ps = -(-k // n_panels)
+    bounds = [(i * ps, min((i + 1) * ps, k))
+              for i in range(n_panels) if i * ps < k]
+
+    Q0, ok = cholqr(V[:, :bounds[0][1]], passes=2, precision=precision)
+    cols = [Q0]
+    for (a, b) in bounds[1:]:
+        Pnl = V[:, a:b]
+        prev = cols[-1]
+        Pnl = Pnl - jnp.matmul(
+            prev, jnp.matmul(prev.conj().T, Pnl, precision=precision),
+            precision=precision)
+        Pnl, ok1 = cholqr(Pnl, passes=1, precision=precision)
+        Qall = jnp.concatenate(cols, axis=1)
+        Pnl = Pnl - jnp.matmul(
+            Qall, jnp.matmul(Qall.conj().T, Pnl, precision=precision),
+            precision=precision)
+        Pnl, ok2 = cholqr(Pnl, passes=1, precision=precision)
+        ok = ok & ok1 & ok2
+        cols.append(Pnl)
+    return jnp.concatenate(cols, axis=1).astype(in_dtype), ok
+
+
 @partial(jax.jit, static_argnames=("upcast",))
 def householder_qr(V, *, upcast=None):
     """Dense Householder QR (reference houseHoulderQR: geqrf + gqr)."""
@@ -261,7 +302,15 @@ def orthonormalize(V, locked, cond, rcfg, grid=None, small_dense="device"):
         passes, shifted, variant = 1, False, "cholQR1"
     else:
         passes, shifted, variant = 2, False, "cholQR2"
-    if small_dense == "host":
+    use_mgs = (not shifted and V.shape[0] >= rcfg.mgs_qr_min_n
+               and V.shape[1] >= 12)
+    if use_mgs:
+        # very tall blocks: panelized Gram-Schmidt CholQR bounds the Gram
+        # accumulation error (reference auto-selects at N >= 1e5,
+        # Impl/config/config.hpp:9)
+        Q, ok = mgs_cholqr(V, precision=precision, upcast=upcast)
+        variant = "MGS-CholQR"
+    elif small_dense == "host":
         Q, ok = cholqr_hostchol(V, passes=passes, shifted=shifted,
                                 precision=precision, upcast=upcast)
         variant += "(host-factorized)"

@@ -201,3 +201,35 @@ def test_qr_check_ortho_knob(caplog, capsys):
     rcfg = ChaseConfig(qr_check_ortho=True).resolve(np.float64)
     out = np.asarray(orthonormalize(jnp.asarray(V), 0, 10.0, rcfg))
     assert _ortho_err(out) < 1e-12
+
+
+@pytest.mark.parametrize("dtype", [np.float64, np.complex128],
+                         ids=["f64", "c128"])
+def test_mgs_cholqr(dtype):
+    """Panelized Gram-Schmidt CholQR (reference modifiedGramSchmidtCholQR
+    analogue): orthonormal output and span preservation across panels."""
+    from chase_tpu.ops.qr import mgs_cholqr
+    # well-conditioned tall block (the variant's target regime — the
+    # reference also runs CholQR1 per panel, so orthogonality scales as
+    # eps*cond(panel)^2)
+    V = _make_cond(400, 30, 1e2, dtype).astype(dtype)
+    Q, ok = mgs_cholqr(jnp.asarray(V), n_panels=6)
+    assert bool(ok)
+    assert _ortho_err(Q) < 1e-11
+    resid = V - np.asarray(Q) @ (np.asarray(Q).conj().T @ V)
+    assert np.max(np.abs(resid)) < 1e-9 * np.max(np.abs(V))
+    # moderately ill-conditioned input still produces a usable basis
+    V = _make_cond(400, 30, 1e5, dtype).astype(dtype)
+    Q, ok = mgs_cholqr(jnp.asarray(V), n_panels=6)
+    assert bool(ok)
+    assert _ortho_err(Q) < 1e-6
+
+
+def test_orthonormalize_mgs_threshold():
+    """mgs_qr_min_n routes large-N unshifted CholQR through MGS."""
+    import dataclasses
+    rng = np.random.default_rng(6)
+    V = rng.standard_normal((300, 16))
+    rcfg = ChaseConfig(mgs_qr_min_n=200).resolve(np.float64)
+    out = np.asarray(orthonormalize(jnp.asarray(V), 0, 50.0, rcfg))
+    assert _ortho_err(out) < 1e-11
