@@ -57,6 +57,16 @@ class ChaseConfig:
     # env CHASE_BF16_FILTER=1 enables it.
     bf16_filter: bool = False
     bf16_filter_threshold: float = 1e-2
+    # Deviation-form refinement filter (the DP-tolerance ladder): once Ritz
+    # values + residual vectors exist (iteration >= 1), the reduced-precision
+    # filter runs on the deviation w = p(Hs)v - p(λs)v with the f64 residual
+    # injected (ops/filter.chebyshev_filter_refine).  Noise then scales with
+    # the CURRENT ERROR, not eps_low·||H||, so a mixed-precision solve reaches
+    # the full 1e-10 DP tolerance with the filter FLOPs staying in f32/bf16 —
+    # the reference instead switches the filter back to DP below resid 1e-3
+    # (chase_cpu.hpp:384-447).  Engages with mixed_precision (DP problems)
+    # or bf16_filter (f32 problems); env CHASE_REFINE_FILTER=0 disables.
+    refine_filter: bool = True
 
     # --- spectral estimator ----------------------------------------------
     lanczos_iter: Optional[int] = None   # 25 DP / 12 SP
@@ -103,6 +113,11 @@ class ChaseConfig:
     # Run the small dense eigensolve (RR) / cholesky on host via callback when
     # the device would emulate 64-bit arithmetic. "auto" | "device" | "host".
     small_dense_backend: str = "device"
+    # Shrink QR/RR/residuals to the padded active window as columns lock
+    # (the reference shrinks every post-filter phase to the unconverged
+    # block, algorithm.inc:1712-1718).  Window widths reuse the filter's
+    # col_block buckets so XLA compiles a bounded set of programs.
+    shrink_subspace: bool = True
     # Explicit ring collective-matmul filter (P11) on 1D row-stripe meshes
     # (grid shape (p, 1)): overlaps V-chunk ICI transfers with local dots
     # instead of GSPMD's all-gather-then-dot lowering.
@@ -129,6 +144,9 @@ class ChaseConfig:
         bf16_filter = self.bf16_filter
         if os.environ.get("CHASE_BF16_FILTER"):
             bf16_filter = bool(int(os.environ["CHASE_BF16_FILTER"]))
+        refine_filter = self.refine_filter
+        if os.environ.get("CHASE_REFINE_FILTER"):
+            refine_filter = bool(int(os.environ["CHASE_REFINE_FILTER"]))
         qr_check_ortho = self.qr_check_ortho
         if os.environ.get("CHASE_QR_CHECK_ORTHO"):
             qr_check_ortho = bool(int(os.environ["CHASE_QR_CHECK_ORTHO"]))
@@ -139,6 +157,7 @@ class ChaseConfig:
             cholqr_shift_threshold=float(chol_upper),
             save_residuals=save_residuals,
             bf16_filter=bf16_filter,
+            refine_filter=refine_filter,
             qr_check_ortho=qr_check_ortho,
         )
 
@@ -156,6 +175,7 @@ class ResolvedConfig:
     cholqr_shift_threshold: float
     save_residuals: Optional[str] = None
     bf16_filter: bool = False
+    refine_filter: bool = True
     qr_check_ortho: bool = False
 
     def __getattr__(self, name):

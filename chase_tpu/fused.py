@@ -358,7 +358,10 @@ def solve_fused(H, V0, *, nev, nex, tol, deg0, max_deg, deg_extra=2,
                  jax.ShapeDtypeStruct((k, k), A.dtype)),
                 A, vmap_method="sequential")
         else:
-            w_eig, Z = jnp.linalg.eigh(A)
+            # polished: XLA's eigh alone leaves ~1e-6-relative eigenvector
+            # error (ops/rr.eigh_polished docstring) — fatal at DP tolerance
+            from .ops.rr import eigh_polished
+            w_eig, Z = eigh_polished(A, passes=2, precision=precision)
         w_eig = w_eig.real.astype(rt)
         Vrot = jnp.matmul(Qm, Z, precision=precision)
         Wrot = jnp.matmul(W, Z, precision=precision)

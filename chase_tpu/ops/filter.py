@@ -33,7 +33,8 @@ import jax.numpy as jnp
 
 from ..types import filter_carry_dtype, real_dtype
 
-__all__ = ["chebyshev_filter", "filter_carry_init", "filter_steps"]
+__all__ = ["chebyshev_filter", "filter_carry_init", "filter_steps",
+           "chebyshev_filter_refine", "refine_tables"]
 
 
 def _hemm_shift(H, X, c, precision):
@@ -100,6 +101,112 @@ def chebyshev_filter(H, X, degrees, lam1, lower, upper, deg_max, *,
     deg_max = jnp.asarray(deg_max, jnp.int32)
     _, Y, _ = jax.lax.fori_loop(2, deg_max + 1, body, (Xc, Y, sigma1))
     return Y.astype(out_dtype)
+
+
+# -- deviation-form refinement filter (the DP-tolerance ladder) -------------
+#
+# For any per-column scalar shift λ_j the deviation w_t = p_t(Hs)v_j −
+# p_t(λs_j)v_j obeys the SAME three-term recurrence as p_t plus an additive
+# injection a_t·p_{t−1}(λs_j)·(Hs−λs_j)v_j — pure algebra, exact for any λ_j.
+# Choosing λ_j = the column's Ritz value makes (H−λ_j)v_j the RR residual
+# vector r_j, which the fused RR computes in the problem precision anyway.
+# Every intermediate of the w recurrence is then O(|p|·‖e_j‖) (e_j = the
+# current eigenvector error), so running it in f32/bf16 on the MXU introduces
+# noise PROPORTIONAL TO THE CURRENT ERROR instead of eps_low·‖H‖: the filter
+# keeps contracting geometrically past the low-precision floor, all the way
+# to the f64 RR/QR floor (~1e-14·‖H‖).  This is the TPU answer to the
+# reference's DP-tolerance default (algorithm/configuration.hpp:53-62): the
+# reference switches the filter back to DP once resid < 1e-3
+# (Impl/chase_cpu/chase_cpu.hpp:384-447); on TPU f64 matmuls are emulated,
+# so instead the filter NEVER leaves the fast dtype — only the one H·V HEMM
+# inside RR (shared with the residuals) runs in f64.
+
+
+def refine_tables(ritzv_act, degrees_act, lam1, lower, upper, max_deg):
+    """Host-side (numpy, f64) coefficient tables for the deviation filter.
+
+    Mirrors the scaled σ-recurrence of :func:`chebyshev_filter` exactly, so
+    the refined filter applies the IDENTICAL polynomial — only the arithmetic
+    decomposition differs.
+
+    Returns:
+      alpha1_e: σ1/e — scale of the w_1 = (σ1/e)·r init.
+      alphas:  (max_deg+1,) per-step 2σ_t/e HEMM coefficients (rows < 2 unused).
+      betas:   (max_deg+1,) per-step −σ_{t−1}σ_t coefficients.
+      inj:     (max_deg+1, w) per-step injection 2σ_t·p_{t−1}(λs_j)/e applied
+               to the UNSCALED residual r_j = (H−λ_j)v_j.
+      p_final: (w,) f64 — p_{deg_j}(λs_j), the exact scalar multiplying v_j
+               in the combine y_j = p_final_j·v_j + w_j.
+    """
+    import numpy as np
+    ritzv_act = np.asarray(ritzv_act, np.float64)
+    degrees_act = np.asarray(degrees_act)
+    w = ritzv_act.shape[0]
+    c = (upper + lower) / 2.0
+    e = (upper - lower) / 2.0
+    sigma1 = e / (lam1 - c)
+    lams = (ritzv_act - c) / e
+    alphas = np.zeros(max_deg + 1, np.float64)
+    betas = np.zeros(max_deg + 1, np.float64)
+    inj = np.zeros((max_deg + 1, w), np.float64)
+    p_prev = np.ones(w, np.float64)            # p_0(λs) = 1
+    p_cur = sigma1 * lams                      # p_1(λs) = σ1·λs
+    p_final = np.where(degrees_act >= 1, p_cur, 1.0)
+    sigma = sigma1
+    for t in range(2, max_deg + 1):
+        sigma_new = 1.0 / (2.0 / sigma1 - sigma)
+        alphas[t] = 2.0 * sigma_new / e
+        betas[t] = -sigma * sigma_new
+        inj[t] = (2.0 * sigma_new / e) * p_cur
+        p_new = 2.0 * sigma_new * lams * p_cur - sigma * sigma_new * p_prev
+        p_prev, p_cur = p_cur, p_new
+        sigma = sigma_new
+        p_final = np.where(degrees_act >= t, p_new, p_final)
+    return sigma1 / e, alphas, betas, inj, p_final
+
+
+@partial(jax.jit, static_argnames=("precision",))
+def chebyshev_filter_refine(H, V, R, degrees, alpha1_e, alphas, betas, inj,
+                            p_final, cc, deg_max, *, precision="highest"):
+    """Deviation-form Chebyshev filter: y_j = p_final_j·v_j + w_j with the
+    w recurrence in the fast dtype of ``H`` (see module comment above).
+
+    Args:
+      H: (N, N) operator in the FAST dtype (f32/bf16 shadow of the problem).
+      V: (N, w) current (post-RR) Ritz block in the PROBLEM dtype (f64/f32).
+      R: (N, w) residual vectors H·v_j − λ_j·v_j, problem dtype.
+      degrees: (w,) int32 per-column degrees; 0 = untouched.
+      alpha1_e, alphas, betas, inj, p_final: host tables (refine_tables).
+      cc: filter interval center (host float).
+      deg_max: traced int scalar — loop trip count.
+
+    Returns: (N, w) filtered block, problem dtype.
+    """
+    carry = filter_carry_dtype(H.dtype, V.dtype)
+    rt = real_dtype(carry)
+    Rc = R.astype(carry)
+    cc = jnp.asarray(cc, rt)
+    alphas = jnp.asarray(alphas, rt)
+    betas = jnp.asarray(betas, rt)
+    inj = jnp.asarray(inj, rt)
+
+    W = jnp.asarray(alpha1_e, rt) * Rc                      # w_1 = (σ1/e)·r
+    Wp = jnp.zeros_like(Rc)                                 # w_0 = 0
+
+    def body(t, st):
+        Wp, Wc = st
+        Z = (alphas[t] * _hemm_shift(H, Wc, cc, precision)
+             + betas[t] * Wp + inj[t][None, :] * Rc)
+        Z = jnp.where(degrees[None, :] >= t, Z, Wc)
+        return (Wc, Z)
+
+    deg_max = jnp.asarray(deg_max, jnp.int32)
+    _, W = jax.lax.fori_loop(2, deg_max + 1, body, (Wp, W))
+
+    # combine in the PROBLEM precision: exact scalar scaling + small update
+    rtv = real_dtype(V.dtype)
+    Y = jnp.asarray(p_final, rtv)[None, :] * V + W.astype(V.dtype)
+    return jnp.where(degrees[None, :] >= 1, Y, V)
 
 
 # -- segmented-filter building blocks (used by the perf-tuned solver path) --

@@ -253,7 +253,8 @@ def _prr_device(H, V, locked, *, precision="highest"):
                                         transpose_a=True, conjugate_a=True)
     M = -(C + C.conj().T) / 2                             # Hermitize −L⁻¹BL⁻ᴴ
 
-    w, Z = jnp.linalg.eigh(M)                             # ascending
+    from .rr import eigh_polished
+    w, Z = eigh_polished(M, passes=2, precision=precision)  # ascending
     w = w.real.astype(rt)
     theta = -1.0 / jnp.where(jnp.abs(w) > 0, w, jnp.ones((), rt))
 

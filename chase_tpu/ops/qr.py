@@ -31,7 +31,8 @@ from ..logger import get_logger
 from ..types import real_dtype, is_double_base
 
 __all__ = ["cholqr", "householder_qr", "tsqr", "restore_locked",
-           "orthonormalize", "orthonormalize_pseudo"]
+           "orthonormalize", "orthonormalize_pseudo",
+           "orthonormalize_window"]
 
 
 def _gram(V, precision):
@@ -261,6 +262,96 @@ def orthonormalize_pseudo(V, locked, cond, rcfg, grid=None,
     Q = orthonormalize(Vf, 0, cond, rcfg, grid, small_dense=small_dense)
     Q = restore_locked(Q, Vp, jnp.int32(2 * locked))
     return permute_cols(Q, jnp.asarray(inv))
+
+
+@partial(jax.jit, static_argnames=("precision",))
+def _project_against_locked(V_full, W, start, *, precision="highest"):
+    """W ← (I − L·Lᴴ)·W where L = the locked columns of V_full OUTSIDE the
+    window, i.e. columns [0, start).  Masked full-width matmul so one XLA
+    program serves every ``start`` (block classical Gram–Schmidt step)."""
+    cols = jnp.arange(V_full.shape[1])
+    L = jnp.where((cols < start)[None, :], V_full, jnp.zeros((), V_full.dtype))
+    C = jnp.matmul(L.conj().T, W, precision=precision)
+    return W - jnp.matmul(L, C, precision=precision)
+
+
+def orthonormalize_window(V, start, w_pad, locked, cond, rcfg, grid=None,
+                          small_dense="device"):
+    """Width-bucketed QR: orthonormalize only the padded active window.
+
+    The reference shrinks every post-filter phase to the unconverged block
+    (algorithm.inc:1712-1718) — on TPU we shrink to the same static bucket
+    widths the filter uses, so XLA compiles a handful of window programs.
+    The window [start, nevex) holds the active columns plus ≤B−1 locked
+    padding columns; columns [0, start) are locked and orthonormal.
+
+      1. BCGS projection of the window against the out-of-window locked
+         columns (one masked N·k·w matmul pair),
+      2. cond-selected CholQR chain on the (N, w) window — Gram w×w instead
+         of k×k,
+      3. a second projection + CholQR1 (BCGS2 reorthogonalization — bounds
+         the loss from step 1's classical projection),
+      4. locked padding columns restored, window written back.
+
+    Falls back to the full-block :func:`orthonormalize` (TSQR rescue) when
+    the window Cholesky chain breaks down.
+    """
+    from .blocks import slice_cols, update_cols
+
+    log = get_logger()
+    precision = rcfg.matmul_precision
+    upcast = None
+    if rcfg.qr_hi_prec and not is_double_base(V.dtype):
+        if jax.config.jax_enable_x64:
+            upcast = np.complex128 if np.issubdtype(V.dtype, np.complexfloating) \
+                else np.float64
+
+    Vw0 = slice_cols(V, jnp.int32(start), w_pad)
+    lw = locked - start
+    W = _project_against_locked(V, Vw0, jnp.int32(start), precision=precision)
+
+    if (not rcfg.cholqr) and cond != 1.0:
+        Q = tsqr(W, grid=grid, upcast=upcast)
+        ok = True
+        variant = "TSQR(window)"
+    else:
+        if cond > rcfg.cholqr_shift_threshold:
+            passes, shifted, variant = 3, True, "shiftedCholQR2(window)"
+        elif cond < rcfg.cholqr1_threshold:
+            passes, shifted, variant = 1, False, "cholQR1(window)"
+        else:
+            passes, shifted, variant = 2, False, "cholQR2(window)"
+        if (not shifted and V.shape[0] >= rcfg.mgs_qr_min_n
+                and w_pad >= 12):
+            Q, ok = mgs_cholqr(W, precision=precision, upcast=upcast)
+            variant = "MGS-CholQR(window)"
+        elif small_dense == "host":
+            Q, ok = cholqr_hostchol(W, passes=passes, shifted=shifted,
+                                    precision=precision, upcast=upcast)
+        else:
+            Q, ok = cholqr(W, passes=passes, shifted=shifted,
+                           precision=precision, upcast=upcast)
+    if bool(ok):
+        # BCGS2 second sweep: re-project + one CholQR pass
+        Q = _project_against_locked(V, Q, jnp.int32(start),
+                                    precision=precision)
+        Q, ok2 = cholqr(Q, passes=1, precision=precision, upcast=upcast)
+        ok = bool(ok2)
+    if not bool(ok):
+        log.warn(f"{variant} failed (non-PD Gram), falling back to "
+                 f"full-block QR", "linalg")
+        return orthonormalize(V, locked, cond, rcfg, grid,
+                              small_dense=small_dense)
+    log.debug(f"QR: {variant}, cond(V) ≈ {cond:.2e}", "linalg")
+    if rcfg.qr_check_ortho:
+        err = float(jnp.max(jnp.abs(
+            _gram(Q, precision) - jnp.eye(Q.shape[1], dtype=Q.dtype))))
+        thr = 100 * np.finfo(np.dtype(real_dtype(Q.dtype))).eps
+        if err > thr:
+            log.warn(f"QR(window) orthogonality check: {err:.2e} "
+                     f"> {thr:.2e}", "linalg")
+    Q = restore_locked(Q, Vw0, jnp.int32(lw))
+    return update_cols(V, Q, jnp.int32(start))
 
 
 def orthonormalize(V, locked, cond, rcfg, grid=None, small_dense="device"):

@@ -39,7 +39,66 @@ import numpy as np
 
 from ..types import real_dtype
 
-__all__ = ["rayleigh_ritz_residuals", "host_eigh_f64"]
+__all__ = ["rayleigh_ritz_residuals", "host_eigh_f64", "eigh_polished"]
+
+
+def eigh_polished(A, *, passes=2, precision="highest"):
+    """``jnp.linalg.eigh`` + Ogita–Aishima eigenvector refinement.
+
+    XLA's native symmetric eigensolver returns eigenVECTORS with relative
+    residual ~1e-6 even in f64 (measured on this backend: 7.8e-4 absolute on
+    a 40×40 projected matrix whose LAPACK answer is 3e-13) — far above the
+    1e-10 DP tolerance target, and the reason tight-tolerance solves
+    plateau/bounce.  Each polish pass applies the quadratically convergent
+    refinement of Ogita & Aishima (2018, "Iterative refinement for symmetric
+    eigenvalue decomposition"): with R = I − ZᴴZ and S = ZᴴAZ,
+
+        λ̃_i = S_ii / (1 − R_ii)
+        E_ij = (S_ij + λ̃_j R_ij) / (λ̃_j − λ̃_i)   (well-separated pairs)
+        E_ij = R_ij / 2                            (clustered pairs, diag)
+        Z ← Z (I + E)
+
+    Two passes take the backend eigh to LAPACK-quality (≲1e-12 relative)
+    for a few k×k matmuls — pure MXU work, in-graph, so the FUSED solver
+    gets the same fix (no host eigh needed).  Clustered pairs only get the
+    orthogonality half of the update; their intra-cluster mixing is
+    harmless for an (almost-)degenerate eigenspace.
+
+    Cost: ~3 k×k matmuls per pass — negligible against the N²k projection.
+    Returns (w, Z) ascending, like ``jnp.linalg.eigh``.
+    """
+    w, Z = jnp.linalg.eigh(A)
+    if passes <= 0:
+        return w, Z
+    rt = w.dtype
+    k = A.shape[0]
+    I = jnp.eye(k, dtype=A.dtype)
+    one = jnp.ones((), A.dtype)
+    for _ in range(passes):
+        R = I - jnp.matmul(Z.conj().T, Z, precision=precision)
+        S = jnp.matmul(Z.conj().T, jnp.matmul(A, Z, precision=precision),
+                       precision=precision)
+        lam = (jnp.real(jnp.diagonal(S))
+               / (1 - jnp.real(jnp.diagonal(R)))).astype(rt)
+        num = S + lam[None, :].astype(A.dtype) * R
+        d = (lam[None, :] - lam[:, None]).astype(A.dtype)
+        # Rotate only across gaps resolved above BOTH the first-order
+        # validity bound (|d| > 2|num|) and a sqrt(eps)-relative gap floor.
+        # num carries absolute noise ~k·eps·‖A‖, so a pair with gap δ gets a
+        # spurious rotation k·eps·‖A‖/δ whose orthogonality damage is its
+        # SQUARE; δ ≥ sqrt(eps)·‖A‖ bounds that damage by ~k²·eps.  Pairs
+        # tighter than the floor are treated as a cluster (R/2 half-update):
+        # leaving their mixing uncorrected costs at most δ in residual —
+        # below the floor by construction.
+        gap_floor = jnp.asarray(np.sqrt(np.finfo(rt).eps), rt) \
+            * jnp.max(jnp.abs(lam))
+        ok = (jnp.abs(d) > 2 * jnp.abs(num)) & (jnp.abs(d) > gap_floor)
+        E = jnp.where(ok, num / jnp.where(ok, d, one), R / 2)
+        E = E - jnp.diag(jnp.diagonal(E)) + jnp.diag(jnp.diagonal(R) / 2)
+        Z = Z + jnp.matmul(Z, E, precision=precision)
+        w = lam
+    order = jnp.argsort(w)   # polish can reorder near-degenerate pairs
+    return w[order], Z[:, order]
 
 
 def host_eigh_f64(A_h, rt):
@@ -72,8 +131,9 @@ def _rr_project(H, V, locked, *, precision="highest"):
     return Q, W, _pin_locked(A, active, rt)
 
 
-@partial(jax.jit, static_argnames=("precision",))
-def _rr_finish(Q, W, V, ritz, Z, locked, *, precision="highest"):
+@partial(jax.jit, static_argnames=("precision", "want_vectors"))
+def _rr_finish(Q, W, V, ritz, Z, locked, *, precision="highest",
+               want_vectors=False):
     """Device half 2: rotate, residuals, roll, merge."""
     k = V.shape[1]
     rt = real_dtype(V.dtype)
@@ -87,21 +147,28 @@ def _rr_finish(Q, W, V, ritz, Z, locked, *, precision="highest"):
     ritz = jnp.roll(ritz, locked)
     resid = jnp.roll(resid, locked)
     V_out = jnp.where(active[None, :], Vrot, V)
+    if want_vectors:
+        # residual VECTORS feed the deviation-form refinement filter
+        # (ops/filter.chebyshev_filter_refine) — rolled like everything else
+        return V_out, ritz, resid, jnp.roll(R, locked, axis=1)
     return V_out, ritz, resid
 
 
-@partial(jax.jit, static_argnames=("precision",))
-def _rr_device(H, V, locked, *, precision="highest"):
+@partial(jax.jit, static_argnames=("precision", "want_vectors", "polish"))
+def _rr_device(H, V, locked, *, precision="highest", want_vectors=False,
+               polish=2):
     """Fully on-device RR+residuals (single program)."""
     rt = real_dtype(V.dtype)
     Q, W, A = _rr_project(H, V, locked, precision=precision)
-    ritz, Z = jnp.linalg.eigh(A)                         # ascending
+    ritz, Z = eigh_polished(A, passes=polish, precision=precision)
     ritz = ritz.real.astype(rt)
-    return _rr_finish(Q, W, V, ritz, Z, locked, precision=precision)
+    return _rr_finish(Q, W, V, ritz, Z, locked, precision=precision,
+                      want_vectors=want_vectors)
 
 
 def rayleigh_ritz_residuals(H, V, locked, *, precision="highest",
-                            small_dense="device"):
+                            small_dense="device", want_vectors=False,
+                            polish=2):
     """Project H on the active columns of V, solve, rotate, and compute
     residuals, with ``locked`` as a traced scalar.
 
@@ -119,12 +186,15 @@ def rayleigh_ritz_residuals(H, V, locked, *, precision="highest",
       ritzv:  (k,) real — positions [locked, k) hold the active Ritz values
               ascending; [0, locked) are garbage (caller keeps its own).
       resid:  (k,) real — same layout; ‖H v_j − θ_j v_j‖₂ per active column.
+      R:      (k,) residual VECTORS, same layout — only with
+              ``want_vectors=True`` (feeds the refinement filter).
     """
     if small_dense != "host":
-        return _rr_device(H, V, locked, precision=precision)
+        return _rr_device(H, V, locked, precision=precision,
+                          want_vectors=want_vectors, polish=polish)
 
     rt = real_dtype(V.dtype)
     Q, W, A = _rr_project(H, V, locked, precision=precision)
     w, Z = host_eigh_f64(np.asarray(A), rt)              # k×k device→host
     return _rr_finish(Q, W, V, jnp.asarray(w), jnp.asarray(Z), locked,
-                      precision=precision)
+                      precision=precision, want_vectors=want_vectors)

@@ -30,6 +30,7 @@ class PerfData:
     iter_count: int = 0
     iter_blocksizes: List[int] = field(default_factory=list)
     filtered_vecs: int = 0     # sum over filter HEMM calls of columns touched
+    filtered_vecs_low: int = 0  # subset filtered in a REDUCED precision (P10)
     matrix_type: int = 0       # 0 = (real)symmetric/Hermitian, 1 = pseudo-Hermitian
 
     def add_time(self, phase: str, seconds: float):
@@ -39,8 +40,22 @@ class PerfData:
         self.iter_blocksizes.append(int(block))
         self.iter_count += 1
 
-    def add_filtered_vecs(self, n: int):
+    def add_filtered_vecs(self, n: int, low: bool = False):
         self.filtered_vecs += int(n)
+        if low:
+            self.filtered_vecs_low += int(n)
+
+    def low_flop_fraction(self, N: int, lanczos_iter: int, num_lanczos: int,
+                          dtype) -> float:
+        """Fraction of the solve's analytic FLOPs executed in a REDUCED
+        precision (the mixed-precision-ladder success metric: the DP
+        north-star demands 1e-10 residuals with the bulk of FLOPs below
+        f64).  Filter FLOPs are attributed by the dtype they actually ran
+        in; every other phase is counted at the problem precision."""
+        total = self.get_flops(N, lanczos_iter, num_lanczos, dtype)
+        f = self._factor(dtype)
+        low = 2.0 * f * N * float(self.filtered_vecs_low) * N / 1e9
+        return low / total if total > 0 else 0.0
 
     # -- analytic FLOP model (performance.hpp:135-293) ---------------------
     def _factor(self, dtype) -> int:

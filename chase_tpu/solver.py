@@ -137,6 +137,35 @@ def _filter_windowed(H_f, V, degrees_act, locked, nevex, B, lam, lo, up,
     return V
 
 
+def _filter_refine_windowed(H_f, V, R, ritzv_act, degrees_act, locked, nevex,
+                            B, lam, lo, up, max_deg, precision):
+    """Deviation-form refinement filter on the padded active window.
+
+    Applies the SAME polynomial as _filter_windowed but factored as
+    y = p(λ_j)v_j + [p(Hs) − p(λs_j)]v_j with the bracket recurrence running
+    in H_f's fast dtype and seeded by the f64 RR residual vectors R — the
+    mixed-precision ladder that reaches 1e-10 with the FLOPs staying low
+    precision (see ops/filter.chebyshev_filter_refine).
+    """
+    w = nevex - locked
+    w_pad = min(nevex, -(-w // B) * B)
+    start = nevex - w_pad
+    offset = locked - start
+    deg_win = np.zeros(w_pad, np.int32)
+    deg_win[offset:] = degrees_act
+    ritz_win = np.zeros(w_pad, np.float64)
+    ritz_win[offset:] = ritzv_act
+    deg_max = int(deg_win.max())
+    alpha1_e, alphas, betas, inj, p_final = filt.refine_tables(
+        ritz_win, deg_win, lam, lo, up, max_deg)
+    X = _slice_cols(V, jnp.int32(start), w_pad)
+    Rw = _slice_cols(R, jnp.int32(start), w_pad)
+    Y = filt.chebyshev_filter_refine(
+        H_f, X, Rw, jnp.asarray(deg_win), alpha1_e, alphas, betas, inj,
+        p_final, (up + lo) / 2.0, jnp.int32(deg_max), precision=precision)
+    return _update_cols(V, Y, jnp.int32(start))
+
+
 # --------------------------------------------------------------------------
 # host-side algorithm bookkeeping
 # --------------------------------------------------------------------------
@@ -384,6 +413,15 @@ def solve(op: DenseOperator, nev: int, nex: int,
     iteration = 0
     early_all: list = []
 
+    # Deviation-form refinement eligibility (the mixed-precision ladder):
+    # DP problems with mixed_precision keep the filter FLOPs in f32/c64
+    # forever; f32 problems with the bf16 rung keep them in bf16.  Needs
+    # Ritz values + residual vectors, so it engages from iteration 1.
+    refine_capable = rcfg.refine_filter and (
+        (not is_sp and rcfg.mixed_precision)
+        or (is_sp and rcfg.bf16_filter and not is_complex_dtype(op.dtype)))
+    R_prev = None              # (N, nevex) RR residual vectors, problem dtype
+
     resid_file = None
     if rcfg.save_residuals:
         # per-iteration residual history CSV (CHASE_SAVE_RESIDUALS,
@@ -416,6 +454,8 @@ def solve(op: DenseOperator, nev: int, nex: int,
                 full_perm = np.concatenate(
                     [np.arange(locked), locked + perm])
                 V = _permute_cols(V, jnp.asarray(full_perm))
+                if R_prev is not None:
+                    R_prev = _permute_cols(R_prev, jnp.asarray(full_perm))
 
         # -- filter (algorithm.inc:1546) --
         B = _col_block(rcfg.col_block, nevex)
@@ -438,9 +478,16 @@ def solve(op: DenseOperator, nev: int, nex: int,
         use_bf16 = (rcfg.bf16_filter and is_sp and locked < nev
                     and not is_complex_dtype(op.dtype)
                     and min_resid > rcfg.bf16_filter_threshold * spec_scale)
+        use_refine = refine_capable and R_prev is not None
         H_f = op.H
         f_precision = precision
-        if use_bf16:
+        if use_refine:
+            # deviation-form ladder: fast-dtype recurrence, f64-residual
+            # injection — no threshold, never hands back to the slow dtype
+            use_low = use_bf16 = False
+            H_f = op.H_low
+            f_precision = "default" if is_sp else precision
+        elif use_bf16:
             H_f = op.H_low           # bf16 shadow of the f32 operator
             f_precision = "default"
         elif use_low:
@@ -448,7 +495,11 @@ def solve(op: DenseOperator, nev: int, nex: int,
                 f_precision = "high"
             else:
                 H_f = op.H_low
-        if (rcfg.ring_filter and op.grid is not None
+        if use_refine:
+            V = _filter_refine_windowed(
+                H_f, V, R_prev, ritzv[act], degrees[act], locked, nevex, B,
+                lam_filter, lowerb, upperb, rcfg.max_deg, f_precision)
+        elif (rcfg.ring_filter and op.grid is not None
                 and op.grid.shape.get("c", 1) == 1
                 and op.grid.shape.get("r", 1) > 1
                 and H_f.dtype == V.dtype):  # ring carries scalars in H dtype
@@ -466,7 +517,8 @@ def solve(op: DenseOperator, nev: int, nex: int,
                                  lam_filter, lowerb, upperb, op.real_dtype,
                                  f_precision)
         if perf is not None:
-            perf.add_filtered_vecs(int(np.sum(degrees[act])))
+            perf.add_filtered_vecs(int(np.sum(degrees[act])),
+                                   low=use_refine or use_bf16 or use_low)
             perf.add_iter_blocksize(unconverged)
         t0 = toc("Filter", t0, V)
 
@@ -482,17 +534,49 @@ def solve(op: DenseOperator, nev: int, nex: int,
         if not np.isfinite(cond):
             cond = np.finfo(np.float64).max
 
-        # -- QR --
-        V = qrops.orthonormalize(V, locked, cond, rcfg, op.grid,
-                                 small_dense=qr_backend)
+        # -- QR + RR, shrunk to the padded active window once columns lock
+        # (reference shrinks every post-filter phase, algorithm.inc:1712-18;
+        # window widths reuse the filter's B buckets → bounded programs) --
+        w_pad_rr = min(nevex, -(-(nevex - locked) // B) * B)
+        win_start = nevex - w_pad_rr
+        use_window = rcfg.shrink_subspace and win_start > 0
+
+        if use_window:
+            V = qrops.orthonormalize_window(V, win_start, w_pad_rr, locked,
+                                            cond, rcfg, op.grid,
+                                            small_dense=qr_backend)
+        else:
+            V = qrops.orthonormalize(V, locked, cond, rcfg, op.grid,
+                                     small_dense=qr_backend)
         t0 = toc("Qr", t0, V)
 
         # -- RR + residuals (fused) --
-        V, ritz_dev, resid_dev = rrops.rayleigh_ritz_residuals(
-            op.H, V, jnp.int32(locked), precision=precision,
-            small_dense=small_dense)
-        ritzv[act] = np.asarray(ritz_dev, np.float64)[act]
-        resid[act] = np.asarray(resid_dev, np.float64)[act]
+        if use_window:
+            Vw = _slice_cols(V, jnp.int32(win_start), w_pad_rr)
+            rr_out = rrops.rayleigh_ritz_residuals(
+                op.H, Vw, jnp.int32(locked - win_start), precision=precision,
+                small_dense=small_dense, want_vectors=refine_capable)
+            if refine_capable:
+                Vw, ritz_dev, resid_dev, Rw = rr_out
+                if R_prev is None:
+                    R_prev = jnp.zeros_like(V)
+                R_prev = _update_cols(R_prev, Rw, jnp.int32(win_start))
+            else:
+                Vw, ritz_dev, resid_dev = rr_out
+            V = _update_cols(V, Vw, jnp.int32(win_start))
+            lw = locked - win_start
+            ritzv[act] = np.asarray(ritz_dev, np.float64)[lw:]
+            resid[act] = np.asarray(resid_dev, np.float64)[lw:]
+        else:
+            rr_out = rrops.rayleigh_ritz_residuals(
+                op.H, V, jnp.int32(locked), precision=precision,
+                small_dense=small_dense, want_vectors=refine_capable)
+            if refine_capable:
+                V, ritz_dev, resid_dev, R_prev = rr_out
+            else:
+                V, ritz_dev, resid_dev = rr_out
+            ritzv[act] = np.asarray(ritz_dev, np.float64)[act]
+            resid[act] = np.asarray(resid_dev, np.float64)[act]
         t0 = toc("Rr", t0, V)
 
         if resid_file is not None:
@@ -510,6 +594,8 @@ def solve(op: DenseOperator, nev: int, nex: int,
         if new_converged and not np.array_equal(perm, np.arange(unconverged)):
             full_perm = np.concatenate([np.arange(locked), locked + perm])
             V = _permute_cols(V, jnp.asarray(full_perm))
+            if R_prev is not None:
+                R_prev = _permute_cols(R_prev, jnp.asarray(full_perm))
         locked += new_converged
         unconverged -= new_converged
         iteration += 1

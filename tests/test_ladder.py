@@ -1,0 +1,133 @@
+"""DP-tolerance (1e-10) mixed-precision ladder tests.
+
+The reference's default DP tolerance is 1e-10 (algorithm/configuration.hpp:
+53-62) and its mixed-precision mode switches the filter back to DP once
+residuals drop below 1e-3 (Impl/chase_cpu/chase_cpu.hpp:384-447).  chase_tpu
+instead keeps the filter in the fast dtype forever via the deviation-form
+refinement (ops/filter.chebyshev_filter_refine): these tests assert the
+1e-10 convergence AND that the bulk (>=80%) of the solve's FLOPs stayed in
+reduced precision — the TPU north-star requirement (BASELINE.md).
+
+Also regression-tests ops/rr.eigh_polished: XLA's native symmetric
+eigensolver returns eigenvectors with ~1e-6 relative residual, which made
+tight-tolerance solves plateau and bounce before round 2.
+"""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+import chase_tpu
+from chase_tpu.models import clement
+from chase_tpu.ops import filter as filt
+from chase_tpu.ops.rr import eigh_polished
+
+
+def _perturbed_clement(N, dtype, seed=0):
+    rng = np.random.default_rng(seed)
+    H = clement(N)
+    E = rng.standard_normal((N, N))
+    if np.issubdtype(np.dtype(dtype), np.complexfloating):
+        E = E + 1j * rng.standard_normal((N, N))
+    return (H + 1e-6 * (E + E.conj().T) / 2).astype(dtype)
+
+
+@pytest.mark.parametrize("dtype", [np.float64, np.complex128],
+                         ids=["f64", "c128"])
+def test_ladder_reaches_1e10_with_low_precision_flops(dtype):
+    """tol=1e-10 solve with mixed_precision: converges with >=80% of the
+    analytic FLOPs in f32/c64 (the deviation-form refinement filter)."""
+    N, nev, nex = 256, 24, 16
+    H = _perturbed_clement(N, dtype)
+    cfg = chase_tpu.ChaseConfig(mixed_precision=True)
+    res = chase_tpu.eigsh(H, nev, nex, tol=1e-10, config=cfg,
+                          collect_perf=True)
+    assert res.converged
+    assert res.resid.max() <= 1e-9   # early-lock can leave a few just above
+    # true residuals against the full-precision matrix
+    V = np.asarray(res.V)[:, :nev]
+    R = H @ V - V * res.ritzv[None, :].astype(V.dtype)
+    assert np.linalg.norm(R, axis=0).max() < 5e-9
+    exact = np.linalg.eigvalsh(H)[:nev]
+    np.testing.assert_allclose(res.ritzv, exact, atol=1e-9)
+    rcfg = cfg.resolve(np.dtype(dtype))
+    frac = res.perf.low_flop_fraction(N, rcfg.lanczos_iter, 4, dtype)
+    assert frac >= 0.80, f"only {frac:.0%} of FLOPs were low-precision"
+
+
+def test_ladder_matches_pure_f64_iterations():
+    """The refinement ladder must not pay recovery iterations: same
+    iteration count (+1 tolerance) as the pure-f64 solve."""
+    N, nev, nex = 256, 24, 16
+    H = _perturbed_clement(N, np.float64)
+    r64 = chase_tpu.eigsh(H, nev, nex, tol=1e-10)
+    rlad = chase_tpu.eigsh(H, nev, nex, tol=1e-10,
+                           config=chase_tpu.ChaseConfig(mixed_precision=True))
+    assert r64.converged and rlad.converged
+    assert rlad.iterations <= r64.iterations + 1
+
+
+def test_refine_filter_algebraic_equivalence():
+    """Deviation form must reproduce the direct filter exactly in f64
+    (it is the same polynomial, differently factored)."""
+    rng = np.random.default_rng(1)
+    N, w = 120, 8
+    A = rng.standard_normal((N, N)); H = (A + A.T) / 2
+    V = rng.standard_normal((N, w))
+    V /= np.linalg.norm(V, axis=0)
+    lam_col = rng.uniform(-5, 5, w)
+    R = H @ V - V * lam_col[None, :]
+    degrees = np.array([4, 6, 8, 8, 10, 12, 0, 8], np.int32)
+    lam1, lo, up = -6.0, -2.0, 12.0
+    H64, V64, R64 = jnp.asarray(H), jnp.asarray(V), jnp.asarray(R)
+    a1e, al, be, inj, pf = filt.refine_tables(lam_col, degrees, lam1, lo,
+                                              up, 36)
+    Yr = filt.chebyshev_filter_refine(
+        H64, V64, R64, jnp.asarray(degrees), a1e, al, be, inj, pf,
+        (up + lo) / 2.0, int(degrees.max()), precision="highest")
+    Yd = filt.chebyshev_filter(H64, V64, jnp.asarray(degrees), lam1, lo, up,
+                               int(degrees.max()), precision="highest")
+    nrm = np.linalg.norm(np.asarray(Yd), axis=0)
+    err = np.abs(np.asarray(Yd) - np.asarray(Yr)).max(axis=0)
+    assert (err / np.maximum(nrm, 1e-30)).max() < 1e-12
+    # degree-0 column untouched
+    np.testing.assert_array_equal(np.asarray(Yr)[:, 6], V[:, 6])
+
+
+@pytest.mark.parametrize("herm", ["real", "complex"], ids=["sym", "herm"])
+def test_eigh_polished_reaches_lapack_quality(herm):
+    """eigh_polished must deliver eigenvector residuals ~1e-12-relative
+    where the raw backend eigh floors at ~1e-6-relative."""
+    rng = np.random.default_rng(7)
+    k = 48
+    A = rng.standard_normal((k, k))
+    if herm == "complex":
+        A = A + 1j * rng.standard_normal((k, k))
+    A = (A + A.conj().T) / 2 * 100.0
+    w, Z = eigh_polished(jnp.asarray(A), passes=2)
+    w, Z = np.asarray(w), np.asarray(Z)
+    r = np.linalg.norm(A @ Z - Z * w[None, :], axis=0).max()
+    o = np.abs(Z.conj().T @ Z - np.eye(k)).max()
+    nrm = np.linalg.norm(A, 2)
+    assert r / nrm < 1e-11
+    assert o < 1e-11
+    assert np.all(np.diff(w) >= 0)          # still ascending
+    np.testing.assert_allclose(w, np.linalg.eigvalsh(A), atol=1e-10 * nrm)
+
+
+def test_eigh_polished_degenerate_cluster_safe():
+    """Exactly- and nearly-degenerate eigenvalues must not destabilize the
+    polish (clustered pairs only get the orthogonality half-update)."""
+    rng = np.random.default_rng(9)
+    k = 60
+    Q, _ = np.linalg.qr(rng.standard_normal((k, k)))
+    vals = np.concatenate([[1.0, 1.0, 1.0 + 1e-14, 1.0 + 1e-9, 2.0],
+                           rng.uniform(3, 100, k - 5)])
+    B = (Q * vals) @ Q.T
+    B = (B + B.T) / 2
+    w, Z = eigh_polished(jnp.asarray(B), passes=2)
+    w, Z = np.asarray(w), np.asarray(Z)
+    r = np.linalg.norm(B @ Z - Z * w[None, :], axis=0).max()
+    o = np.abs(Z.T @ Z - np.eye(k)).max()
+    assert r / 100.0 < 1e-10
+    assert o < 1e-10
