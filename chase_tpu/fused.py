@@ -120,32 +120,47 @@ def solve_fused(H, V0, *, nev, nex, tol, deg0, max_deg, deg_extra=2,
                      and not jnp.issubdtype(H.dtype, jnp.complexfloating))
     H_bf = H.astype(jnp.bfloat16) if use_bf16_rung else None
 
-    def gram_qr(V, shift_on):
-        """shifted CholQR (cholqr_passes rounds) + Householder rescue."""
-        ok = jnp.bool_(True)
-        Q = V
-        for p in range(cholqr_passes):
-            G = jnp.matmul(Q.conj().T, Q, precision=precision)
-            if p == 0:
-                nrmf = jnp.sum(jnp.abs(jnp.diagonal(G).real))
-                coef = np.sqrt(N) if not is_sp else 10.0
-                shift = jnp.where(shift_on,
-                                  coef * np.finfo(np.dtype(rt)).eps * nrmf,
-                                  jnp.zeros((), rt))
-                G = G + shift.astype(G.dtype) * jnp.eye(k, dtype=G.dtype)
-            L = jnp.linalg.cholesky(G)
-            p_ok = jnp.isfinite(L.real).all()
-            ok = ok & p_ok
-            L = jnp.where(p_ok, L, jnp.eye(k, dtype=G.dtype))
-            Q = jax.lax.linalg.triangular_solve(
-                L, Q, left_side=False, lower=True, transpose_a=True,
-                conjugate_a=True)
+    def _qr_pass(Q, use_shift):
+        """One CholQR round (optionally diagonally shifted)."""
+        G = jnp.matmul(Q.conj().T, Q, precision=precision)
+        nrmf = jnp.sum(jnp.abs(jnp.diagonal(G).real))
+        coef = np.sqrt(N) if not is_sp else 10.0
+        shift = jnp.where(use_shift,
+                          coef * np.finfo(np.dtype(rt)).eps * nrmf,
+                          jnp.zeros((), rt))
+        G = G + shift.astype(G.dtype) * jnp.eye(k, dtype=G.dtype)
+        L = jnp.linalg.cholesky(G)
+        p_ok = jnp.isfinite(L.real).all()
+        L = jnp.where(p_ok, L, jnp.eye(k, dtype=G.dtype))
+        Q = jax.lax.linalg.triangular_solve(
+            L, Q, left_side=False, lower=True, transpose_a=True,
+            conjugate_a=True)
+        return Q, p_ok
+
+    def gram_qr(V, shift_on, n_passes=None):
+        """Cond-driven CholQR: pass 0 always (shifted when shift_on), passes
+        2..cholqr_passes behind ``lax.cond`` so a well-conditioned block pays
+        for ONE Gram+trsm — the reference picks cholQR1/2/shifted by the
+        condition estimate (Impl/chase_cpu/chase_cpu.hpp:649-723); here the
+        selection is in-graph (one compiled program) and skipped passes
+        genuinely skip their FLOPs.  Householder rescue on breakdown."""
+        Q, ok = _qr_pass(V, shift_on)
+        if n_passes is None:
+            n_passes = jnp.int32(cholqr_passes)
+
+        def _more(qo):
+            q2, o2 = _qr_pass(qo[0], jnp.bool_(False))
+            return q2, qo[1] & o2
+
+        for p in range(2, cholqr_passes + 1):
+            Q, ok = jax.lax.cond(n_passes >= p, _more, lambda qo: qo,
+                                 (Q, ok))
         Q = jax.lax.cond(ok, lambda q: q,
                          lambda q: jnp.linalg.qr(q, mode="reduced")[0], Q)
         return Q
 
     # ---- init: orthonormalize V0 -----------------------------------------
-    V = gram_qr(V0.astype(H.dtype), jnp.bool_(False))
+    V = gram_qr(V0.astype(H.dtype), jnp.bool_(False), jnp.int32(2))
 
     # ---- Lanczos + DoS (device) -------------------------------------------
     m = max(2, min(k, N // 2, lanczos_iter) - (min(k, N // 2, lanczos_iter) % 2))
@@ -335,7 +350,14 @@ def solve_fused(H, V0, *, nev, nex, tol, deg0, max_deg, deg_extra=2,
         dmin = jnp.where(active, degrees, max_deg + 2).min()
         logcond = dmin * jnp.log(rhok) + (dmax - dmin) * jnp.log(rho1)
         shift_on = logcond > np.log(cond_shift_threshold)
-        Q = gram_qr(Vf, shift_on)
+        # cond-driven pass count (chase_cpu.hpp:649-723): 1 pass for a
+        # well-conditioned filtered block, 2 mid-range, cholqr_passes when
+        # shifted — selected in-graph, skipped passes skip their FLOPs
+        chol1_thld = 2e1 if not is_sp else 1e1
+        n_passes = jnp.where(shift_on, jnp.int32(cholqr_passes),
+                             jnp.where(logcond < np.log(chol1_thld),
+                                       jnp.int32(1), jnp.int32(2)))
+        Q = gram_qr(Vf, shift_on, n_passes)
         V = jnp.where(active[None, :], Q, V)    # keep locked columns
 
         # -- RR + residuals (masked full width) --
