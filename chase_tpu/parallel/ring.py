@@ -29,7 +29,7 @@ import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 from jax import shard_map
 
-__all__ = ["ring_hemm", "chebyshev_filter_ring"]
+__all__ = ["ring_hemm", "chebyshev_filter_ring", "chebyshev_filter_ring2d"]
 
 
 def ring_hemm(grid, H, V, *, axis: str = "r", precision="highest"):
@@ -74,6 +74,144 @@ def ring_hemm(grid, H, V, *, axis: str = "r", precision="highest"):
     return fn(H, V)
 
 
+def chebyshev_filter_ring2d(grid, H, X, degrees, lam1, lower, upper, deg_max,
+                            *, precision="highest"):
+    """Chebyshev filter as a 2D ping-pong collective matmul (P4 + P11).
+
+    TPU realization of the reference's transpose-free bAc/cAb HEMM
+    alternation (Impl/pchase_cpu/pchase_cpu.hpp:407; nccl/hemm.hpp:95-266
+    dual-stream overlap): with H in P('r','c') tiles and V fully row-sharded
+    in N/(r·c) chunks, the recurrence alternates between two parities
+
+      A (chunks c-major, ``P(('c','r'))``):  H[i,j] needs exactly the chunks
+        held by its own mesh COLUMN — ring over 'r', local (N/r, nch)·
+        (nch, k) dots, psum_scatter over 'c' → parity B;
+      B (chunks r-major, ``P(('r','c'))``):  Hermiticity gives W = HᴴV, so
+        (H[i,j])ᴴ needs the chunks held by its own mesh ROW — ring over 'c',
+        psum_scatter over 'r' → parity A.
+
+    No all-gather ever materializes V: per step each device moves
+    (p_ring−1)·N·k/(r·c) ring traffic + one chunk hop for the diagonal-shift
+    term, all overlappable with the local dots.  V is also never replicated
+    (memory win over the GSPMD P('r') layout).  Degree-retired columns are
+    carried through each step by a parity FLIP (a fixed transpose ppermute,
+    content-preserving) so the whole block exits in parity A regardless of
+    the per-column degrees.
+
+    Mixed precision: H may be the f32/bf16 shadow; the recurrence carry
+    follows ``filter_carry_dtype`` with reduced-input matmuls accumulating
+    in the carry dtype.
+
+    Requires N divisible by r·c.  Semantics identical to
+    ops.filter.chebyshev_filter.
+    """
+    from ..types import filter_carry_dtype, real_dtype as _rdt
+
+    mesh = grid.mesh
+    pr = mesh.shape["r"]
+    pc = mesh.shape["c"]
+    out_dtype = X.dtype
+    carry = filter_carry_dtype(H.dtype, X.dtype)
+    rt = _rdt(carry)
+
+    lam1 = jnp.asarray(lam1, rt)
+    lower = jnp.asarray(lower, rt)
+    upper = jnp.asarray(upper, rt)
+    c = (upper + lower) / 2
+    e = (upper - lower) / 2
+    sigma1 = e / (lam1 - c)
+    deg_max = jnp.asarray(deg_max, jnp.int32)
+    # fixed transpose permutations between the two chunk orders
+    # (linearized over ('r','c'): device (i,j) ↔ i·pc + j)
+    flip_a2b = [(i * pc + j, j * pr + i)
+                for i in range(pr) for j in range(pc)]
+    flip_b2a = [(m, (m % pr) * pc + (m // pr)) for m in range(pr * pc)]
+
+    def _mm(h_blk, v):
+        if h_blk.dtype != v.dtype:
+            return jnp.matmul(h_blk, v.astype(h_blk.dtype),
+                              precision=precision,
+                              preferred_element_type=v.dtype)
+        return jnp.matmul(h_blk, v, precision=precision)
+
+    def local(h, x, degs):
+        nch = x.shape[0]                      # N/(r·c)
+        k = x.shape[1]
+        i = jax.lax.axis_index("r")
+        j = jax.lax.axis_index("c")
+        x = x.astype(carry)
+
+        def ring_A(v):
+            """parity A → partial W rows-block i, scattered over 'c' → B."""
+            def step(s, st):
+                acc, cur = st
+                nxt = jax.lax.ppermute(
+                    cur, "r", [(t, (t - 1) % pr) for t in range(pr)])
+                sub = ((i + s) % pr) * nch
+                h_blk = jax.lax.dynamic_slice(
+                    h, (jnp.int32(0), sub.astype(jnp.int32)),
+                    (h.shape[0], nch))
+                return acc + _mm(h_blk, cur), nxt
+            acc = jnp.zeros((h.shape[0], k), carry)
+            acc = jax.lax.pcast(acc, ("r", "c"), to="varying")
+            acc, _ = jax.lax.fori_loop(0, pr, step, (acc, v))
+            return jax.lax.psum_scatter(acc, "c", scatter_dimension=0,
+                                        tiled=True)
+
+        def ring_B(v):
+            """parity B → Hᴴ partial W cols-block j, scattered over 'r' → A."""
+            def step(s, st):
+                acc, cur = st
+                nxt = jax.lax.ppermute(
+                    cur, "c", [(t, (t - 1) % pc) for t in range(pc)])
+                sub = ((j + s) % pc) * nch
+                h_blk = jax.lax.dynamic_slice(
+                    h, (sub.astype(jnp.int32), jnp.int32(0)),
+                    (nch, h.shape[1]))
+                return acc + _mm(h_blk.conj().T, cur), nxt
+            acc = jnp.zeros((h.shape[1], k), carry)
+            acc = jax.lax.pcast(acc, ("r", "c"), to="varying")
+            acc, _ = jax.lax.fori_loop(0, pc, step, (acc, v))
+            return jax.lax.psum_scatter(acc, "r", scatter_dimension=0,
+                                        tiled=True)
+
+        def substep(t, Xp, Yc, sigma, ring, flip_perm):
+            """One recurrence step Yc(P_in) → Z(P_out); frozen columns are
+            parity-FLIPPED so they track the block's current parity."""
+            flipped = jax.lax.ppermute(Yc, ("r", "c"), flip_perm)
+            w = ring(Yc)
+            sigma_new = 1.0 / (2.0 / sigma1 - sigma)
+            Z = (2.0 * sigma_new / e) * (w - c * flipped) \
+                - (sigma * sigma_new) * Xp
+            Z = jnp.where(degs[None, :] >= t, Z, flipped)
+            return Z, sigma_new
+
+        # step 1 (A→B): Y = (σ1/e)(H − c)x, frozen cols flipped to B
+        flipped0 = jax.lax.ppermute(x, ("r", "c"), flip_a2b)
+        w0 = ring_A(x)
+        Y = (sigma1 / e) * (w0 - c * flipped0)
+        Y = jnp.where(degs[None, :] >= 1, Y, flipped0)
+
+        # pairs of steps (B→A then A→B) keep the loop body parity-static;
+        # a trailing padded step beyond deg_max is an all-frozen pure flip
+        def pair(s, st):
+            Xp, Yc, sigma = st
+            t2 = 2 + 2 * s
+            Z2, sigma = substep(t2, Xp, Yc, sigma, ring_B, flip_b2a)
+            Z3, sigma = substep(t2 + 1, Yc, Z2, sigma, ring_A, flip_a2b)
+            return (Z2, Z3, sigma)
+
+        n_pairs = deg_max // 2
+        _, Y, _ = jax.lax.fori_loop(0, n_pairs, pair, (x, Y, sigma1))
+        # block always ends in parity B (see pairing analysis) → flip home
+        return jax.lax.ppermute(Y, ("r", "c"), flip_b2a).astype(out_dtype)
+
+    fn = shard_map(local, mesh=mesh,
+                   in_specs=(P("r", "c"), P(("c", "r"), None), P()),
+                   out_specs=P(("c", "r"), None))
+    return fn(H, X, degrees)
+
+
 def chebyshev_filter_ring(grid, H, X, degrees, lam1, lower, upper, deg_max,
                           *, axis: str = "r", precision="highest"):
     """Chebyshev filter with the ring collective matmul as the HEMM (P11
@@ -82,11 +220,18 @@ def chebyshev_filter_ring(grid, H, X, degrees, lam1, lower, upper, deg_max,
     overlap the local dots.
 
     H in P(axis, None) (1D row stripes), X in P(axis).  Semantics identical
-    to ops.filter.chebyshev_filter.
+    to ops.filter.chebyshev_filter.  H may be a reduced-precision shadow
+    (mixed precision / bf16 rung): the recurrence carry follows
+    ``filter_carry_dtype`` with reduced-input matmuls accumulating in the
+    carry dtype, exactly like ops.filter._hemm_shift.
     """
+    from ..types import filter_carry_dtype, real_dtype as _rdt
+
     mesh = grid.mesh
     p = mesh.shape[axis]
-    rt = jnp.asarray(0.0, H.real.dtype).dtype
+    out_dtype = X.dtype
+    carry_dt = filter_carry_dtype(H.dtype, X.dtype)
+    rt = _rdt(carry_dt)
 
     lam1 = jnp.asarray(lam1, rt)
     lower = jnp.asarray(lower, rt)
@@ -99,6 +244,7 @@ def chebyshev_filter_ring(grid, H, X, degrees, lam1, lower, upper, deg_max,
     def local(h, x, degs):
         n_loc = x.shape[0]
         me = jax.lax.axis_index(axis)
+        x = x.astype(carry_dt)
 
         def ring_dot(v):
             def step(s, carry):
@@ -109,9 +255,14 @@ def chebyshev_filter_ring(grid, H, X, degrees, lam1, lower, upper, deg_max,
                 h_blk = jax.lax.dynamic_slice(
                     h, (jnp.int32(0), (src * n_loc).astype(jnp.int32)),
                     (h.shape[0], n_loc))
-                acc = acc + jnp.matmul(h_blk, cur, precision=precision)
+                if h_blk.dtype != v.dtype:
+                    acc = acc + jnp.matmul(h_blk, cur.astype(h_blk.dtype),
+                                           precision=precision,
+                                           preferred_element_type=v.dtype)
+                else:
+                    acc = acc + jnp.matmul(h_blk, cur, precision=precision)
                 return (acc, nxt)
-            acc = jnp.zeros((h.shape[0], v.shape[1]), v.dtype)
+            acc = jnp.zeros((h.shape[0], v.shape[1]), carry_dt)
             acc = jax.lax.pcast(acc, (axis,), to="varying")
             acc, _ = jax.lax.fori_loop(0, p, step, (acc, v))
             return acc
@@ -131,7 +282,7 @@ def chebyshev_filter_ring(grid, H, X, degrees, lam1, lower, upper, deg_max,
             return (Yc, Z, sigma_new)
 
         _, Y, _ = jax.lax.fori_loop(2, deg_max + 1, body, (x, Y, sigma1))
-        return Y
+        return Y.astype(out_dtype)
 
     fn = shard_map(local, mesh=mesh,
                    in_specs=(P(axis, None), P(axis, None), P()),

@@ -51,6 +51,21 @@ from .ops.blocks import (
 )
 
 
+def _ring_mode(grid, N: int):
+    """Which explicit collective-matmul filter fits this grid: '1d' for
+    row-stripe meshes (p, 1), '2d' for r×c meshes with r·c | N, else None
+    (GSPMD windowed filter)."""
+    if grid is None:
+        return None
+    r = grid.shape.get("r", 1)
+    c = grid.shape.get("c", 1)
+    if c == 1 and r > 1 and N % r == 0:
+        return "1d"
+    if r > 1 and c > 1 and N % (r * c) == 0:
+        return "2d"
+    return None
+
+
 def _col_block(cfg_block, nevex: int) -> int:
     """Filter-window bucket width.  Each distinct window width compiles its
     own XLA program, so `None` auto-sizes to a multiple of 64 that bounds a
@@ -495,21 +510,25 @@ def solve(op: DenseOperator, nev: int, nex: int,
                 f_precision = "high"
             else:
                 H_f = op.H_low
+        ring_mode = _ring_mode(op.grid, N) if rcfg.ring_filter else None
         if use_refine:
             V = _filter_refine_windowed(
                 H_f, V, R_prev, ritzv[act], degrees[act], locked, nevex, B,
                 lam_filter, lowerb, upperb, rcfg.max_deg, f_precision)
-        elif (rcfg.ring_filter and op.grid is not None
-                and op.grid.shape.get("c", 1) == 1
-                and op.grid.shape.get("r", 1) > 1
-                and H_f.dtype == V.dtype):  # ring carries scalars in H dtype
+        elif ring_mode is not None:
             # explicit collective-matmul filter (P11): V chunks circulate
             # the ring overlapped with the local dots.  1D row-stripe
-            # meshes only (shape (p, 1)); degree masks replace windows.
-            from .parallel.ring import chebyshev_filter_ring
+            # meshes use the single-axis ring; near-square 2D meshes the
+            # ping-pong A/B-parity schedule (P4).  Degree masks replace
+            # windows; mixed-precision H shadows are supported (the carry
+            # follows filter_carry_dtype).
+            from .parallel.ring import (chebyshev_filter_ring,
+                                        chebyshev_filter_ring2d)
             deg_full = np.zeros(nevex, np.int32)
             deg_full[locked:] = degrees[act]
-            V = chebyshev_filter_ring(
+            ring_fn = (chebyshev_filter_ring if ring_mode == "1d"
+                       else chebyshev_filter_ring2d)
+            V = ring_fn(
                 op.grid, H_f, V, jnp.asarray(deg_full), lam_filter,
                 lowerb, upperb, int(deg_full.max()), precision=f_precision)
         else:

@@ -167,3 +167,136 @@ def test_combined_features_e2e():
                          v0=np.asarray(r1.V), ritzv0=r1.ritzv_full,
                          approx=True)
     assert r2.converged and r2.iterations <= r1.iterations
+
+
+# ---------------------------------------------------------------------------
+# 2D ping-pong collective matmul filter (P4 + P11 on the production mesh)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("shape", [(4, 2), (2, 4)], ids=["4x2", "2x4"])
+def test_chebyshev_filter_ring2d_matches_reference_filter(shape):
+    """The A/B-parity ping-pong filter must match ops.filter.chebyshev_filter
+    on a genuine 2D mesh, including heterogeneous degrees (parity flips of
+    frozen columns) and both odd and even max degrees."""
+    import jax
+    import jax.numpy as jnp
+    from chase_tpu.parallel.mesh import make_grid
+    from chase_tpu.parallel.ring import chebyshev_filter_ring2d
+    from chase_tpu.ops.filter import chebyshev_filter
+
+    grid = make_grid(jax.devices(), shape=shape)
+    N, k = 128, 12
+    rng = np.random.default_rng(7)
+    H = np.asarray((lambda a: (a + a.T) / 2)(rng.standard_normal((N, N))))
+    X = rng.standard_normal((N, k))
+    w = np.linalg.eigvalsh(H)
+    lam1, lo, up = w[0], w[k], w[-1]
+    for degs in ([10, 10, 10, 4, 4, 6, 0, 8, 10, 2, 10, 10],   # even max
+                 [9, 9, 3, 5, 0, 7, 9, 1, 9, 9, 9, 9]):        # odd max
+        degrees = np.asarray(degs, np.int32)
+        Hs = jax.device_put(jnp.asarray(H), grid.sharding("r", "c"))
+        Xs = jax.device_put(jnp.asarray(X), grid.sharding("r", None))
+        Yr = np.asarray(chebyshev_filter_ring2d(
+            grid, Hs, Xs, jnp.asarray(degrees), lam1, lo, up,
+            int(degrees.max())))
+        Yd = np.asarray(chebyshev_filter(
+            jnp.asarray(H), jnp.asarray(X), jnp.asarray(degrees),
+            lam1, lo, up, jnp.int32(int(degrees.max()))))
+        np.testing.assert_allclose(Yr, Yd, rtol=1e-10, atol=1e-12)
+
+
+def test_ring2d_complex_hermitian():
+    """The B-parity step uses Hermiticity (tileᴴ) — verify on complex H."""
+    import jax
+    import jax.numpy as jnp
+    from chase_tpu.parallel.mesh import make_grid
+    from chase_tpu.parallel.ring import chebyshev_filter_ring2d
+    from chase_tpu.ops.filter import chebyshev_filter
+
+    grid = make_grid(jax.devices(), shape=(2, 4))
+    N, k = 96, 8
+    rng = np.random.default_rng(8)
+    H = rng.standard_normal((N, N)) + 1j * rng.standard_normal((N, N))
+    H = (H + H.conj().T) / 2
+    X = rng.standard_normal((N, k)) + 1j * rng.standard_normal((N, k))
+    w = np.linalg.eigvalsh(H)
+    lam1, lo, up = w[0], w[k], w[-1]
+    degrees = np.full(k, 8, np.int32)
+    Hs = jax.device_put(jnp.asarray(H), grid.sharding("r", "c"))
+    Xs = jax.device_put(jnp.asarray(X), grid.sharding("r", None))
+    Yr = np.asarray(chebyshev_filter_ring2d(
+        grid, Hs, Xs, jnp.asarray(degrees), lam1, lo, up, 8))
+    Yd = np.asarray(chebyshev_filter(
+        jnp.asarray(H), jnp.asarray(X), jnp.asarray(degrees),
+        lam1, lo, up, jnp.int32(8)))
+    np.testing.assert_allclose(Yr, Yd, rtol=1e-10, atol=1e-12)
+
+
+@pytest.mark.parametrize("mode", ["1d", "2d"])
+def test_ring_mixed_precision_shadow(mode):
+    """Ring filters accept a reduced-precision H shadow (f32 H, f64 carry
+    block per filter_carry_dtype semantics: whole recurrence in f32)."""
+    import jax
+    import jax.numpy as jnp
+    from chase_tpu.parallel.mesh import make_grid
+    from chase_tpu.parallel.ring import (chebyshev_filter_ring,
+                                         chebyshev_filter_ring2d)
+    from chase_tpu.ops.filter import chebyshev_filter
+
+    shape = (8, 1) if mode == "1d" else (4, 2)
+    grid = make_grid(jax.devices(), shape=shape)
+    N, k = 128, 8
+    rng = np.random.default_rng(9)
+    H = np.asarray((lambda a: (a + a.T) / 2)(rng.standard_normal((N, N))))
+    X = rng.standard_normal((N, k))
+    w = np.linalg.eigvalsh(H)
+    lam1, lo, up = w[0], w[k], w[-1]
+    degrees = np.full(k, 8, np.int32)
+    H32 = H.astype(np.float32)
+    hshard = grid.sharding("r", None) if mode == "1d" \
+        else grid.sharding("r", "c")
+    Hs = jax.device_put(jnp.asarray(H32), hshard)
+    Xs = jax.device_put(jnp.asarray(X), grid.sharding("r", None))
+    fn = chebyshev_filter_ring if mode == "1d" else chebyshev_filter_ring2d
+    Yr = np.asarray(fn(grid, Hs, Xs, jnp.asarray(degrees),
+                       lam1, lo, up, 8))
+    assert Yr.dtype == np.float64          # cast back to the problem dtype
+    Yd = np.asarray(chebyshev_filter(
+        jnp.asarray(H32), jnp.asarray(X), jnp.asarray(degrees),
+        lam1, lo, up, jnp.int32(8)))
+    # f32 carry: agree to f32 accuracy (summation order differs)
+    scale = np.linalg.norm(Yd, axis=0).max()
+    assert np.abs(Yr - Yd).max() / scale < 1e-5
+
+
+def test_solver_ring2d_e2e():
+    """eigsh with ring_filter=True on a 4x2 mesh converges to the exact
+    Clement spectrum at DP tolerance."""
+    import jax
+    import chase_tpu
+    from chase_tpu.models import clement, clement_eigenvalues
+    grid = chase_tpu.make_grid(jax.devices(), shape=(4, 2))
+    cfg = chase_tpu.ChaseConfig(ring_filter=True)
+    res = chase_tpu.eigsh(clement(192), 12, 12, tol=1e-10, config=cfg,
+                          grid=grid)
+    assert res.converged
+    np.testing.assert_allclose(res.ritzv, clement_eigenvalues(192)[:12],
+                               atol=1e-7)
+
+
+def test_solver_ring2d_with_mixed_precision_e2e():
+    """Ring filter + mixed precision combined (the round-1 gap: the ring
+    silently disengaged when H_low was active).  refine_filter=False keeps
+    the ring path selected; with it on, the deviation filter takes
+    precedence by design."""
+    import jax
+    import chase_tpu
+    from chase_tpu.models import clement, clement_eigenvalues
+    grid = chase_tpu.make_grid(jax.devices(), shape=(4, 2))
+    cfg = chase_tpu.ChaseConfig(ring_filter=True, mixed_precision=True,
+                                refine_filter=False)
+    res = chase_tpu.eigsh(clement(192), 12, 12, tol=1e-8, config=cfg,
+                          grid=grid)
+    assert res.converged
+    np.testing.assert_allclose(res.ritzv, clement_eigenvalues(192)[:12],
+                               atol=1e-6)
