@@ -30,7 +30,7 @@ __all__ = ["eigsh", "eigsh_fused", "eigsh_pseudo",
            "estimate_spectral_bounds"]
 
 
-def _fused_small_dense(rcfg) -> str:
+def _fused_small_dense(rcfg, grid: "Optional[Grid2D]" = None) -> str:
     """Resolve small_dense for the fused (in-graph) solvers.
 
     'host' needs PJRT host callbacks (pure_callback), which some TPU
@@ -39,8 +39,20 @@ def _fused_small_dense(rcfg) -> str:
     them — so 'auto' always stays on device here; users on runtimes with
     working callbacks opt in with small_dense_backend='host'.  The host
     driver's split-sync variant (ops/rr.py) is backend-portable and keeps
-    its own auto policy."""
+    its own auto policy.
+
+    On a multi-device grid 'host' is additionally forced back to 'device':
+    pure_callback under GSPMD partitioning executes per-device against
+    device-local shards, which is unvalidated for the replicated k×k eigh —
+    use the host driver (split-sync) for host-LAPACK on grids."""
     sd = rcfg.small_dense_backend
+    if sd == "host" and grid is not None and grid.nprocs > 1:
+        from .logger import get_logger
+        get_logger().warn(
+            "small_dense='host' inside the fused solver is unsupported on "
+            "a multi-device grid (sharded pure_callback); forcing 'device'."
+            "  Use eigsh (host driver) for the split-sync host path.")
+        return "device"
     return "device" if sd == "auto" else sd
 
 
@@ -210,7 +222,7 @@ def eigsh_fused(H, nev: int, nex: Optional[int] = None, *,
         precision=rcfg.matmul_precision, inject_dos=not warm,
         bf16_filter=rcfg.bf16_filter,
         bf16_threshold=rcfg.bf16_filter_threshold,
-        small_dense=_fused_small_dense(rcfg),
+        small_dense=_fused_small_dense(rcfg, op.grid),
         probes=probes)
     ritzv = np.asarray(out["ritzv"], np.float64)
     resid = np.asarray(out["resid"], np.float64)
@@ -283,7 +295,7 @@ def eigsh_pseudo_fused(H, nev: int, nex: Optional[int] = None, *,
         num_lanczos=rcfg.num_lanczos, optimization=rcfg.optimization,
         cluster_aware=rcfg.cluster_aware_degrees,
         precision=rcfg.matmul_precision,
-        small_dense=_fused_small_dense(rcfg),
+        small_dense=_fused_small_dense(rcfg, op.grid),
         inject_dos=not warm, probes=probes)
     ritzv = np.asarray(out["ritzv"], np.float64)
     resid = np.asarray(out["resid"], np.float64)
@@ -371,6 +383,7 @@ EigshResult = SolveResult
 def estimate_spectral_bounds(H, *, num_lanczos: int = 4,
                              lanczos_iter: int = 25, nev: int = 0,
                              grid: Optional[Grid2D] = None,
+                             config: Optional[ChaseConfig] = None,
                              key=None) -> dict:
     """Standalone stochastic Lanczos + DoS spectral estimator.
 
@@ -387,14 +400,20 @@ def estimate_spectral_bounds(H, *, num_lanczos: int = 4,
     from .ops import lanczos as lz
 
     op = H if isinstance(H, DenseOperator) else DenseOperator(H, grid=grid)
+    rcfg = (config or ChaseConfig()).resolve(op.dtype)
     N = op.N
     if key is None:
-        key = jax.random.key(1337)
-    m = max(2, min(N // 2, lanczos_iter))
+        key = jax.random.key(rcfg.seed)
+    # mirror the solvers' internal estimator: even step count + configured
+    # matmul precision
+    m = min(N // 2, lanczos_iter)
+    m -= m % 2
+    m = max(m, 2)
     probes = op.place_block(jax.random.normal(key, (N, num_lanczos),
                                               dtype=op.dtype))
     alphas, betas, _ = lz.lanczos_scan(op.H, probes, m=m,
-                                       want_basis=False)
+                                       want_basis=False,
+                                       precision=rcfg.matmul_precision)
     a_np = np.asarray(alphas, np.float64)
     b_np = np.asarray(betas, np.float64)
     theta, tau, _ = lz.lanczos_tridiag_host(a_np, b_np)

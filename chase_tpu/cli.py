@@ -79,13 +79,12 @@ def main(argv=None):
     if args.mb:
         if grid is None:
             raise SystemExit("--mb (block-cyclic) requires --grid")
-        if args.pseudo:
-            raise SystemExit("--mb is not supported for pseudo-Hermitian "
-                             "solves (the row permutation would break the "
-                             "S-metric half split)")
-        from chase_tpu.parallel.layouts import BlockCyclicLayout
-        layout = BlockCyclicLayout(args.n, args.mb, grid.shape["r"],
-                                   grid.shape["c"])
+        from chase_tpu.parallel.layouts import (BlockCyclicLayout,
+                                                PseudoBlockCyclicLayout)
+        # pseudo-Hermitian uses the S-metric-preserving per-half variant
+        # (PseudoHermitianBlockCyclicMatrix analogue, distMatrix.hpp:3936)
+        cls = PseudoBlockCyclicLayout if args.pseudo else BlockCyclicLayout
+        layout = cls(args.n, args.mb, grid.shape["r"], grid.shape["c"])
 
     def get_matrix(i):
         if args.path_in:

@@ -105,7 +105,12 @@ def save_matrix_sharded(H, path: str):
     expect = N * M * dtype.itemsize
     fd = os.open(path, os.O_CREAT | os.O_WRONLY, 0o644)
     try:
-        if os.fstat(fd).st_size < expect:
+        if os.fstat(fd).st_size != expect:
+            # size to EXACTLY the matrix: an oversized pre-existing file
+            # would otherwise keep stale trailing bytes and break the
+            # byte-compatibility with save_matrix output.  Still multi-host
+            # safe: no writer ever writes beyond `expect`, so truncating
+            # down cannot drop another host's shard.
             os.ftruncate(fd, expect)
     finally:
         os.close(fd)

@@ -105,6 +105,12 @@ def cholqr_hostchol(V, *, passes=2, shifted=False, precision="highest",
     import scipy.linalg as sla
 
     in_dtype = V.dtype
+    if shifted:
+        # The explicit triangular INVERSE applied as a matmul loses more
+        # accuracy than a solve would on the badly conditioned shifted
+        # round-0 Gram; one extra unshifted cleanup pass squares that
+        # error away (CholQR's quadratic orthogonality improvement).
+        passes = max(passes, 3)
     if upcast is not None:
         # QR_DOUBLE_PRECISION upcast of the GRAM ACCUMULATION too — an f32
         # Gram of an ill-conditioned block can go numerically non-PD even

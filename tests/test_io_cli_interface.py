@@ -218,3 +218,13 @@ def test_blockcyclic_load_indivisible_shapes(tmp_path):
     Hbc, layout = cio.load_matrix_blockcyclic(p, N, np.float64, grid, mb)
     np.testing.assert_array_equal(np.asarray(Hbc),
                                   np.asarray(layout.apply(H)))
+
+
+def test_cli_pseudo_blockcyclic(capsys):
+    """--mb with --pseudo now routes through PseudoBlockCyclicLayout
+    (the round-1 hard rejection is lifted)."""
+    from chase_tpu.cli import main
+    rc = main(["--n", "128", "--nev", "6", "--nex", "6", "--pseudo",
+               "--grid", "--mb", "8", "--tol", "1e-6"])
+    assert rc == 0
+    assert "converged" in capsys.readouterr().out

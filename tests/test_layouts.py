@@ -38,3 +38,74 @@ def test_block_cyclic_solve_parity():
     V = np.asarray(layout.restore_rows(np.asarray(res.V)[:, :nev]))
     R = H @ V - V * res.ritzv[None, :]
     assert np.linalg.norm(R, axis=0).max() < 1e-7
+
+
+def test_pseudo_block_cyclic_solve_parity():
+    """PseudoBlockCyclicLayout: S-metric-preserving per-half permutation —
+    BSE solve on the permuted operator matches the unpermuted spectrum and
+    the restored eigenvectors solve the original problem."""
+    from chase_tpu.parallel.layouts import PseudoBlockCyclicLayout
+    from chase_tpu.models import random_pseudo_hermitian
+
+    N, nev, nex, mb = 128, 10, 8, 8
+    H = random_pseudo_hermitian(N, dtype=np.float64, seed=3)
+    grid = chase_tpu.make_grid()
+    layout = PseudoBlockCyclicLayout(N, mb, grid.shape["r"],
+                                     grid.shape["c"])
+    # the permutation must never cross the S halves
+    assert np.all(layout.row_perm[:N // 2] < N // 2)
+    assert np.all(layout.row_perm[N // 2:] >= N // 2)
+    Hbc = np.asarray(layout.apply(H))
+    # permuted operator retains the BSE block structure
+    n2 = N // 2
+    np.testing.assert_allclose(Hbc[n2:, n2:], -Hbc[:n2, :n2].conj(),
+                               atol=1e-14)
+    np.testing.assert_allclose(Hbc[n2:, :n2], -Hbc[:n2, n2:].conj(),
+                               atol=1e-14)
+
+    ref = chase_tpu.eigsh_pseudo(H, nev, nex, tol=1e-9)
+    res = chase_tpu.eigsh_pseudo(Hbc, nev, nex, tol=1e-9, grid=grid)
+    assert ref.converged and res.converged
+    np.testing.assert_allclose(res.ritzv, ref.ritzv, atol=1e-7)
+    V = np.asarray(layout.restore_rows(np.asarray(res.V)[:, :nev]))
+    R = H @ V - V * res.ritzv[None, :]
+    assert np.linalg.norm(R, axis=0).max() < 1e-6
+
+
+def test_block_cyclic_vector_1d_roundtrip_and_warm_start():
+    """BlockCyclicVector1D: owner-order round trip, matrix-following mode,
+    and a v0 given in block-cyclic owner order feeding a solve."""
+    from chase_tpu.parallel.layouts import BlockCyclicVector1D
+
+    N, k, mb, p = 96, 7, 8, 4
+    rng = np.random.default_rng(0)
+    V = rng.standard_normal((N, k))
+    vec = BlockCyclicVector1D(N, mb, p)
+    np.testing.assert_array_equal(
+        np.asarray(vec.from_owner_order(vec.to_owner_order(V))), V)
+    # contiguous quarter q of the owner order holds the cyclically owned rows
+    owned = np.asarray(vec.to_owner_order(np.arange(N)[:, None]))[:, 0]
+    sizes = np.bincount((np.arange(N) // mb) % p, minlength=p)
+    start = 0
+    for q in range(p):
+        got = sorted(owned[start:start + sizes[q]])
+        want = [g for g in range(N) if (g // mb) % p == q]
+        assert got == want
+        start += sizes[q]
+
+    # matrix-following mode: must equal the matrix row permutation
+    N2, mb2 = 192, 16
+    grid = chase_tpu.make_grid()
+    layout = BlockCyclicLayout(N2, mb2, grid.shape["r"], grid.shape["c"])
+    vec2 = BlockCyclicVector1D(N2, mb2, grid.shape["r"], like=layout)
+    np.testing.assert_array_equal(vec2.perm, layout.row_perm)
+
+    # e2e: v0 prepared in the matrix ownership order drives the solve
+    H = clement(N2)
+    Hbc = np.asarray(layout.apply(H))
+    v0 = rng.standard_normal((N2, 20))
+    res = chase_tpu.eigsh(Hbc, 12, 8, tol=1e-10, grid=grid,
+                          v0=np.asarray(vec2.to_owner_order(v0)))
+    assert res.converged
+    np.testing.assert_allclose(res.ritzv, clement_eigenvalues(N2)[:12],
+                               atol=1e-7)

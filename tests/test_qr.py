@@ -233,3 +233,32 @@ def test_orthonormalize_mgs_threshold():
     rcfg = ChaseConfig(mgs_qr_min_n=200).resolve(np.float64)
     out = np.asarray(orthonormalize(jnp.asarray(V), 0, 50.0, rcfg))
     assert _ortho_err(out) < 1e-11
+
+
+def test_mgs_cholqr_target_regime_tall_block():
+    """MGS-CholQR in its actual auto-trigger regime (N >= 1e5, the
+    reference's MINIMAL_N_INVOKE_MODIFIED_GRAM_SCHMIDT_QR_GPU_NCCL
+    constant): orthonormality and span preservation on a genuinely tall
+    ill-scaled block."""
+    import jax.numpy as jnp
+    from chase_tpu.ops.qr import mgs_cholqr, orthonormalize
+    from chase_tpu.config import ChaseConfig
+
+    N, k = 120_000, 24
+    rng = np.random.default_rng(11)
+    V = rng.standard_normal((N, k))
+    # ill-scaled columns (cond ~ 1e6) stress the Gram accumulation
+    V *= np.logspace(0, -6, k)[None, :]
+    Q, ok = mgs_cholqr(jnp.asarray(V), precision="highest")
+    assert bool(ok)
+    Q = np.asarray(Q)
+    assert np.abs(Q.T @ Q - np.eye(k)).max() < 5e-13
+    # span preserved: projecting V onto Q loses nothing
+    resid = V - Q @ (Q.T @ V)
+    assert np.linalg.norm(resid) / np.linalg.norm(V) < 1e-10
+
+    # the driver auto-routes to MGS at this N (chase_tpu extension; the
+    # reference defines the constant but never calls the kernel)
+    rcfg = ChaseConfig().resolve(np.float64)
+    Q2 = np.asarray(orthonormalize(jnp.asarray(V), 0, 5.0, rcfg))
+    assert np.abs(Q2.T @ Q2 - np.eye(k)).max() < 5e-13
