@@ -35,11 +35,24 @@ def init_grid(shape: Optional[tuple[int, int]] = None,
     from the metadata server; other clusters pass ``coordinator`` plus the
     JAX_PROCESS_COUNT/JAX_PROCESS_INDEX envs.
     """
-    if _needs_distributed() and jax.process_count() == 1:
+    if _needs_distributed() or coordinator:
+        # Decide from ENV ONLY: probing jax.process_count() here would
+        # initialize the XLA backend and make distributed.initialize
+        # impossible (it must run before any backend touch).
         kwargs = {}
         if coordinator:
             kwargs["coordinator_address"] = coordinator
-        jax.distributed.initialize(**kwargs)
+        # explicit size/rank envs for clusters jax cannot auto-detect
+        # (SLURM/OMPI are auto-detected; plain ssh launches are not)
+        if os.environ.get("JAX_NUM_PROCESSES"):
+            kwargs["num_processes"] = int(os.environ["JAX_NUM_PROCESSES"])
+        if os.environ.get("JAX_PROCESS_ID"):
+            kwargs["process_id"] = int(os.environ["JAX_PROCESS_ID"])
+        try:
+            jax.distributed.initialize(**kwargs)
+        except RuntimeError as e:
+            if "already" not in str(e).lower():
+                raise          # re-init on an already-running client is fine
     return make_grid(shape=shape)
 
 
