@@ -137,30 +137,28 @@ def solve_fused(H, V0, *, nev, nex, tol, deg0, max_deg, deg_extra=2,
             conjugate_a=True)
         return Q, p_ok
 
-    def gram_qr(V, shift_on, n_passes=None):
-        """Cond-driven CholQR: pass 0 always (shifted when shift_on), passes
-        2..cholqr_passes behind ``lax.cond`` so a well-conditioned block pays
-        for ONE Gram+trsm — the reference picks cholQR1/2/shifted by the
-        condition estimate (Impl/chase_cpu/chase_cpu.hpp:649-723); here the
-        selection is in-graph (one compiled program) and skipped passes
-        genuinely skip their FLOPs.  Householder rescue on breakdown."""
+    def gram_qr(V, shift_on):
+        """Static shifted-CholQR chain (cholqr_passes rounds, shift only on
+        round 0 when shift_on) + in-graph Householder rescue.
+
+        MEASURED NEGATIVE RESULT (round 2): selecting the pass count
+        in-graph with ``lax.cond`` (the reference's cholQR1/2/shifted
+        selection, chase_cpu.hpp:649-723) made the whole solve 3.8x SLOWER
+        on the v5e (N=8192/k=768: 10.8 s vs 2.8 s TTS) — conditionals
+        inside the solve while_loop serialize XLA's schedule and cost far
+        more than the skipped Gram+trsm rounds save (a k×k Gram is <1% of
+        an iteration's FLOPs).  The host driver keeps the cond-driven
+        selection where it belongs: in host control flow."""
         Q, ok = _qr_pass(V, shift_on)
-        if n_passes is None:
-            n_passes = jnp.int32(cholqr_passes)
-
-        def _more(qo):
-            q2, o2 = _qr_pass(qo[0], jnp.bool_(False))
-            return q2, qo[1] & o2
-
-        for p in range(2, cholqr_passes + 1):
-            Q, ok = jax.lax.cond(n_passes >= p, _more, lambda qo: qo,
-                                 (Q, ok))
+        for _ in range(2, cholqr_passes + 1):
+            Q, o2 = _qr_pass(Q, jnp.bool_(False))
+            ok = ok & o2
         Q = jax.lax.cond(ok, lambda q: q,
                          lambda q: jnp.linalg.qr(q, mode="reduced")[0], Q)
         return Q
 
     # ---- init: orthonormalize V0 -----------------------------------------
-    V = gram_qr(V0.astype(H.dtype), jnp.bool_(False), jnp.int32(2))
+    V = gram_qr(V0.astype(H.dtype), jnp.bool_(False))
 
     # ---- Lanczos + DoS (device) -------------------------------------------
     m = max(2, min(k, N // 2, lanczos_iter) - (min(k, N // 2, lanczos_iter) % 2))
@@ -350,14 +348,7 @@ def solve_fused(H, V0, *, nev, nex, tol, deg0, max_deg, deg_extra=2,
         dmin = jnp.where(active, degrees, max_deg + 2).min()
         logcond = dmin * jnp.log(rhok) + (dmax - dmin) * jnp.log(rho1)
         shift_on = logcond > np.log(cond_shift_threshold)
-        # cond-driven pass count (chase_cpu.hpp:649-723): 1 pass for a
-        # well-conditioned filtered block, 2 mid-range, cholqr_passes when
-        # shifted — selected in-graph, skipped passes skip their FLOPs
-        chol1_thld = 2e1 if not is_sp else 1e1
-        n_passes = jnp.where(shift_on, jnp.int32(cholqr_passes),
-                             jnp.where(logcond < np.log(chol1_thld),
-                                       jnp.int32(1), jnp.int32(2)))
-        Q = gram_qr(Vf, shift_on, n_passes)
+        Q = gram_qr(Vf, shift_on)
         V = jnp.where(active[None, :], Q, V)    # keep locked columns
 
         # -- RR + residuals (masked full width) --
