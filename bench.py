@@ -115,8 +115,10 @@ def _filter_sweep(matvec_of, dtype):
                 return (Yc, Z, sigma_new)
 
             _, Y, _ = jax.lax.fori_loop(2, DEG + 1, body, (V, Y, sigma1))
-            nrm = jnp.linalg.norm(Y.astype(jnp.float32)) + 1.0
-            return (Y / nrm.astype(Y.dtype)).astype(dtype)
+            # abs() first: complex sweeps must renormalize by the full
+            # modulus, not the real part
+            nrm = jnp.linalg.norm(jnp.abs(Y).astype(jnp.float32)) + 1.0
+            return (Y / nrm.astype(Y.real.dtype)).astype(dtype)
 
         return sweep
 

@@ -53,7 +53,10 @@ COLLECTIVES = ("collective-permute", "all-gather", "all-reduce",
 
 
 def collective_counts(hlo_text: str):
-    return {c: len(re.findall(rf"{c}[.\" (]", hlo_text)) for c in COLLECTIVES}
+    # match sync ops AND the async thunk forms (all-gather-start/-done);
+    # count -start only once so async ops are not double-counted
+    return {c: len(re.findall(rf"{c}(?:-start)?[.\" (]", hlo_text))
+            for c in COLLECTIVES}
 
 
 def analyze(shape, N, k, deg):

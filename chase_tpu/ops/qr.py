@@ -338,11 +338,17 @@ def orthonormalize_window(V, start, w_pad, locked, cond, rcfg, grid=None,
             Q, ok = cholqr(W, passes=passes, shifted=shifted,
                            precision=precision, upcast=upcast)
     if bool(ok):
-        # BCGS2 second sweep: re-project + one CholQR pass
+        # BCGS2 second sweep: re-project + re-orthonormalize.  Honor the
+        # user's CholQR opt-out (CHASE_DISABLE_CHOLQR / --qr H) here too —
+        # the TSQR window variant must stay Cholesky-free end to end.
         Q = _project_against_locked(V, Q, jnp.int32(start),
                                     precision=precision)
-        Q, ok2 = cholqr(Q, passes=1, precision=precision, upcast=upcast)
-        ok = bool(ok2)
+        if (not rcfg.cholqr) and cond != 1.0:
+            Q = tsqr(Q, grid=grid, upcast=upcast)
+            ok = True
+        else:
+            Q, ok2 = cholqr(Q, passes=1, precision=precision, upcast=upcast)
+            ok = bool(ok2)
     if not bool(ok):
         log.warn(f"{variant} failed (non-PD Gram), falling back to "
                  f"full-block QR", "linalg")

@@ -33,7 +33,7 @@ def init_grid(shape: Optional[tuple[int, int]] = None,
 
     On Cloud TPU pods `jax.distributed.initialize()` discovers everything
     from the metadata server; other clusters pass ``coordinator`` plus the
-    JAX_PROCESS_COUNT/JAX_PROCESS_INDEX envs.
+    JAX_NUM_PROCESSES/JAX_PROCESS_ID envs.
     """
     if _needs_distributed() or coordinator:
         # Decide from ENV ONLY: probing jax.process_count() here would
@@ -51,8 +51,12 @@ def init_grid(shape: Optional[tuple[int, int]] = None,
         try:
             jax.distributed.initialize(**kwargs)
         except RuntimeError as e:
-            if "already" not in str(e).lower():
-                raise          # re-init on an already-running client is fine
+            # re-init on an already-running client is a no-op; jax's
+            # message is 'distributed.initialize should only be called
+            # once.' (jax._src.distributed), older versions say 'already'
+            msg = str(e).lower()
+            if "already" not in msg and "only be called once" not in msg:
+                raise
     return make_grid(shape=shape)
 
 

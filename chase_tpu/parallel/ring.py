@@ -139,6 +139,7 @@ def chebyshev_filter_ring2d(grid, H, X, degrees, lam1, lower, upper, deg_max,
         k = x.shape[1]
         i = jax.lax.axis_index("r")
         j = jax.lax.axis_index("c")
+        x0 = x
         x = x.astype(carry)
 
         def ring_A(v):
@@ -204,7 +205,10 @@ def chebyshev_filter_ring2d(grid, H, X, degrees, lam1, lower, upper, deg_max,
         n_pairs = deg_max // 2
         _, Y, _ = jax.lax.fori_loop(0, n_pairs, pair, (x, Y, sigma1))
         # block always ends in parity B (see pairing analysis) → flip home
-        return jax.lax.ppermute(Y, ("r", "c"), flip_b2a).astype(out_dtype)
+        Yh = jax.lax.ppermute(Y, ("r", "c"), flip_b2a).astype(out_dtype)
+        # degree-0 (locked/inactive) columns bit-exact: a mixed-precision
+        # carry must not round-trip converged f64 columns through f32
+        return jnp.where(degs[None, :] >= 1, Yh, x0)
 
     fn = shard_map(local, mesh=mesh,
                    in_specs=(P("r", "c"), P(("c", "r"), None), P()),
@@ -244,6 +248,7 @@ def chebyshev_filter_ring(grid, H, X, degrees, lam1, lower, upper, deg_max,
     def local(h, x, degs):
         n_loc = x.shape[0]
         me = jax.lax.axis_index(axis)
+        x0 = x
         x = x.astype(carry_dt)
 
         def ring_dot(v):
@@ -282,7 +287,9 @@ def chebyshev_filter_ring(grid, H, X, degrees, lam1, lower, upper, deg_max,
             return (Yc, Z, sigma_new)
 
         _, Y, _ = jax.lax.fori_loop(2, deg_max + 1, body, (x, Y, sigma1))
-        return Y.astype(out_dtype)
+        # degree-0 (locked/inactive) columns bit-exact: a mixed-precision
+        # carry must not round-trip converged f64 columns through f32
+        return jnp.where(degs[None, :] >= 1, Y.astype(out_dtype), x0)
 
     fn = shard_map(local, mesh=mesh,
                    in_specs=(P(axis, None), P(axis, None), P()),

@@ -75,6 +75,16 @@ def _col_block(cfg_block, nevex: int) -> int:
     return max(1, min(int(cfg_block), nevex))
 
 
+def _window_pad(nevex: int, locked: int, B: int):
+    """Right-aligned active window padded up to a whole B bucket:
+    returns (w_pad, start).  ONE definition shared by the filter, the
+    refinement filter and the QR/RR shrink — they must agree or the
+    refine filter's injected residuals desynchronize from the RR window
+    that produced them."""
+    w_pad = min(nevex, -(-(nevex - locked) // B) * B)
+    return w_pad, nevex - w_pad
+
+
 def _filter_windowed(H_f, V, degrees_act, locked, nevex, B, lam, lo, up,
                      rdt, precision):
     """Degree-retiring segmented filter (P12 true FLOP savings).
@@ -87,9 +97,7 @@ def _filter_windowed(H_f, V, degrees_act, locked, nevex, B, lam, lo, up,
     Within a segment, per-column degree masks handle sub-bucket retirement
     exactly.
     """
-    w = nevex - locked
-    w_pad = min(nevex, -(-w // B) * B)
-    start = nevex - w_pad
+    w_pad, start = _window_pad(nevex, locked, B)
     offset = locked - start
     deg_win = np.zeros(w_pad, np.int32)
     deg_win[offset:] = degrees_act
@@ -162,9 +170,7 @@ def _filter_refine_windowed(H_f, V, R, ritzv_act, degrees_act, locked, nevex,
     mixed-precision ladder that reaches 1e-10 with the FLOPs staying low
     precision (see ops/filter.chebyshev_filter_refine).
     """
-    w = nevex - locked
-    w_pad = min(nevex, -(-w // B) * B)
-    start = nevex - w_pad
+    w_pad, start = _window_pad(nevex, locked, B)
     offset = locked - start
     deg_win = np.zeros(w_pad, np.int32)
     deg_win[offset:] = degrees_act
@@ -556,8 +562,7 @@ def solve(op: DenseOperator, nev: int, nex: int,
         # -- QR + RR, shrunk to the padded active window once columns lock
         # (reference shrinks every post-filter phase, algorithm.inc:1712-18;
         # window widths reuse the filter's B buckets → bounded programs) --
-        w_pad_rr = min(nevex, -(-(nevex - locked) // B) * B)
-        win_start = nevex - w_pad_rr
+        w_pad_rr, win_start = _window_pad(nevex, locked, B)
         use_window = rcfg.shrink_subspace and win_start > 0
 
         if use_window:

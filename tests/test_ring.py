@@ -269,6 +269,38 @@ def test_ring_mixed_precision_shadow(mode):
     assert np.abs(Yr - Yd).max() / scale < 1e-5
 
 
+@pytest.mark.parametrize("mode", ["1d", "2d"])
+def test_ring_mixed_dtype_preserves_locked_columns_bitexact(mode):
+    """Degree-0 (locked) f64 columns must pass through the ring filters
+    BIT-EXACTLY even when H is a reduced-precision shadow — the f32 carry
+    must not round-trip converged columns (their residuals are never
+    recomputed after locking)."""
+    import jax
+    import jax.numpy as jnp
+    from chase_tpu.parallel.mesh import make_grid
+    from chase_tpu.parallel.ring import (chebyshev_filter_ring,
+                                         chebyshev_filter_ring2d)
+
+    shape = (8, 1) if mode == "1d" else (4, 2)
+    grid = make_grid(jax.devices(), shape=shape)
+    N, k = 128, 8
+    rng = np.random.default_rng(11)
+    H = np.asarray((lambda a: (a + a.T) / 2)(rng.standard_normal((N, N))))
+    X = rng.standard_normal((N, k))          # f64: a round-trip would lose bits
+    w = np.linalg.eigvalsh(H)
+    degrees = np.full(k, 8, np.int32)
+    degrees[:3] = 0                          # "locked" columns
+    hshard = grid.sharding("r", None) if mode == "1d" \
+        else grid.sharding("r", "c")
+    Hs = jax.device_put(jnp.asarray(H.astype(np.float32)), hshard)
+    Xs = jax.device_put(jnp.asarray(X), grid.sharding("r", None))
+    fn = chebyshev_filter_ring if mode == "1d" else chebyshev_filter_ring2d
+    Yr = np.asarray(fn(grid, Hs, Xs, jnp.asarray(degrees),
+                       w[0], w[k], w[-1], 8))
+    np.testing.assert_array_equal(Yr[:, :3], X[:, :3])
+    assert np.abs(Yr[:, 3:] - X[:, 3:]).max() > 0   # active columns filtered
+
+
 def test_solver_ring2d_e2e():
     """eigsh with ring_filter=True on a 4x2 mesh converges to the exact
     Clement spectrum at DP tolerance."""
