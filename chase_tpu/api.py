@@ -223,7 +223,7 @@ def eigsh_fused(H, nev: int, nex: Optional[int] = None, *,
         bf16_filter=rcfg.bf16_filter,
         bf16_threshold=rcfg.bf16_filter_threshold,
         small_dense=_fused_small_dense(rcfg, op.grid),
-        probes=probes)
+        probes=probes, eigh_polish=rcfg.polish_passes())
     ritzv = np.asarray(out["ritzv"], np.float64)
     resid = np.asarray(out["resid"], np.float64)
     locked = int(out["locked"])
@@ -296,7 +296,8 @@ def eigsh_pseudo_fused(H, nev: int, nex: Optional[int] = None, *,
         cluster_aware=rcfg.cluster_aware_degrees,
         precision=rcfg.matmul_precision,
         small_dense=_fused_small_dense(rcfg, op.grid),
-        inject_dos=not warm, probes=probes)
+        inject_dos=not warm, probes=probes,
+        eigh_polish=rcfg.polish_passes(pseudo=True))
     ritzv = np.asarray(out["ritzv"], np.float64)
     resid = np.asarray(out["resid"], np.float64)
     locked = int(out["locked"])

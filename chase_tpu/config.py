@@ -67,6 +67,15 @@ class ChaseConfig:
     # (chase_cpu.hpp:384-447).  Engages with mixed_precision (DP problems)
     # or bf16_filter (f32 problems); env CHASE_REFINE_FILTER=0 disables.
     refine_filter: bool = True
+    # Ogita-Aishima eigenvector polish passes for the in-graph projected
+    # eigensolve (ops/rr.eigh_polished).  None = per-path default: 2 on the
+    # Hermitian paths (removes the backend eigh's ~1e-6 vector-residual
+    # floor — required for DP tolerances; measured ~free there and it cut a
+    # N=8192 fused solve from 9 to 5 iterations), 0 on the pseudo pencil
+    # paths (measured ~45 ms/iteration of pure overhead on the v5e: the
+    # S-metric pencil bounds that path's accuracy, not the eigh floor).
+    # Env CHASE_EIGH_POLISH overrides both.
+    eigh_polish: Optional[int] = None
 
     # --- spectral estimator ----------------------------------------------
     lanczos_iter: Optional[int] = None   # 25 DP / 12 SP
@@ -150,6 +159,9 @@ class ChaseConfig:
         qr_check_ortho = self.qr_check_ortho
         if os.environ.get("CHASE_QR_CHECK_ORTHO"):
             qr_check_ortho = bool(int(os.environ["CHASE_QR_CHECK_ORTHO"]))
+        eigh_polish = self.eigh_polish
+        if os.environ.get("CHASE_EIGH_POLISH"):
+            eigh_polish = int(os.environ["CHASE_EIGH_POLISH"])
         return ResolvedConfig(
             base=self, tol=float(tol), deg=int(deg), max_deg=int(max_deg),
             lanczos_iter=int(lanczos_iter), cholqr=cholqr,
@@ -159,6 +171,7 @@ class ChaseConfig:
             bf16_filter=bf16_filter,
             refine_filter=refine_filter,
             qr_check_ortho=qr_check_ortho,
+            eigh_polish=eigh_polish,
         )
 
 
@@ -177,6 +190,13 @@ class ResolvedConfig:
     bf16_filter: bool = False
     refine_filter: bool = True
     qr_check_ortho: bool = False
+    eigh_polish: Optional[int] = None    # None = per-path default (2/0)
 
     def __getattr__(self, name):
         return getattr(self.base, name)
+
+    def polish_passes(self, pseudo: bool = False) -> int:
+        """Per-path eigh-polish default: Hermitian 2, pseudo pencil 0."""
+        if self.eigh_polish is not None:
+            return int(self.eigh_polish)
+        return 0 if pseudo else 2

@@ -92,13 +92,13 @@ def _cheb_rho(t):
                           "max_iter", "lanczos_iter", "num_lanczos",
                           "optimization", "precision", "cholqr_passes",
                           "inject_dos", "bf16_filter", "bf16_threshold",
-                          "small_dense"))
+                          "small_dense", "eigh_polish"))
 def solve_fused(H, V0, *, nev, nex, tol, deg0, max_deg, deg_extra=2,
                 max_iter=25, lanczos_iter=25, num_lanczos=4,
                 optimization=True, precision="highest", cholqr_passes=3,
                 cond_shift_threshold=1e8, inject_dos=True,
                 bf16_filter=False, bf16_threshold=1e-2,
-                small_dense="device", probes=None):
+                small_dense="device", probes=None, eigh_polish=2):
     """Fully device-resident Hermitian solve.
 
     Args:
@@ -374,7 +374,8 @@ def solve_fused(H, V0, *, nev, nex, tol, deg0, max_deg, deg_extra=2,
             # polished: XLA's eigh alone leaves ~1e-6-relative eigenvector
             # error (ops/rr.eigh_polished docstring) — fatal at DP tolerance
             from .ops.rr import eigh_polished
-            w_eig, Z = eigh_polished(A, passes=2, precision=precision)
+            w_eig, Z = eigh_polished(A, passes=eigh_polish,
+                                     precision=precision)
         w_eig = w_eig.real.astype(rt)
         Vrot = jnp.matmul(Qm, Z, precision=precision)
         Wrot = jnp.matmul(W, Z, precision=precision)

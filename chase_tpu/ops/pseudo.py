@@ -238,8 +238,8 @@ def _prr_finish(Q, W, V, theta, X, locked, *, precision="highest"):
     return V_out, theta, resid
 
 
-@partial(jax.jit, static_argnames=("precision",))
-def _prr_device(H, V, locked, *, precision="highest"):
+@partial(jax.jit, static_argnames=("precision", "polish"))
+def _prr_device(H, V, locked, *, precision="highest", polish=0):
     K2 = V.shape[1]
     rt = real_dtype(V.dtype)
     Q, W, A, B = _prr_project(H, V, locked, precision=precision)
@@ -253,8 +253,11 @@ def _prr_device(H, V, locked, *, precision="highest"):
                                         transpose_a=True, conjugate_a=True)
     M = -(C + C.conj().T) / 2                             # Hermitize −L⁻¹BL⁻ᴴ
 
+    # polish default 0: measured pure overhead on the pencil path — the
+    # S-metric pencil, not the eigh vector floor, bounds its accuracy
+    # (BENCH_NOTES round 2); opt in via config.eigh_polish
     from .rr import eigh_polished
-    w, Z = eigh_polished(M, passes=2, precision=precision)  # ascending
+    w, Z = eigh_polished(M, passes=polish, precision=precision)  # ascending
     w = w.real.astype(rt)
     theta = -1.0 / jnp.where(jnp.abs(w) > 0, w, jnp.ones((), rt))
 
@@ -268,7 +271,7 @@ def _prr_device(H, V, locked, *, precision="highest"):
 
 
 def rayleigh_ritz_residuals_pseudo(H, V, locked, *, precision="highest",
-                                   small_dense="device"):
+                                   small_dense="device", polish=0):
     """Pseudo-Hermitian Rayleigh–Ritz (v2, Hermitianized pencil) fused with
     residuals, static full width.
 
@@ -291,7 +294,7 @@ def rayleigh_ritz_residuals_pseudo(H, V, locked, *, precision="highest",
       ok:    False when the pencil Cholesky broke down.
     """
     if small_dense != "host":
-        return _prr_device(H, V, locked, precision=precision)
+        return _prr_device(H, V, locked, precision=precision, polish=polish)
 
     rt = real_dtype(V.dtype)
     Q, W, A, B = _prr_project(H, V, locked, precision=precision)

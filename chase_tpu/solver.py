@@ -579,7 +579,8 @@ def solve(op: DenseOperator, nev: int, nex: int,
             Vw = _slice_cols(V, jnp.int32(win_start), w_pad_rr)
             rr_out = rrops.rayleigh_ritz_residuals(
                 op.H, Vw, jnp.int32(locked - win_start), precision=precision,
-                small_dense=small_dense, want_vectors=refine_capable)
+                small_dense=small_dense, want_vectors=refine_capable,
+                polish=rcfg.polish_passes())
             if refine_capable:
                 Vw, ritz_dev, resid_dev, Rw = rr_out
                 if R_prev is None:
@@ -594,7 +595,8 @@ def solve(op: DenseOperator, nev: int, nex: int,
         else:
             rr_out = rrops.rayleigh_ritz_residuals(
                 op.H, V, jnp.int32(locked), precision=precision,
-                small_dense=small_dense, want_vectors=refine_capable)
+                small_dense=small_dense, want_vectors=refine_capable,
+                polish=rcfg.polish_passes())
             if refine_capable:
                 V, ritz_dev, resid_dev, R_prev = rr_out
             else:

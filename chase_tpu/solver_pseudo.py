@@ -424,7 +424,7 @@ def solve_pseudo(op: DenseOperator, nev: int, nex: int,
         # -- pseudo RR + residuals (fused) --
         V, th_dev, rs_dev, ok = ps.rayleigh_ritz_residuals_pseudo(
             op.H, V, jnp.int32(locked), precision=precision,
-            small_dense=small_dense)
+            small_dense=small_dense, polish=rcfg.polish_passes(pseudo=True))
         if not bool(ok):
             log.warn("pseudo-RR Cholesky of QᴴSHQ failed — subspace drifted; "
                      "results this iteration may be poor", "linalg")
