@@ -17,24 +17,32 @@ def main():
     p.add_argument("--cols", type=int, default=1024)
     p.add_argument("--dtype", default="float32")
     p.add_argument("--reps", type=int, default=3)
+    p.add_argument("--skip-householder", action="store_true",
+                   help="dense QR is O(4Nk^2) with poor MXU shape at the "
+                        "reference's N=115000/k=8000 config; skip it there")
     args = p.parse_args()
 
     import jax
     import jax.numpy as jnp
-    from chase_tpu.ops.qr import cholqr, householder_qr
+    from chase_tpu.ops.qr import cholqr, householder_qr, mgs_cholqr
 
     dtype = jnp.dtype(args.dtype)
     V = jax.random.normal(jax.random.key(0), (args.n, args.cols), dtype)
 
     flops_chol = 2 * (2 * args.n * args.cols ** 2)   # syherk + trsm per pass
 
-    for name, fn, fl in [
+    variants = [
         ("cholQR1", lambda v: cholqr(v, passes=1)[0], flops_chol / 2),
         ("cholQR2", lambda v: cholqr(v, passes=2)[0], flops_chol),
         ("shiftedCholQR2", lambda v: cholqr(v, passes=3, shifted=True)[0],
          1.5 * flops_chol),
+        # the panelized variant the reference sizes for N>=1e5 blocks
+        ("MGS-CholQR", lambda v: mgs_cholqr(v)[0], flops_chol),
         ("householder", householder_qr, 4 * args.n * args.cols ** 2),
-    ]:
+    ]
+    if args.skip_householder:
+        variants = variants[:-1]
+    for name, fn, fl in variants:
         out = fn(V)
         _ = float(jnp.sum(jnp.abs(out[:2, :2])))
         t0 = time.perf_counter()
