@@ -43,14 +43,19 @@ def main():
     if args.skip_householder:
         variants = variants[:-1]
     for name, fn, fl in variants:
-        out = fn(V)
-        _ = float(jnp.sum(jnp.abs(out[:2, :2])))
-        t0 = time.perf_counter()
-        for _i in range(args.reps):
+        try:
             out = fn(V)
-        _ = float(jnp.sum(jnp.abs(out[:2, :2])))
-        dt = (time.perf_counter() - t0) / args.reps
-        print(f"{name:16s} {dt * 1e3:9.2f} ms   ~{fl / dt / 1e12:6.2f} TFLOP/s")
+            _ = float(jnp.sum(jnp.abs(out[:2, :2])))
+            t0 = time.perf_counter()
+            for _i in range(args.reps):
+                out = fn(V)
+            _ = float(jnp.sum(jnp.abs(out[:2, :2])))
+            dt = (time.perf_counter() - t0) / args.reps
+            print(f"{name:16s} {dt * 1e3:9.2f} ms   "
+                  f"~{fl / dt / 1e12:6.2f} TFLOP/s", flush=True)
+        except Exception as e:  # one variant OOMing must not kill the rest
+            print(f"{name:16s} FAILED: {type(e).__name__}: "
+                  f"{str(e).splitlines()[0][:120]}", flush=True)
 
 
 if __name__ == "__main__":
