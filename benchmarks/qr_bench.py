@@ -54,8 +54,9 @@ def main():
             print(f"{name:16s} {dt * 1e3:9.2f} ms   "
                   f"~{fl / dt / 1e12:6.2f} TFLOP/s", flush=True)
         except Exception as e:  # one variant OOMing must not kill the rest
-            print(f"{name:16s} FAILED: {type(e).__name__}: "
-                  f"{str(e).splitlines()[0][:120]}", flush=True)
+            first = (str(e).splitlines() or [""])[0]
+            print(f"{name:16s} FAILED: {type(e).__name__}: {first[:120]}",
+                  flush=True)
 
 
 if __name__ == "__main__":

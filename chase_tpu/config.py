@@ -172,6 +172,7 @@ class ChaseConfig:
             refine_filter=refine_filter,
             qr_check_ortho=qr_check_ortho,
             eigh_polish=eigh_polish,
+            is_double=is_dp,
         )
 
 
@@ -191,12 +192,19 @@ class ResolvedConfig:
     refine_filter: bool = True
     qr_check_ortho: bool = False
     eigh_polish: Optional[int] = None    # None = per-path default (2/0)
+    is_double: bool = True               # problem base precision (resolve())
 
     def __getattr__(self, name):
         return getattr(self.base, name)
 
     def polish_passes(self, pseudo: bool = False) -> int:
-        """Per-path eigh-polish default: Hermitian 2, pseudo pencil 0."""
+        """Per-path eigh-polish default: Hermitian 2; pseudo pencil 0 on
+        SP problems (measured pure overhead at serving tolerances,
+        BENCH_NOTES round 2) but 2 on DP problems — a 1e-10 pseudo solve
+        on a backend whose eigh has the ~1e-6 vector floor would
+        otherwise plateau (only f32 serving was measured)."""
         if self.eigh_polish is not None:
             return int(self.eigh_polish)
-        return 0 if pseudo else 2
+        if pseudo:
+            return 2 if self.is_double else 0
+        return 2

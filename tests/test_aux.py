@@ -120,3 +120,39 @@ def test_logger_level_and_category_filters(capsys):
         del os.environ["CHASE_LOG_LEVEL"]
         del os.environ["CHASE_LOG_CATEGORIES"]
         importlib.reload(L)
+
+
+def test_eigh_polish_defaults_and_env(monkeypatch):
+    """polish_passes(): Hermitian always 2; pseudo pencil 0 only for SP
+    problems (the measured-overhead regime) and 2 for DP; CHASE_EIGH_POLISH
+    forces both paths."""
+    import numpy as np
+    import chase_tpu
+
+    cfg = chase_tpu.ChaseConfig()
+    r32 = cfg.resolve(np.dtype(np.float32))
+    r64 = cfg.resolve(np.dtype(np.float64))
+    assert r32.polish_passes() == 2 and r64.polish_passes() == 2
+    assert r32.polish_passes(pseudo=True) == 0      # measured overhead (f32)
+    assert r64.polish_passes(pseudo=True) == 2      # DP keeps the floor fix
+    monkeypatch.setenv("CHASE_EIGH_POLISH", "1")
+    r = chase_tpu.ChaseConfig().resolve(np.dtype(np.float32))
+    assert r.polish_passes() == 1 and r.polish_passes(pseudo=True) == 1
+    monkeypatch.delenv("CHASE_EIGH_POLISH")
+    r0 = chase_tpu.ChaseConfig(eigh_polish=0).resolve(np.dtype(np.float64))
+    assert r0.polish_passes() == 0 and r0.polish_passes(pseudo=True) == 0
+
+
+def test_eigh_polish_zero_still_converges_sp():
+    """A forced polish=0 Hermitian solve at SP tolerance must still work
+    (the polish only matters near the backend-eigh vector floor)."""
+    import numpy as np
+    import chase_tpu
+    from chase_tpu.models import clement, clement_eigenvalues
+
+    H = clement(256).astype(np.float32)
+    res = chase_tpu.eigsh(H, 16, 12, tol=1e-3,
+                          config=chase_tpu.ChaseConfig(eigh_polish=0))
+    assert res.converged
+    np.testing.assert_allclose(res.ritzv, clement_eigenvalues(256)[:16],
+                               atol=1e-1)
