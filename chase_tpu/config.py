@@ -198,13 +198,16 @@ class ResolvedConfig:
         return getattr(self.base, name)
 
     def polish_passes(self, pseudo: bool = False) -> int:
-        """Per-path eigh-polish default: Hermitian 2; pseudo pencil 0 on
-        SP problems (measured pure overhead at serving tolerances,
-        BENCH_NOTES round 2) but 2 on DP problems — a 1e-10 pseudo solve
-        on a backend whose eigh has the ~1e-6 vector floor would
-        otherwise plateau (only f32 serving was measured)."""
+        """Precision-driven eigh-polish default (same-day A/B measured,
+        BENCH_NOTES round 2): DP problems get 2 passes — the backend
+        eigh's ~1e-6-relative eigenvector floor blocks 1e-10 tolerances
+        without it.  SP problems get 0: at serving tolerances the polish
+        measured zero iteration savings at N=8192, COST 3 iterations at
+        N=30000/k=3000 (the f32 Rayleigh-quotient eigenvalue update's
+        noise grows with k), and 45 ms/iter on the BSE pencil.  The
+        ``pseudo`` flag is kept for call-site clarity; both paths follow
+        precision.  CHASE_EIGH_POLISH / eigh_polish force a value."""
+        del pseudo
         if self.eigh_polish is not None:
             return int(self.eigh_polish)
-        if pseudo:
-            return 2 if self.is_double else 0
-        return 2
+        return 2 if self.is_double else 0

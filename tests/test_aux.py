@@ -123,18 +123,18 @@ def test_logger_level_and_category_filters(capsys):
 
 
 def test_eigh_polish_defaults_and_env(monkeypatch):
-    """polish_passes(): Hermitian always 2; pseudo pencil 0 only for SP
-    problems (the measured-overhead regime) and 2 for DP; CHASE_EIGH_POLISH
-    forces both paths."""
+    """polish_passes(): precision-driven — 2 for DP problems (the eigh
+    vector floor blocks 1e-10 without it), 0 for SP (measured zero gain
+    to net harm at serving tolerances); CHASE_EIGH_POLISH forces both."""
     import numpy as np
     import chase_tpu
 
     cfg = chase_tpu.ChaseConfig()
     r32 = cfg.resolve(np.dtype(np.float32))
     r64 = cfg.resolve(np.dtype(np.float64))
-    assert r32.polish_passes() == 2 and r64.polish_passes() == 2
-    assert r32.polish_passes(pseudo=True) == 0      # measured overhead (f32)
-    assert r64.polish_passes(pseudo=True) == 2      # DP keeps the floor fix
+    assert r32.polish_passes() == 0 and r64.polish_passes() == 2
+    assert r32.polish_passes(pseudo=True) == 0
+    assert r64.polish_passes(pseudo=True) == 2
     monkeypatch.setenv("CHASE_EIGH_POLISH", "1")
     r = chase_tpu.ChaseConfig().resolve(np.dtype(np.float32))
     assert r.polish_passes() == 1 and r.polish_passes(pseudo=True) == 1
