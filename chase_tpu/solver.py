@@ -310,16 +310,18 @@ def solve(op: DenseOperator, nev: int, nex: int,
     tol = rcfg.tol
     timing = perf is not None
     # small projected eigh: on accelerators, round-trip the k x k problem
-    # to host LAPACK (split-sync; redundant heevd analogue, P8) when the
-    # device eigensolver would dominate — 64-bit problems (emulated f64)
-    # or large subspaces (measured: k=3000 device eigh was 60% of a
-    # N=30000 solve on one v5e chip)
+    # to host LAPACK (split-sync; redundant heevd analogue, P8) ONLY for
+    # 64-bit problems (emulated f64 makes the device eigensolver crawl).
+    # SP stays on device: round 2 measured the warm f32 device eigh at
+    # k=3000 at ~0.36 s/iter vs ~5.4 s/iter for single-core host LAPACK —
+    # round 1's "host eigh wins at large nev" conclusion came from
+    # cold/compile-laden runs (BENCH_NOTES round-2 north-star ladder:
+    # 31.0 s with host RR vs 7.4 s with device RR, same day)
     small_dense = rcfg.small_dense_backend
     qr_backend = small_dense
     if small_dense == "auto":
         off_cpu = jax.default_backend() != "cpu"
-        small_dense = "host" if (off_cpu and (not is_sp or nevex >= 1024)) \
-            else "device"
+        small_dense = "host" if (off_cpu and not is_sp) else "device"
         # QR stays on device under auto: the warm device CholQR is fast
         # (measured 0.9 s/iter at k=3000 vs ~35 s for the device eigh) and
         # host factorization would pay two k x k transfers per pass

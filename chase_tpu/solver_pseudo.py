@@ -185,8 +185,10 @@ def solve_pseudo(op: DenseOperator, nev: int, nex: int,
     small_dense = rcfg.small_dense_backend
     qr_backend = small_dense
     if small_dense == "auto":
+        # host only for emulated-f64 problems; SP device eigh measured
+        # far faster warm than single-core host LAPACK (solver.py)
         small_dense = "host" if (jax.default_backend() != "cpu"
-                                 and (not is_sp or K2 >= 1024)) else "device"
+                                 and not is_sp) else "device"
         qr_backend = "device"   # warm device CholQR is fast (solver.py)
     tol = rcfg.tol
     timing = perf is not None
