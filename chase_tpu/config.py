@@ -68,13 +68,12 @@ class ChaseConfig:
     # or bf16_filter (f32 problems); env CHASE_REFINE_FILTER=0 disables.
     refine_filter: bool = True
     # Ogita-Aishima eigenvector polish passes for the in-graph projected
-    # eigensolve (ops/rr.eigh_polished).  None = per-path default: 2 on the
-    # Hermitian paths (removes the backend eigh's ~1e-6 vector-residual
-    # floor — required for DP tolerances; measured ~free there and it cut a
-    # N=8192 fused solve from 9 to 5 iterations), 0 on the pseudo pencil
-    # paths (measured ~45 ms/iteration of pure overhead on the v5e: the
-    # S-metric pencil bounds that path's accuracy, not the eigh floor).
-    # Env CHASE_EIGH_POLISH overrides both.
+    # eigensolve (ops/rr.eigh_polished).  None = precision-driven default:
+    # 2 for f64/c128 problems (removes the backend eigh's ~1e-6 vector-
+    # residual floor — required at 1e-10 tolerance), 0 for f32/c64 (same-
+    # day A/Bs measured zero iteration savings at N=8192, +3 iterations at
+    # N=30000/k=3000, and +45 ms/iter on the BSE pencil — see
+    # ResolvedConfig.polish_passes).  Env CHASE_EIGH_POLISH forces a value.
     eigh_polish: Optional[int] = None
 
     # --- spectral estimator ----------------------------------------------
@@ -191,7 +190,7 @@ class ResolvedConfig:
     bf16_filter: bool = False
     refine_filter: bool = True
     qr_check_ortho: bool = False
-    eigh_polish: Optional[int] = None    # None = per-path default (2/0)
+    eigh_polish: Optional[int] = None    # None = precision default (DP 2 / SP 0)
     is_double: bool = True               # problem base precision (resolve())
 
     def __getattr__(self, name):
