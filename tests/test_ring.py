@@ -332,3 +332,17 @@ def test_solver_ring2d_with_mixed_precision_e2e():
     assert res.converged
     np.testing.assert_allclose(res.ritzv, clement_eigenvalues(192)[:12],
                                atol=1e-6)
+
+
+def test_ring_mode_selection():
+    """_ring_mode: 1D for (p,1), 2D for r x c with r*c | N, None otherwise."""
+    import chase_tpu
+    from chase_tpu.solver import _ring_mode
+
+    g81 = chase_tpu.make_grid(jax.devices(), shape=(8, 1))
+    g42 = chase_tpu.make_grid(jax.devices(), shape=(4, 2))
+    assert _ring_mode(None, 128) is None
+    assert _ring_mode(g81, 128) == "1d"
+    assert _ring_mode(g81, 127) is None      # N not divisible by r
+    assert _ring_mode(g42, 128) == "2d"
+    assert _ring_mode(g42, 124) is None      # N not divisible by r*c
