@@ -16,5 +16,6 @@ from .config import ChaseConfig  # noqa: F401
 from .solver import solve, SolveResult  # noqa: F401
 from .parallel import DenseOperator, make_grid, Grid2D  # noqa: F401
 from .perf import PerfData  # noqa: F401
+from .warmup import warmup  # noqa: F401
 
 __version__ = "0.1.0"

@@ -1,0 +1,199 @@
+"""Parallel program warmup: precompile a solve's XLA programs up front.
+
+A cold ``eigsh`` at a new (N, nev+nex, dtype, config) pays one XLA
+compilation per width-bucketed phase program, and the host driver discovers
+those widths lazily (one per locking milestone) so the compilations run
+SEQUENTIALLY across iterations.  On remote-compile runtimes (sandbox relay:
+minutes per program at N=30000) that dominates cold time — the measured
+zero-config north-star was 870 s cold vs 16 s warm.
+
+Compilations for DIFFERENT programs overlap: the compile server works on
+concurrent requests in parallel (measured on the relay: 2 threads → 1.7x).
+``warmup`` therefore enumerates every bucket width the solve can visit and
+compiles the filter / window-QR / window-RR / full-width programs from a
+thread pool, using cheap well-conditioned dummy operands (identity-column
+blocks, degree-2 filters) so each compiled program also executes once and
+lands in the runtime cache.
+
+The reference has no analogue — its kernels are eagerly available; this is
+the TPU-native answer to XLA's compile-at-first-shape model (SURVEY §7
+risk 1: bounded program count makes exhaustive warmup FEASIBLE).
+
+Usage::
+
+    op = chase_tpu.DenseOperator(H)
+    chase_tpu.warmup(op, nev, nex, config=cfg)   # once, parallel compiles
+    res = chase_tpu.eigsh(op, nev, nex, config=cfg)   # no compile stalls
+
+Warmup is best-effort: individual job failures are logged and skipped (the
+solve then just compiles that program on first use).
+"""
+
+from __future__ import annotations
+
+from concurrent.futures import ThreadPoolExecutor
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .config import ChaseConfig
+from .logger import get_logger
+from .parallel import DenseOperator
+from .ops import qr as qrops
+from .ops import rr as rrops
+from .ops import lanczos as lz
+from . import solver as _solver
+
+__all__ = ["warmup"]
+
+
+def _bucket_widths(nevex: int, B: int):
+    """Every w_pad the window machinery can produce: multiples of B capped
+    at nevex (solver._window_pad)."""
+    widths = set()
+    for locked in range(0, nevex + 1):
+        w_pad, _ = _solver._window_pad(nevex, locked, B)
+        if w_pad > 0:
+            widths.add(w_pad)
+    return sorted(widths, reverse=True)
+
+
+def warmup(H, nev: int, nex: Optional[int] = None, *, config=None,
+           grid=None, max_workers: int = 8) -> dict:
+    """Precompile the phase programs an ``eigsh`` solve will need.
+
+    Args:
+      H: the operator — a DenseOperator (reused across solves) or an (N, N)
+         array (placed once here; pass the same DenseOperator to eigsh to
+         amortize).
+      nev, nex: the solve's block geometry (must match the later call).
+      config: the ChaseConfig the solve will use (width buckets, precision
+         and backend selection all follow it).
+      max_workers: thread-pool width for concurrent compilations.
+
+    Returns a dict: {"programs": n_jobs, "failed": n_failed, "widths": [...]}.
+    """
+    cfg = config or ChaseConfig()
+    op = H if isinstance(H, DenseOperator) else DenseOperator(H, grid=grid)
+    rcfg = cfg.resolve(op.dtype)
+    if nex is None:
+        nex = max(1, int(0.4 * nev))
+    nevex = nev + nex
+    N = op.N
+    log = get_logger()
+    precision = rcfg.matmul_precision
+    is_sp = not rcfg.is_double
+
+    B = _solver._col_block(rcfg.col_block, nevex)
+    widths = _bucket_widths(nevex, B)
+    polish = rcfg.polish_passes()
+
+    # small_dense resolution mirroring solver.solve's auto policy
+    small_dense = rcfg.small_dense_backend
+    qr_backend = small_dense
+    if small_dense == "auto":
+        off_cpu = jax.default_backend() != "cpu"
+        small_dense = "host" if (off_cpu and not is_sp) else "device"
+        qr_backend = "device"
+
+    # cheap well-conditioned dummies; identity columns make every CholQR
+    # Gram the identity (no rescue-path detours), and degree-2 filters
+    # execute in two trips of the SAME traced-trip program a real solve runs
+    V = jnp.eye(N, nevex, dtype=op.dtype)
+    rdt = op.real_dtype
+    lam, lo, up = -1.0, 0.0, 1.0
+
+    jobs = []
+
+    is_cplx = np.issubdtype(np.dtype(op.dtype), np.complexfloating)
+    low_rung = (rcfg.bf16_filter and is_sp and not is_cplx) or \
+        (rcfg.mixed_precision and not is_sp)
+    # mirror solver.solve's refine eligibility exactly
+    refine_capable = rcfg.refine_filter and (
+        (not is_sp and rcfg.mixed_precision)
+        or (is_sp and rcfg.bf16_filter and not is_cplx))
+
+    def filter_job(w_pad, low):
+        locked = nevex - w_pad
+        degrees_act = np.full(nevex - locked, 2, np.int32)
+        H_f = op.H_low if low else op.H
+        f_precision = "default" if (low and is_sp) else precision
+        out = _solver._filter_windowed(H_f, V, degrees_act, locked, nevex,
+                                       B, lam, lo, up, rdt, f_precision)
+        out.block_until_ready()
+
+    def refine_job(w_pad):
+        locked = nevex - w_pad
+        degrees_act = np.full(nevex - locked, 2, np.int32)
+        ritzv_act = np.zeros(nevex - locked, np.float64)
+        R = jnp.zeros((N, nevex), op.dtype)
+        f_precision = "default" if is_sp else precision
+        out = _solver._filter_refine_windowed(
+            op.H_low, V, R, ritzv_act, degrees_act, locked, nevex, B,
+            lam, lo, up, rcfg.max_deg, f_precision)
+        out.block_until_ready()
+
+    def qr_job(w_pad):
+        locked = nevex - w_pad
+        w_pad2, start = _solver._window_pad(nevex, locked, B)
+        if rcfg.shrink_subspace and start > 0:
+            out = qrops.orthonormalize_window(V, start, w_pad2, locked, 10.0,
+                                              rcfg, op.grid,
+                                              small_dense=qr_backend)
+        else:
+            out = qrops.orthonormalize(V, locked, 10.0, rcfg, op.grid,
+                                       small_dense=qr_backend)
+        out.block_until_ready()
+
+    def rr_job(w_pad):
+        locked = nevex - w_pad
+        w_pad2, start = _solver._window_pad(nevex, locked, B)
+        if rcfg.shrink_subspace and start > 0:
+            from .ops.blocks import slice_cols
+            Vw = slice_cols(V, jnp.int32(start), w_pad2)
+            out = rrops.rayleigh_ritz_residuals(
+                op.H, Vw, jnp.int32(locked - start), precision=precision,
+                small_dense=small_dense, want_vectors=refine_capable,
+                polish=polish)
+        else:
+            out = rrops.rayleigh_ritz_residuals(
+                op.H, V, jnp.int32(locked), precision=precision,
+                small_dense=small_dense, want_vectors=refine_capable,
+                polish=polish)
+        out[0].block_until_ready()
+
+    def lanczos_job():
+        m = max(2, min(nevex, N // 2, rcfg.lanczos_iter))
+        m -= m % 2
+        probes = jnp.eye(N, min(rcfg.num_lanczos, nevex), dtype=op.dtype)
+        a, b, _ = lz.lanczos_scan(op.H, probes, m=m, want_basis=False,
+                                  precision=precision)
+        b.block_until_ready()
+
+    for w in widths:
+        jobs.append((f"filter:{w}", lambda w=w: filter_job(w, False)))
+        if low_rung:
+            jobs.append((f"filter-low:{w}",
+                         lambda w=w: filter_job(w, True)))
+        if refine_capable:
+            jobs.append((f"refine:{w}", lambda w=w: refine_job(w)))
+        jobs.append((f"qr:{w}", lambda w=w: qr_job(w)))
+        jobs.append((f"rr:{w}", lambda w=w: rr_job(w)))
+    jobs.append(("lanczos", lanczos_job))
+
+    failed = 0
+    with ThreadPoolExecutor(max_workers=max_workers) as ex:
+        futs = {ex.submit(fn): name for name, fn in jobs}
+        for fut, name in futs.items():
+            try:
+                fut.result()
+            except Exception as e:  # best-effort: solve compiles it later
+                failed += 1
+                log.warn(f"warmup job '{name}' failed ({type(e).__name__}): "
+                         f"{str(e).splitlines()[0][:100] if str(e) else ''}",
+                         "perf")
+    log.info(f"warmup: {len(jobs) - failed}/{len(jobs)} programs compiled "
+             f"(widths {widths}, B={B})", "perf")
+    return {"programs": len(jobs), "failed": failed, "widths": widths}

@@ -156,3 +156,36 @@ def test_eigh_polish_zero_still_converges_sp():
     assert res.converged
     np.testing.assert_allclose(res.ritzv, clement_eigenvalues(256)[:16],
                                atol=1e-1)
+
+
+def test_warmup_precompiles_and_solve_matches():
+    """warmup() compiles the width-bucket programs best-effort (0 failures
+    on CPU) and a subsequent solve converges to the exact spectrum."""
+    import numpy as np
+    import chase_tpu
+    from chase_tpu.models import clement, clement_eigenvalues
+
+    N, nev, nex = 192, 12, 12
+    op = chase_tpu.DenseOperator(clement(N))
+    cfg = chase_tpu.ChaseConfig(col_block=8)
+    info = chase_tpu.warmup(op, nev, nex, config=cfg)
+    assert info["failed"] == 0
+    assert info["widths"][0] == nev + nex       # full width present
+    assert len(info["widths"]) >= 2             # shrunk buckets present
+    res = chase_tpu.eigsh(op, nev, nex, tol=1e-10, config=cfg)
+    assert res.converged
+    np.testing.assert_allclose(res.ritzv, clement_eigenvalues(N)[:nev],
+                               atol=1e-7)
+
+
+def test_warmup_mixed_precision_paths():
+    """warmup with the DP mixed-precision ladder warms the low/refine
+    programs too, without failures."""
+    import numpy as np
+    import chase_tpu
+    from chase_tpu.models import clement
+
+    op = chase_tpu.DenseOperator(clement(128).astype(np.float64))
+    cfg = chase_tpu.ChaseConfig(mixed_precision=True, col_block=8)
+    info = chase_tpu.warmup(op, 8, 8, config=cfg)
+    assert info["failed"] == 0
