@@ -100,8 +100,11 @@ def warmup(H, nev: int, nex: Optional[int] = None, *, config=None,
 
     # cheap well-conditioned dummies; identity columns make every CholQR
     # Gram the identity (no rescue-path detours), and degree-2 filters
-    # execute in two trips of the SAME traced-trip program a real solve runs
-    V = jnp.eye(N, nevex, dtype=op.dtype)
+    # execute in two trips of the SAME traced-trip program a real solve
+    # runs.  place_block pins the canonical V sharding — on a grid the
+    # programs are sharding-specialized, so an unsharded dummy would
+    # compile the WRONG programs.
+    V = op.place_block(jnp.eye(N, nevex, dtype=op.dtype))
     rdt = op.real_dtype
     lam, lo, up = -1.0, 0.0, 1.0
 
@@ -167,7 +170,8 @@ def warmup(H, nev: int, nex: Optional[int] = None, *, config=None,
     def lanczos_job():
         m = max(2, min(nevex, N // 2, rcfg.lanczos_iter))
         m -= m % 2
-        probes = jnp.eye(N, min(rcfg.num_lanczos, nevex), dtype=op.dtype)
+        probes = op.place_block(
+            jnp.eye(N, min(rcfg.num_lanczos, nevex), dtype=op.dtype))
         a, b, _ = lz.lanczos_scan(op.H, probes, m=m, want_basis=False,
                                   precision=precision)
         b.block_until_ready()

@@ -189,3 +189,22 @@ def test_warmup_mixed_precision_paths():
     cfg = chase_tpu.ChaseConfig(mixed_precision=True, col_block=8)
     info = chase_tpu.warmup(op, 8, 8, config=cfg)
     assert info["failed"] == 0
+
+
+def test_warmup_on_grid():
+    """warmup on a device grid compiles the sharded programs (dummy block
+    carries the canonical V sharding) and the grid solve then matches."""
+    import jax
+    import numpy as np
+    import chase_tpu
+    from chase_tpu.models import clement, clement_eigenvalues
+
+    grid = chase_tpu.make_grid(jax.devices(), shape=(4, 2))
+    op = chase_tpu.DenseOperator(clement(192), grid=grid)
+    cfg = chase_tpu.ChaseConfig(col_block=8)
+    info = chase_tpu.warmup(op, 10, 10, config=cfg)
+    assert info["failed"] == 0
+    res = chase_tpu.eigsh(op, 10, 10, tol=1e-10, config=cfg)
+    assert res.converged
+    np.testing.assert_allclose(res.ritzv, clement_eigenvalues(192)[:10],
+                               atol=1e-7)
