@@ -118,9 +118,14 @@ class ChaseConfig:
     col_block: Optional[int] = None
     # matmul precision for f32 inputs: "highest" -> f32 accumulate on MXU.
     matmul_precision: str = "highest"
-    # Run the small dense eigensolve (RR) / cholesky on host via callback when
-    # the device would emulate 64-bit arithmetic. "auto" | "device" | "host".
-    small_dense_backend: str = "device"
+    # Run the small dense eigensolve (RR) / cholesky on host when the device
+    # would emulate 64-bit arithmetic. "auto" (default) | "device" | "host".
+    # auto = host LAPACK only for 64-bit problems off-CPU (emulated f64
+    # makes the device eigensolver crawl); SP stays on device (measured:
+    # warm f32 device eigh at k=3000 is ~15x the single-core host LAPACK —
+    # BENCH_NOTES round-2 north-star ladder).  Safe-by-default like the
+    # reference's RR/QR_DOUBLE_PRECISION (CMakeLists.txt:52).
+    small_dense_backend: str = "auto"
     # Shrink QR/RR/residuals to the padded active window as columns lock
     # (the reference shrinks every post-filter phase to the unconverged
     # block, algorithm.inc:1712-1718).  Window widths reuse the filter's

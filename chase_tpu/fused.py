@@ -375,7 +375,7 @@ def solve_fused(H, V0, *, nev, nex, tol, deg0, max_deg, deg_extra=2,
             # error (ops/rr.eigh_polished docstring) — fatal at DP tolerance
             from .ops.rr import eigh_polished
             w_eig, Z = eigh_polished(A, passes=eigh_polish,
-                                     precision=precision)
+                                     precision=precision, pin_cut=pad / 2)
         w_eig = w_eig.real.astype(rt)
         Vrot = jnp.matmul(Qm, Z, precision=precision)
         Wrot = jnp.matmul(W, Z, precision=precision)

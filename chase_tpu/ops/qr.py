@@ -346,6 +346,12 @@ def orthonormalize_window(V, start, w_pad, locked, cond, rcfg, grid=None,
         if (not rcfg.cholqr) and cond != 1.0:
             Q = tsqr(Q, grid=grid, upcast=upcast)
             ok = True
+        elif small_dense == "host":
+            # honor the explicit host opt-in for the cleanup pass too —
+            # same emulated-f64 Cholesky rationale as the first pass
+            Q, ok2 = cholqr_hostchol(Q, passes=1, precision=precision,
+                                     upcast=upcast)
+            ok = bool(ok2)
         else:
             Q, ok2 = cholqr(Q, passes=1, precision=precision, upcast=upcast)
             ok = bool(ok2)

@@ -42,7 +42,7 @@ from ..types import real_dtype
 __all__ = ["rayleigh_ritz_residuals", "host_eigh_f64", "eigh_polished"]
 
 
-def eigh_polished(A, *, passes=2, precision="highest"):
+def eigh_polished(A, *, passes=2, precision="highest", pin_cut=None):
     """``jnp.linalg.eigh`` + Ogita–Aishima eigenvector refinement.
 
     XLA's native symmetric eigensolver returns eigenVECTORS with relative
@@ -66,6 +66,13 @@ def eigh_polished(A, *, passes=2, precision="highest"):
 
     Cost: ~3 k×k matmuls per pass — negligible against the N²k projection.
     Returns (w, Z) ascending, like ``jnp.linalg.eigh``.
+
+    ``pin_cut``: when A carries locked slots pinned to a large diagonal
+    value ``big`` (see :func:`_pin_locked`), pass ``big / 2`` so the
+    sqrt(eps)-relative gap floor is computed from the ACTIVE spectrum only
+    (eigenvalues < pin_cut).  Without it the pinned magnitude inflates the
+    floor ~2·sqrt(k)× and active pairs with genuine sqrt(eps)-scale gaps
+    are misclassified as clusters, skipping their rotation correction.
     """
     w, Z = jnp.linalg.eigh(A)
     if passes <= 0:
@@ -90,8 +97,10 @@ def eigh_polished(A, *, passes=2, precision="highest"):
         # tighter than the floor are treated as a cluster (R/2 half-update):
         # leaving their mixing uncorrected costs at most δ in residual —
         # below the floor by construction.
-        gap_floor = jnp.asarray(np.sqrt(np.finfo(rt).eps), rt) \
-            * jnp.max(jnp.abs(lam))
+        lam_scale = jnp.max(jnp.abs(lam)) if pin_cut is None else \
+            jnp.max(jnp.where(lam < jnp.asarray(pin_cut, rt),
+                              jnp.abs(lam), jnp.zeros((), rt)))
+        gap_floor = jnp.asarray(np.sqrt(np.finfo(rt).eps), rt) * lam_scale
         ok = (jnp.abs(d) > 2 * jnp.abs(num)) & (jnp.abs(d) > gap_floor)
         E = jnp.where(ok, num / jnp.where(ok, d, one), R / 2)
         E = E - jnp.diag(jnp.diagonal(E)) + jnp.diag(jnp.diagonal(R) / 2)
@@ -113,10 +122,12 @@ def host_eigh_f64(A_h, rt):
 def _pin_locked(A, active, rt):
     """Decouple the locked slots: eigh(A + big·diag(1-active)) has
     eigenpairs (big, e_j) there, and ‖A‖_F ≥ λ_max keeps them strictly
-    above the active spectrum."""
+    above the active spectrum.  Returns (A_pinned, big); ``big / 2``
+    separates pinned from active eigenvalues (|λ_active| ≤ ‖A‖_F < big/2)
+    and feeds eigh_polished's pin_cut."""
     big = 2 * jnp.linalg.norm(A).real.astype(rt) + 1
     return A + jnp.diag(jnp.where(active, jnp.zeros((), rt),
-                                  big)).astype(A.dtype)
+                                  big)).astype(A.dtype), big
 
 
 @partial(jax.jit, static_argnames=("precision",))
@@ -128,7 +139,8 @@ def _rr_project(H, V, locked, *, precision="highest"):
     Q = jnp.where(active[None, :], V, jnp.zeros((), V.dtype))
     W = jnp.matmul(H, Q, precision=precision)            # H·Q (one big HEMM)
     A = jnp.matmul(Q.conj().T, W, precision=precision)   # QᴴHQ, k×k
-    return Q, W, _pin_locked(A, active, rt)
+    A, big = _pin_locked(A, active, rt)
+    return Q, W, A, big
 
 
 @partial(jax.jit, static_argnames=("precision", "want_vectors"))
@@ -159,8 +171,9 @@ def _rr_device(H, V, locked, *, precision="highest", want_vectors=False,
                polish=2):
     """Fully on-device RR+residuals (single program)."""
     rt = real_dtype(V.dtype)
-    Q, W, A = _rr_project(H, V, locked, precision=precision)
-    ritz, Z = eigh_polished(A, passes=polish, precision=precision)
+    Q, W, A, big = _rr_project(H, V, locked, precision=precision)
+    ritz, Z = eigh_polished(A, passes=polish, precision=precision,
+                            pin_cut=big / 2)
     ritz = ritz.real.astype(rt)
     return _rr_finish(Q, W, V, ritz, Z, locked, precision=precision,
                       want_vectors=want_vectors)
@@ -186,7 +199,7 @@ def rayleigh_ritz_residuals(H, V, locked, *, precision="highest",
       ritzv:  (k,) real — positions [locked, k) hold the active Ritz values
               ascending; [0, locked) are garbage (caller keeps its own).
       resid:  (k,) real — same layout; ‖H v_j − θ_j v_j‖₂ per active column.
-      R:      (k,) residual VECTORS, same layout — only with
+      R:      (N, k) residual VECTORS, same layout — only with
               ``want_vectors=True`` (feeds the refinement filter).
     """
     if small_dense != "host":
@@ -194,7 +207,7 @@ def rayleigh_ritz_residuals(H, V, locked, *, precision="highest",
                           want_vectors=want_vectors, polish=polish)
 
     rt = real_dtype(V.dtype)
-    Q, W, A = _rr_project(H, V, locked, precision=precision)
+    Q, W, A, _ = _rr_project(H, V, locked, precision=precision)
     w, Z = host_eigh_f64(np.asarray(A), rt)              # k×k device→host
     return _rr_finish(Q, W, V, jnp.asarray(w), jnp.asarray(Z), locked,
                       precision=precision, want_vectors=want_vectors)

@@ -1,0 +1,155 @@
+"""f64-accurate matmul on the bf16 MXU (Ozaki-scheme slicing).
+
+TPUs have no f64 matmul unit: XLA *emulates* f64 dots, which is slow and —
+measured on the sandbox accelerator (BENCH_NOTES "DP ladder size boundary")
+— develops N-growing error that stalls the 1e-10 DP refinement ladder at
+N≥8192.  This module implements a genuinely f64-accurate GEMM built from
+MXU-native bf16 matmuls with f32 accumulation, using the error-free
+slicing of Ozaki et al. ("Error-free transformations of matrix
+multiplication", Numer. Algorithms 2012; the int8/tensor-core variant is
+Ootomo/Ozaki/Yokota 2024):
+
+1. scale rows of A (columns of B) by a power of two so each lies in
+   [-1, 1),
+2. split every element into ``L`` slices of ``s`` mantissa bits:
+   ``A = Σ_l A_l`` with each ``A_l = m·2^(-s(l+1))``, ``|m| ≤ 2^s`` an
+   integer — **exactly representable in bf16** for s ≤ 8,
+3. compute the pair products ``A_l·B_m`` as bf16×bf16→f32 matmuls.  With
+   ``2s + log2(N) ≤ 24`` every partial product and every partial sum is an
+   integer scaled by a fixed power of two below the f32 mantissa limit, so
+   the MXU accumulation is **exact** — no rounding anywhere,
+4. sum the O(L²/2) pair products (only ``l+m ≤ cut`` matter) in f64
+   elementwise and undo the two-sided scaling.
+
+Accuracy: truncation only — worst case ``N·2^(-s·L)`` relative to
+``max|row|·max|col|`` (stochastically ``√N·2^(-s·L)`` ≈ 1e-15 at the
+default 55 bits).  Speed: ``npairs`` bf16 passes; at N=8192 that is 66
+passes of a ~172 TF/s kernel ≈ 2.6 TF/s of TRUE f64 GEMM on a chip with no
+f64 hardware at all.
+
+This is the TPU-native answer to the reference's DP compute path (its
+backends call vendor f64 BLAS, e.g. Impl/chase_cpu/chase_cpu.hpp:449-508);
+the solver engages it for the f64 HEMMs inside RR/QR on emulated-f64
+backends (config.wide_matmul).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["wide_matmul", "wide_params", "slice_f64", "wide_matmul_sliced"]
+
+
+def wide_params(n_contract: int, target_bits: int = 55):
+    """Pick (s, L, cut) for a contraction length ``n_contract``.
+
+    s: slice mantissa bits — largest with 2s + ceil(log2 N) ≤ 24 (exact f32
+       accumulation), capped at 8 (bf16 mantissa).
+    L: number of slices covering ``target_bits`` of each operand.
+    cut: keep pair products with l+m ≤ cut (scale 2^(-s(l+m+2)) just below
+       the per-operand truncation floor).
+    """
+    lg = max(1, math.ceil(math.log2(max(2, n_contract))))
+    s = min(8, (24 - lg) // 2)
+    if s < 2:
+        raise ValueError(
+            f"contraction length {n_contract} too large for exact bf16/f32 "
+            f"slicing (needs 2s + log2 N <= 24)")
+    L = math.ceil(target_bits / s)
+    cut = L - 1          # pairs l+m ≤ L-1: finest kept scale 2^(-s(L+1))
+    return s, L, cut
+
+
+def _pow2_scale(X, axis):
+    """Per-row/col power-of-two scale putting max|X| into [0.5, 1)."""
+    mx = jnp.max(jnp.abs(X), axis=axis, keepdims=True)
+    e = jnp.ceil(jnp.log2(jnp.where(mx > 0, mx, jnp.ones_like(mx))))
+    sc = jnp.exp2(e)
+    return jnp.where(mx > 0, sc, jnp.ones_like(sc))
+
+
+def slice_f64(X, s, L, axis):
+    """Split f64 X into L exact bf16 slices along with the 2^e scale.
+
+    Returns (slices, scale): slices is an (L,)-list of bf16 arrays with
+    ``X ≈ scale · Σ_l slices[l]``; the l-th slice holds s-bit integers
+    scaled by 2^(-s(l+1)).  All slice arithmetic is f64 elementwise
+    (round/subtract are exact — no accumulation involved).
+    ``axis``: the non-contraction axis (1 for the left operand's rows,
+    0 for the right operand's columns).
+    """
+    scale = _pow2_scale(X, axis=axis)
+    r = X / scale
+    slices = []
+    for l in range(L):
+        p = jnp.exp2(jnp.asarray(float(s * (l + 1)), X.dtype))
+        q = jnp.round(r * p) / p
+        slices.append(q.astype(jnp.bfloat16))
+        r = r - q
+    return slices, scale
+
+
+def _pair_products(a_slices, b_slices, cut):
+    """Σ over l+m ≤ cut of the exact bf16 pair matmuls, f64 accumulation."""
+    acc = None
+    for l, al in enumerate(a_slices):
+        for m, bm in enumerate(b_slices):
+            if l + m > cut:
+                continue
+            p = jnp.matmul(al, bm, precision="default",
+                           preferred_element_type=jnp.float32)
+            acc = p.astype(jnp.float64) if acc is None \
+                else acc + p.astype(jnp.float64)
+    return acc
+
+
+@partial(jax.jit, static_argnames=("s", "L", "cut"))
+def _wide_matmul_impl(A, B, *, s, L, cut):
+    a_slices, sa = slice_f64(A, s, L, axis=1)
+    b_slices, sb = slice_f64(B, s, L, axis=0)
+    C = _pair_products(a_slices, b_slices, cut)
+    return C * sa * sb
+
+
+def wide_matmul(A, B, *, target_bits: int = 55):
+    """f64-accurate ``A @ B`` via exact bf16 slice products (see module
+    docstring).  Real f64 operands only; 2-D × 2-D."""
+    if A.dtype != jnp.float64 or B.dtype != jnp.float64:
+        raise TypeError(f"wide_matmul is for f64 operands, got "
+                        f"{A.dtype} @ {B.dtype}")
+    n = A.shape[-1]
+    s, L, cut = wide_params(n, target_bits)
+    return _wide_matmul_impl(A, B, s=s, L=L, cut=cut)
+
+
+@partial(jax.jit, static_argnames=("s", "L", "cut"))
+def _wide_matmul_presliced(a_slices, sa, B, *, s, L, cut):
+    b_slices, sb = slice_f64(B, s, L, axis=0)
+    C = _pair_products(a_slices, b_slices, cut)
+    return C * sa * sb
+
+
+def wide_matmul_sliced(a_sliced, B, *, target_bits: int = 55):
+    """``A @ B`` with A pre-sliced by :func:`presplit` (amortizes the
+    operator split across filter/RR calls)."""
+    a_slices, sa, s, L = a_sliced
+    n = B.shape[0]
+    s2, L2, cut = wide_params(n, target_bits)
+    if s2 != s:
+        raise ValueError(f"presplit used s={s} but contraction {n} "
+                         f"needs s={s2}")
+    return _wide_matmul_presliced(tuple(a_slices), sa, B,
+                                  s=s, L=min(L, L2), cut=cut)
+
+
+def presplit(A, *, target_bits: int = 55):
+    """Slice a static operator once (cached per DenseOperator): returns
+    the opaque tuple wide_matmul_sliced consumes."""
+    s, L, _ = wide_params(A.shape[-1], target_bits)
+    a_slices, sa = slice_f64(A, s, L, axis=1)
+    return (tuple(a_slices), sa, s, L)

@@ -53,7 +53,14 @@ class DenseOperator:
         if grid is not None:
             import math
             shape = grid.shape
-            tile = math.lcm(shape.get("r", 1), shape.get("c", 1))
+            r, c = shape.get("r", 1), shape.get("c", 1)
+            # Hermitian: pad to a multiple of r·c, not lcm(r, c) — the 2D
+            # ping-pong ring filter (parallel/ring.chebyshev_filter_ring2d)
+            # needs r·c | N, and lcm-padding would silently disengage it
+            # (e.g. a 4×2 grid with N=1028 pads to 1028 under lcm=4).  The
+            # extra rows are < r·c — negligible.  Pseudo keeps the minimal
+            # lcm tile (it cannot pad at all; see the raise below).
+            tile = math.lcm(r, c) if pseudo_hermitian else r * c
             N_pad = -(-N // tile) * tile
             if N_pad != N:
                 if pseudo_hermitian:

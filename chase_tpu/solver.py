@@ -51,6 +51,22 @@ from .ops.blocks import (
 )
 
 
+def resolve_small_dense(rcfg_backend: str, is_sp: bool):
+    """Materialize the small_dense 'auto' policy: (eigh_backend, qr_backend).
+
+    auto → host LAPACK for the projected eigensolve ONLY for 64-bit
+    problems off-CPU (the accelerator emulates f64 and the dense
+    eigensolver crawls); SP stays on device (warm f32 device eigh measured
+    ~15x the single-core host LAPACK at k=3000).  QR stays on device under
+    auto either way: warm device CholQR is fast (0.9 s/iter at k=3000)
+    and host factorization pays two k×k transfers per pass.
+    """
+    if rcfg_backend != "auto":
+        return rcfg_backend, rcfg_backend
+    off_cpu = jax.default_backend() != "cpu"
+    return ("host" if (off_cpu and not is_sp) else "device"), "device"
+
+
 def _ring_mode(grid, N: int):
     """Which explicit collective-matmul filter fits this grid: '1d' for
     row-stripe meshes (p, 1), '2d' for r×c meshes with r·c | N, else None
@@ -317,15 +333,8 @@ def solve(op: DenseOperator, nev: int, nex: int,
     # round 1's "host eigh wins at large nev" conclusion came from
     # cold/compile-laden runs (BENCH_NOTES round-2 north-star ladder:
     # 31.0 s with host RR vs 7.4 s with device RR, same day)
-    small_dense = rcfg.small_dense_backend
-    qr_backend = small_dense
-    if small_dense == "auto":
-        off_cpu = jax.default_backend() != "cpu"
-        small_dense = "host" if (off_cpu and not is_sp) else "device"
-        # QR stays on device under auto: the warm device CholQR is fast
-        # (measured 0.9 s/iter at k=3000 vs ~35 s for the device eigh) and
-        # host factorization would pay two k x k transfers per pass
-        qr_backend = "device"
+    small_dense, qr_backend = resolve_small_dense(
+        rcfg.small_dense_backend, is_sp)
 
     def toc(phase, t0, *arrays):
         if timing:
@@ -445,6 +454,12 @@ def solve(op: DenseOperator, nev: int, nex: int,
         or (is_sp and rcfg.bf16_filter and not is_complex_dtype(op.dtype)))
     R_prev = None              # (N, nevex) RR residual vectors, problem dtype
 
+    ring_mode_cfg = _ring_mode(op.grid, N) if rcfg.ring_filter else None
+    if rcfg.ring_filter and op.grid is not None and ring_mode_cfg is None:
+        log.warn(f"ring_filter requested but no ring schedule fits this "
+                 f"grid (shape {dict(op.grid.shape)}, N={N}) — falling back "
+                 f"to the GSPMD windowed filter", "linalg")
+
     resid_file = None
     if rcfg.save_residuals:
         # per-iteration residual history CSV (CHASE_SAVE_RESIDUALS,
@@ -518,7 +533,7 @@ def solve(op: DenseOperator, nev: int, nex: int,
                 f_precision = "high"
             else:
                 H_f = op.H_low
-        ring_mode = _ring_mode(op.grid, N) if rcfg.ring_filter else None
+        ring_mode = ring_mode_cfg
         if use_refine:
             V = _filter_refine_windowed(
                 H_f, V, R_prev, ritzv[act], degrees[act], locked, nevex, B,

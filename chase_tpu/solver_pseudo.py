@@ -182,14 +182,9 @@ def solve_pseudo(op: DenseOperator, nev: int, nex: int,
     if rcfg.bf16_filter:
         log.warn("bf16_filter is not supported for pseudo-Hermitian solves "
                  "(no bf16 rung in the H² filter) — ignoring the flag")
-    small_dense = rcfg.small_dense_backend
-    qr_backend = small_dense
-    if small_dense == "auto":
-        # host only for emulated-f64 problems; SP device eigh measured
-        # far faster warm than single-core host LAPACK (solver.py)
-        small_dense = "host" if (jax.default_backend() != "cpu"
-                                 and not is_sp) else "device"
-        qr_backend = "device"   # warm device CholQR is fast (solver.py)
+    from .solver import resolve_small_dense
+    small_dense, qr_backend = resolve_small_dense(
+        rcfg.small_dense_backend, is_sp)
     tol = rcfg.tol
     timing = perf is not None
     if perf is not None:

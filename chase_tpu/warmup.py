@@ -91,12 +91,8 @@ def warmup(H, nev: int, nex: Optional[int] = None, *, config=None,
     polish = rcfg.polish_passes()
 
     # small_dense resolution mirroring solver.solve's auto policy
-    small_dense = rcfg.small_dense_backend
-    qr_backend = small_dense
-    if small_dense == "auto":
-        off_cpu = jax.default_backend() != "cpu"
-        small_dense = "host" if (off_cpu and not is_sp) else "device"
-        qr_backend = "device"
+    small_dense, qr_backend = _solver.resolve_small_dense(
+        rcfg.small_dense_backend, is_sp)
 
     # cheap well-conditioned dummies; identity columns make every CholQR
     # Gram the identity (no rescue-path detours), and degree-2 filters
@@ -131,7 +127,9 @@ def warmup(H, nev: int, nex: Optional[int] = None, *, config=None,
         locked = nevex - w_pad
         degrees_act = np.full(nevex - locked, 2, np.int32)
         ritzv_act = np.zeros(nevex - locked, np.float64)
-        R = jnp.zeros((N, nevex), op.dtype)
+        # sharding-pinned dummy: the real solve's R_prev is zeros_like(V)
+        # (sharded like V) and the compiled program is sharding-specialized
+        R = jnp.zeros_like(V)
         f_precision = "default" if is_sp else precision
         out = _solver._filter_refine_windowed(
             op.H_low, V, R, ritzv_act, degrees_act, locked, nevex, B,
