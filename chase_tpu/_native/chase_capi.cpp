@@ -62,6 +62,43 @@ def capi_init(ptrH, ptrV, ptrR, N, nev, nex, ldh, dt, rdt, pseudo, dist):
                   nex=nex, pseudo=pseudo)
     return 0
 
+def capi_init_dist(ptrH, ptrV, ptrR, N, nev, nex, m, n, ldh, dt, rdt,
+                   pseudo, dim0, dim1, major, mb, nb, irsrc=0, icsrc=0):
+    # Reference p*chase_init_* pass each rank's LOCAL (m, n) block
+    # (chase_c_interface.h:126-157); this library is driven by ONE process
+    # that owns the full matrix and distributes over the in-process device
+    # mesh, so the local block must be the whole matrix.
+    if m != N or n != N:
+        raise ValueError(
+            f"local block ({m}, {n}) != ({N}, {N}): chase_tpu's C ABI is "
+            f"single-process (the dim0 x dim1 grid is the DEVICE mesh); "
+            f"pass the full matrix")
+    H = _view(ptrH, N, N, ldh, dt)
+    cols = 2 * (nev + nex) if pseudo else (nev + nex)
+    V = _view(ptrV, N, cols, N, dt).copy() if ptrV else None
+    R = None
+    if ptrR:
+        rdt_ = np.dtype(rdt)
+        buf = (ctypes.c_char * (cols * rdt_.itemsize)).from_address(ptrR)
+        R = np.frombuffer(buf, dtype=rdt_).copy().astype('float64')
+    gs = (dim0, dim1)
+    if mb > 0:
+        _iface.init_blockcyclic(N, nev, nex, mb, nb, H, V,
+                                None if pseudo else R, pseudo=bool(pseudo),
+                                grid_shape=gs, grid_major=major,
+                                irsrc=irsrc, icsrc=icsrc)
+    elif pseudo:
+        _iface.init_pseudo(N, nev, nex, H, V, distributed=True,
+                           grid_shape=gs, grid_major=major)
+    else:
+        _iface.init(N, nev, nex, H, V, R, distributed=True,
+                    grid_shape=gs, grid_major=major)
+    if pseudo:
+        _iface._require().ritzv0 = R
+    _state.update(ptrV=ptrV, ptrR=ptrR, dt=dt, rdt=rdt, N=N, nev=nev,
+                  nex=nex, pseudo=pseudo)
+    return 0
+
 def capi_solve(deg, tol, mode, opt, qr):
     return _iface.solve(deg if deg > 0 else None,
                         tol if tol > 0 else None, mode, opt, qr)
@@ -151,6 +188,21 @@ int do_solve(int deg, double tol, char mode, char opt, char qr) {
                    deg, tol, mode, opt, qr));
 }
 
+// distributed init with the reference's full signature: (m, n) local block
+// dims, (dim0, dim1) grid, grid_major, ignored MPI communicator; mb/nb > 0
+// selects the block-cyclic layout (chase_c_interface.h:61-157).
+int do_init_dist(const void* H, const void* V, const void* ritzv, int N,
+                 int nev, int nex, int m, int n, int ldh, const char* dt,
+                 const char* rdt, int pseudo, int dim0, int dim1,
+                 char major, int mb, int nb, int irsrc, int icsrc) {
+    return run(fmt(
+        "capi_init_dist(%llu, %llu, %llu, %d, %d, %d, %d, %d, %d, '%s', "
+        "'%s', %d, %d, %d, '%c', %d, %d, %d, %d)",
+        (unsigned long long)(uintptr_t)H, (unsigned long long)(uintptr_t)V,
+        (unsigned long long)(uintptr_t)ritzv, N, nev, nex, m, n, ldh, dt,
+        rdt, pseudo, dim0, dim1, major, mb, nb, irsrc, icsrc));
+}
+
 }  // namespace
 
 #define INIT_FN(prefix, T, DT, RDT, PSEUDO, DIST)                           \
@@ -160,19 +212,97 @@ int do_solve(int deg, double tol, char mode, char opt, char qr) {
         do_init(H, V, ritzv, *N, *nev, *nex, *ldh, DT, RDT, PSEUDO, DIST);  \
     }
 
+// distributed block-block init — reference signature with local (m, n)
+// dims, (dim0, dim1) grid, grid_major, MPI communicator (accepted and
+// ignored: the process grid is the in-process device mesh)
+// (chase_c_interface.h:126-157)
+#define PINIT_FN(prefix, T, DT, RDT, PSEUDO)                                \
+    extern "C" void prefix(int* N, int* nev, int* nex, int* m, int* n,      \
+                           T* H, int* ldh, T* V, RDT_TYPE* ritzv,           \
+                           int* dim0, int* dim1, char* grid_major,          \
+                           void* comm, int* init) {                         \
+        (void)comm; (void)init;                                             \
+        do_init_dist(H, V, ritzv, *N, *nev, *nex, *m, *n, *ldh, DT, RDT,    \
+                     PSEUDO, *dim0, *dim1,                                  \
+                     grid_major ? *grid_major : 'R', 0, 0, 0, 0);           \
+    }
+
+#define PINIT_INT_FN(prefix, T, DT, RDT, PSEUDO)                            \
+    extern "C" void prefix(int* N, int* nev, int* nex, int* m, int* n,      \
+                           T* H, int* ldh, int* dim0, int* dim1,            \
+                           char* grid_major, void* comm, int* init) {       \
+        (void)comm; (void)init;                                             \
+        do_init_dist(H, nullptr, nullptr, *N, *nev, *nex, *m, *n, *ldh,     \
+                     DT, RDT, PSEUDO, *dim0, *dim1,                         \
+                     grid_major ? *grid_major : 'R', 0, 0, 0, 0);           \
+    }
+
+// distributed block-cyclic init (mbsize × nbsize ScaLAPACK-style blocks;
+// irsrc/icsrc source offsets) (chase_c_interface.h:61-121)
+#define PINIT_BC_FN(prefix, T, DT, RDT, PSEUDO)                             \
+    extern "C" void prefix(int* N, int* nev, int* nex, int* mbsize,         \
+                           int* nbsize, T* H, int* ldh, T* V,               \
+                           RDT_TYPE* ritzv, int* dim0, int* dim1,           \
+                           char* grid_major, int* irsrc, int* icsrc,        \
+                           void* comm, int* init) {                         \
+        (void)comm; (void)init;                                             \
+        do_init_dist(H, V, ritzv, *N, *nev, *nex, *N, *N, *ldh, DT, RDT,    \
+                     PSEUDO, *dim0, *dim1,                                  \
+                     grid_major ? *grid_major : 'R', *mbsize, *nbsize,      \
+                     irsrc ? *irsrc : 0, icsrc ? *icsrc : 0);               \
+    }
+
+#define PINIT_BC_INT_FN(prefix, T, DT, RDT, PSEUDO)                         \
+    extern "C" void prefix(int* N, int* nev, int* nex, int* mbsize,         \
+                           int* nbsize, T* H, int* ldh, int* dim0,          \
+                           int* dim1, char* grid_major, int* irsrc,         \
+                           int* icsrc, void* comm, int* init) {             \
+        (void)comm; (void)init;                                             \
+        do_init_dist(H, nullptr, nullptr, *N, *nev, *nex, *N, *N, *ldh,     \
+                     DT, RDT, PSEUDO, *dim0, *dim1,                         \
+                     grid_major ? *grid_major : 'R', *mbsize, *nbsize,      \
+                     irsrc ? *irsrc : 0, icsrc ? *icsrc : 0);               \
+    }
+
 #define RDT_TYPE float
 INIT_FN(schase_init_, float, "float32", "float32", 0, 0)
 INIT_FN(cchase_init_, void, "complex64", "float32", 0, 0)
 INIT_FN(cchase_init_pseudo_, void, "complex64", "float32", 1, 0)
-INIT_FN(pschase_init_, float, "float32", "float32", 0, 1)
-INIT_FN(pcchase_init_, void, "complex64", "float32", 0, 1)
+PINIT_FN(pschase_init_, float, "float32", "float32", 0)
+PINIT_FN(pcchase_init_, void, "complex64", "float32", 0)
+PINIT_FN(pcchase_init_pseudo_, void, "complex64", "float32", 1)
+PINIT_INT_FN(pschase_init_internal_, float, "float32", "float32", 0)
+PINIT_INT_FN(pcchase_init_internal_, void, "complex64", "float32", 0)
+PINIT_INT_FN(pcchase_init_pseudo_internal_, void, "complex64", "float32", 1)
+PINIT_BC_FN(pschase_init_blockcyclic_, float, "float32", "float32", 0)
+PINIT_BC_FN(pcchase_init_blockcyclic_, void, "complex64", "float32", 0)
+PINIT_BC_FN(pcchase_init_pseudo_blockcyclic_, void, "complex64", "float32", 1)
+PINIT_BC_INT_FN(pschase_init_blockcyclic_internal_, float, "float32",
+                "float32", 0)
+PINIT_BC_INT_FN(pcchase_init_blockcyclic_internal_, void, "complex64",
+                "float32", 0)
+PINIT_BC_INT_FN(pcchase_init_pseudo_blockcyclic_internal_, void, "complex64",
+                "float32", 1)
 #undef RDT_TYPE
 #define RDT_TYPE double
 INIT_FN(dchase_init_, double, "float64", "float64", 0, 0)
 INIT_FN(zchase_init_, void, "complex128", "float64", 0, 0)
 INIT_FN(zchase_init_pseudo_, void, "complex128", "float64", 1, 0)
-INIT_FN(pdchase_init_, double, "float64", "float64", 0, 1)
-INIT_FN(pzchase_init_, void, "complex128", "float64", 0, 1)
+PINIT_FN(pdchase_init_, double, "float64", "float64", 0)
+PINIT_FN(pzchase_init_, void, "complex128", "float64", 0)
+PINIT_FN(pzchase_init_pseudo_, void, "complex128", "float64", 1)
+PINIT_INT_FN(pdchase_init_internal_, double, "float64", "float64", 0)
+PINIT_INT_FN(pzchase_init_internal_, void, "complex128", "float64", 0)
+PINIT_INT_FN(pzchase_init_pseudo_internal_, void, "complex128", "float64", 1)
+PINIT_BC_FN(pdchase_init_blockcyclic_, double, "float64", "float64", 0)
+PINIT_BC_FN(pzchase_init_blockcyclic_, void, "complex128", "float64", 0)
+PINIT_BC_FN(pzchase_init_pseudo_blockcyclic_, void, "complex128", "float64", 1)
+PINIT_BC_INT_FN(pdchase_init_blockcyclic_internal_, double, "float64",
+                "float64", 0)
+PINIT_BC_INT_FN(pzchase_init_blockcyclic_internal_, void, "complex128",
+                "float64", 0)
+PINIT_BC_INT_FN(pzchase_init_pseudo_blockcyclic_internal_, void,
+                "complex128", "float64", 1)
 #undef RDT_TYPE
 
 #define SOLVE_FN(prefix, TOL_T)                                             \

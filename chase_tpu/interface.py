@@ -31,7 +31,8 @@ from .api import eigsh, eigsh_pseudo
 from .config import ChaseConfig
 from .parallel.mesh import Grid2D, make_grid
 
-__all__ = ["init", "init_pseudo", "solve", "get_eigenpairs", "finalize",
+__all__ = ["init", "init_pseudo", "init_blockcyclic", "solve",
+           "get_eigenpairs", "finalize",
            "set_tol", "set_deg", "set_opt", "set_maxiter", "set_lanczos",
            "has_gpu", "has_distribution", "has_pseudo"]
 
@@ -46,6 +47,7 @@ class _Session:
     ritzv0: Optional[np.ndarray] = None
     pseudo: bool = False
     grid: Optional[Grid2D] = None
+    layout = None                       # (Pseudo)BlockCyclicLayout or None
     config: ChaseConfig = dataclasses.field(default_factory=ChaseConfig)
     result = None
 
@@ -59,17 +61,44 @@ def _require() -> _Session:
     return _session
 
 
+def _grid_for(grid_shape, grid_major: str = "R") -> Optional[Grid2D]:
+    """Device grid for the reference's (dim0, dim1) process-grid dims.
+
+    The reference's p*chase_init_ distributes over dim0×dim1 MPI ranks
+    (chase_c_interface.h:126-157); here the same dims select a dim0×dim1
+    device mesh in the single driving process.  grid_major 'R'|'C' maps the
+    device enumeration row- vs column-major onto the grid — the MpiGrid2D
+    RowMajor/ColMajor analogue (grid/mpiGrid2D.hpp:188)."""
+    import jax
+    if grid_shape is None:
+        return make_grid()
+    d0, d1 = int(grid_shape[0]), int(grid_shape[1])
+    n = d0 * d1
+    if n <= 1:
+        return None
+    devs = jax.devices()
+    if len(devs) < n:
+        raise ValueError(
+            f"grid dims {d0}x{d1} need {n} devices, only {len(devs)} "
+            f"available")
+    devs = devs[:n]
+    if str(grid_major).upper().startswith("C"):
+        devs = list(np.asarray(devs, dtype=object).reshape(d1, d0).T.ravel())
+    return make_grid(devs, shape=(d0, d1))
+
+
 def init(N: int, nev: int, nex: int, H, V=None, ritzv=None, *,
-         distributed: bool = False):
+         distributed: bool = False, grid_shape=None, grid_major: str = "R"):
     """*chase_init_ / p*chase_init_: bind the problem to the singleton.
 
     V/ritzv, when given, seed mode='A' warm starts (the reference reuses
-    the caller's buffers as the approximate subspace)."""
+    the caller's buffers as the approximate subspace).  ``grid_shape`` =
+    the reference's (dim0, dim1) process-grid dims → device mesh shape."""
     global _session
     H = np.asarray(H)
     if H.shape != (N, N):
         raise ValueError(f"H shape {H.shape} != ({N}, {N})")
-    grid = make_grid() if distributed else None
+    grid = _grid_for(grid_shape, grid_major) if distributed else None
     _session = _Session(N=N, nev=nev, nex=nex, H=H,
                         V0=None if V is None else np.asarray(V),
                         ritzv0=None if ritzv is None else
@@ -79,10 +108,52 @@ def init(N: int, nev: int, nex: int, H, V=None, ritzv=None, *,
 
 
 def init_pseudo(N: int, nev: int, nex: int, H, V=None, *,
-                distributed: bool = False):
-    """*chase_init_pseudo_: BSE problem."""
-    init(N, nev, nex, H, V, distributed=distributed)
+                distributed: bool = False, grid_shape=None,
+                grid_major: str = "R"):
+    """*chase_init_pseudo_ / p{c,z}chase_init_pseudo_: BSE problem
+    (chase_c_interface.h:159-175)."""
+    init(N, nev, nex, H, V, distributed=distributed, grid_shape=grid_shape,
+         grid_major=grid_major)
     _require().pseudo = True
+    return 0
+
+
+def init_blockcyclic(N: int, nev: int, nex: int, mb: int, nb: int, H,
+                     V=None, ritzv=None, *, pseudo: bool = False,
+                     distributed: bool = True, grid_shape=None,
+                     grid_major: str = "R", irsrc: int = 0, icsrc: int = 0):
+    """p?chase_init_blockcyclic_ / p?chase_init_pseudo_blockcyclic_
+    (chase_c_interface.h:61-121): bind the problem with a ScaLAPACK-style
+    (mb×nb) block-cyclic layout.
+
+    TPU realization: the layout is an ownership *similarity transform*
+    (parallel/layouts.BlockCyclicLayout) — H's rows/columns are permuted so
+    contiguous mesh sharding owns exactly the block-cyclically assigned
+    indices; eigenvector rows are un-permuted in get_eigenpairs().
+    ``irsrc``/``icsrc`` (the source-process offsets of the ScaLAPACK
+    descriptor) must be 0 — nonzero offsets only relabel which rank holds
+    block 0, which has no device-mesh meaning here."""
+    from .parallel.layouts import BlockCyclicLayout, PseudoBlockCyclicLayout
+    if irsrc != 0 or icsrc != 0:
+        raise ValueError("irsrc/icsrc != 0 unsupported (no rank relabeling "
+                         "on a device mesh)")
+    if nb != mb:
+        from .logger import get_logger
+        get_logger().warn(f"block-cyclic nb={nb} != mb={mb}: the Hermitian "
+                          f"similarity transform uses mb for both sides",
+                          "interface")
+    if pseudo:
+        init_pseudo(N, nev, nex, H, V, distributed=distributed,
+                    grid_shape=grid_shape, grid_major=grid_major)
+    else:
+        init(N, nev, nex, H, V, ritzv, distributed=distributed,
+             grid_shape=grid_shape, grid_major=grid_major)
+    s = _require()
+    g = s.grid
+    p_r = g.shape["r"] if g is not None else 1
+    p_c = g.shape["c"] if g is not None else 1
+    cls = PseudoBlockCyclicLayout if pseudo else BlockCyclicLayout
+    s.layout = cls(N, mb, p_r, p_c)
     return 0
 
 
@@ -172,16 +243,21 @@ def solve(deg: Optional[int] = None, tol: Optional[float] = None,
     kwargs = {}
     if mode == "A":
         if s.result is not None:
+            # result.V already lives in the layout's ownership order
             kwargs = {"v0": np.asarray(s.result.V),
                       "ritzv0": s.result.ritzv_full, "approx": True}
         elif s.V0 is not None and s.ritzv0 is not None \
                 and np.any(s.ritzv0):
-            # warm start straight from the caller's init buffers
-            kwargs = {"v0": s.V0, "ritzv0": s.ritzv0, "approx": True}
+            # warm start straight from the caller's init buffers (user
+            # global row ordering → ownership ordering under a layout)
+            v0 = s.V0 if s.layout is None \
+                else np.asarray(s.layout.apply_rows(s.V0))
+            kwargs = {"v0": v0, "ritzv0": s.ritzv0, "approx": True}
         else:
             raise RuntimeError("mode='A' needs a previous solve or V+ritzv "
                                "buffers supplied at init")
-    s.result = fn(s.H, s.nev, s.nex, config=s.config, grid=s.grid, **kwargs)
+    H = s.H if s.layout is None else s.layout.apply(s.H)
+    s.result = fn(H, s.nev, s.nex, config=s.config, grid=s.grid, **kwargs)
     return 0 if s.result.converged else 1
 
 
@@ -190,7 +266,10 @@ def get_eigenpairs():
     s = _require()
     if s.result is None:
         raise RuntimeError("no solve() yet")
-    return s.result.ritzv.copy(), np.asarray(s.result.V)[:, :s.nev].copy()
+    V = np.asarray(s.result.V)[:, :s.nev]
+    if s.layout is not None:
+        V = np.asarray(s.layout.restore_rows(V))
+    return s.result.ritzv.copy(), V.copy()
 
 
 def finalize(flag: int = 0):

@@ -15,10 +15,19 @@ the way out.
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 __all__ = ["block_cyclic_perm", "BlockCyclicLayout",
            "PseudoBlockCyclicLayout", "BlockCyclicVector1D"]
+
+
+def _take_rows(X, idx):
+    """Row gather preserving the input's array library: numpy stays numpy
+    (jnp.asarray would silently downcast f64 before x64 is enabled)."""
+    if isinstance(X, jax.Array):
+        return X[jnp.asarray(idx)]
+    return np.asarray(X)[idx]
 
 
 def block_cyclic_perm(n: int, nb: int, p: int) -> np.ndarray:
@@ -47,17 +56,16 @@ class BlockCyclicLayout:
         For Hermitian solves the row and column permutations must agree
         (similarity transform); we use the row permutation on both sides.
         """
-        perm = jnp.asarray(self.row_perm)
-        return jnp.asarray(H)[perm][:, perm]
+        return _take_rows(H, self.row_perm)[:, self.row_perm]
 
     def restore_rows(self, V):
         """Un-permute eigenvector rows back to the user's global ordering."""
-        return jnp.asarray(V)[jnp.asarray(self._row_inv)]
+        return _take_rows(V, self._row_inv)
 
     def apply_rows(self, V):
         """Permute multivector rows INTO the ownership ordering (the
         DistMultiVector1D redistribution analogue for warm starts / v0)."""
-        return jnp.asarray(V)[jnp.asarray(self.row_perm)]
+        return _take_rows(V, self.row_perm)
 
 
 class PseudoBlockCyclicLayout(BlockCyclicLayout):
@@ -116,7 +124,7 @@ class BlockCyclicVector1D:
         self._inv = np.argsort(self.perm)
 
     def to_owner_order(self, V):
-        return jnp.asarray(V)[jnp.asarray(self.perm)]
+        return _take_rows(V, self.perm)
 
     def from_owner_order(self, V):
-        return jnp.asarray(V)[jnp.asarray(self._inv)]
+        return _take_rows(V, self._inv)

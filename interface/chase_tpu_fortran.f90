@@ -20,10 +20,13 @@ module chase_tpu_interface
             real(c_float) :: ritzv(*)
         end subroutine schase_init
 
-        subroutine pschase_init(n, nev, nex, h, ldh, v, ritzv, init) &
+        subroutine pschase_init(n, nev, nex, m, mloc, h, ldh, v, ritzv, &
+                dim0, dim1, grid_major, comm, init) &
             bind(c, name='pschase_init_')
             use iso_c_binding
-            integer(c_int) :: n, nev, nex, ldh, init
+            integer(c_int) :: n, nev, nex, m, mloc, ldh, dim0, dim1
+            integer(c_int) :: comm, init
+            character(len=1, kind=c_char) :: grid_major
             real(c_float) :: h(ldh, *), v(n, *)
             real(c_float) :: ritzv(*)
         end subroutine pschase_init
@@ -36,10 +39,13 @@ module chase_tpu_interface
             real(c_double) :: ritzv(*)
         end subroutine dchase_init
 
-        subroutine pdchase_init(n, nev, nex, h, ldh, v, ritzv, init) &
+        subroutine pdchase_init(n, nev, nex, m, mloc, h, ldh, v, ritzv, &
+                dim0, dim1, grid_major, comm, init) &
             bind(c, name='pdchase_init_')
             use iso_c_binding
-            integer(c_int) :: n, nev, nex, ldh, init
+            integer(c_int) :: n, nev, nex, m, mloc, ldh, dim0, dim1
+            integer(c_int) :: comm, init
+            character(len=1, kind=c_char) :: grid_major
             real(c_double) :: h(ldh, *), v(n, *)
             real(c_double) :: ritzv(*)
         end subroutine pdchase_init
@@ -52,10 +58,13 @@ module chase_tpu_interface
             real(c_float) :: ritzv(*)
         end subroutine cchase_init
 
-        subroutine pcchase_init(n, nev, nex, h, ldh, v, ritzv, init) &
+        subroutine pcchase_init(n, nev, nex, m, mloc, h, ldh, v, ritzv, &
+                dim0, dim1, grid_major, comm, init) &
             bind(c, name='pcchase_init_')
             use iso_c_binding
-            integer(c_int) :: n, nev, nex, ldh, init
+            integer(c_int) :: n, nev, nex, m, mloc, ldh, dim0, dim1
+            integer(c_int) :: comm, init
+            character(len=1, kind=c_char) :: grid_major
             complex(c_float_complex) :: h(ldh, *), v(n, *)
             real(c_float) :: ritzv(*)
         end subroutine pcchase_init
@@ -68,10 +77,13 @@ module chase_tpu_interface
             real(c_double) :: ritzv(*)
         end subroutine zchase_init
 
-        subroutine pzchase_init(n, nev, nex, h, ldh, v, ritzv, init) &
+        subroutine pzchase_init(n, nev, nex, m, mloc, h, ldh, v, ritzv, &
+                dim0, dim1, grid_major, comm, init) &
             bind(c, name='pzchase_init_')
             use iso_c_binding
-            integer(c_int) :: n, nev, nex, ldh, init
+            integer(c_int) :: n, nev, nex, m, mloc, ldh, dim0, dim1
+            integer(c_int) :: comm, init
+            character(len=1, kind=c_char) :: grid_major
             complex(c_double_complex) :: h(ldh, *), v(n, *)
             real(c_double) :: ritzv(*)
         end subroutine pzchase_init
@@ -91,6 +103,217 @@ module chase_tpu_interface
             complex(c_double_complex) :: h(ldh, *), v(n, *)
             real(c_double) :: ritzv(*)
         end subroutine zchase_init_pseudo
+
+
+        ! -- distributed init variants (chase_c_interface.h:61-175) --
+
+        subroutine pschase_init_internal(n, nev, nex, m, mloc, h, ldh, &
+                dim0, dim1, grid_major, comm, init) &
+            bind(c, name='pschase_init_internal_')
+            use iso_c_binding
+            integer(c_int) :: n, nev, nex, m, mloc, ldh, dim0, dim1
+            integer(c_int) :: comm, init
+            character(len=1, kind=c_char) :: grid_major
+            real(c_float) :: h(ldh, *)
+        end subroutine pschase_init_internal
+
+        subroutine pschase_init_blockcyclic(n, nev, nex, mbsize, nbsize, h, ldh, &
+                v, ritzv, dim0, dim1, grid_major, irsrc, icsrc, comm, init) &
+            bind(c, name='pschase_init_blockcyclic_')
+            use iso_c_binding
+            integer(c_int) :: n, nev, nex, mbsize, nbsize, ldh, dim0, dim1
+            integer(c_int) :: irsrc, icsrc, comm, init
+            character(len=1, kind=c_char) :: grid_major
+            real(c_float) :: h(ldh, *), v(n, *)
+            real(c_float) :: ritzv(*)
+        end subroutine pschase_init_blockcyclic
+
+        subroutine pschase_init_blockcyclic_internal(n, nev, nex, mbsize, nbsize, h, ldh, &
+                dim0, dim1, grid_major, irsrc, icsrc, comm, init) &
+            bind(c, name='pschase_init_blockcyclic_internal_')
+            use iso_c_binding
+            integer(c_int) :: n, nev, nex, mbsize, nbsize, ldh, dim0, dim1
+            integer(c_int) :: irsrc, icsrc, comm, init
+            character(len=1, kind=c_char) :: grid_major
+            real(c_float) :: h(ldh, *)
+        end subroutine pschase_init_blockcyclic_internal
+
+        subroutine pdchase_init_internal(n, nev, nex, m, mloc, h, ldh, &
+                dim0, dim1, grid_major, comm, init) &
+            bind(c, name='pdchase_init_internal_')
+            use iso_c_binding
+            integer(c_int) :: n, nev, nex, m, mloc, ldh, dim0, dim1
+            integer(c_int) :: comm, init
+            character(len=1, kind=c_char) :: grid_major
+            real(c_double) :: h(ldh, *)
+        end subroutine pdchase_init_internal
+
+        subroutine pdchase_init_blockcyclic(n, nev, nex, mbsize, nbsize, h, ldh, &
+                v, ritzv, dim0, dim1, grid_major, irsrc, icsrc, comm, init) &
+            bind(c, name='pdchase_init_blockcyclic_')
+            use iso_c_binding
+            integer(c_int) :: n, nev, nex, mbsize, nbsize, ldh, dim0, dim1
+            integer(c_int) :: irsrc, icsrc, comm, init
+            character(len=1, kind=c_char) :: grid_major
+            real(c_double) :: h(ldh, *), v(n, *)
+            real(c_double) :: ritzv(*)
+        end subroutine pdchase_init_blockcyclic
+
+        subroutine pdchase_init_blockcyclic_internal(n, nev, nex, mbsize, nbsize, h, ldh, &
+                dim0, dim1, grid_major, irsrc, icsrc, comm, init) &
+            bind(c, name='pdchase_init_blockcyclic_internal_')
+            use iso_c_binding
+            integer(c_int) :: n, nev, nex, mbsize, nbsize, ldh, dim0, dim1
+            integer(c_int) :: irsrc, icsrc, comm, init
+            character(len=1, kind=c_char) :: grid_major
+            real(c_double) :: h(ldh, *)
+        end subroutine pdchase_init_blockcyclic_internal
+
+        subroutine pcchase_init_internal(n, nev, nex, m, mloc, h, ldh, &
+                dim0, dim1, grid_major, comm, init) &
+            bind(c, name='pcchase_init_internal_')
+            use iso_c_binding
+            integer(c_int) :: n, nev, nex, m, mloc, ldh, dim0, dim1
+            integer(c_int) :: comm, init
+            character(len=1, kind=c_char) :: grid_major
+            complex(c_float_complex) :: h(ldh, *)
+        end subroutine pcchase_init_internal
+
+        subroutine pcchase_init_blockcyclic(n, nev, nex, mbsize, nbsize, h, ldh, &
+                v, ritzv, dim0, dim1, grid_major, irsrc, icsrc, comm, init) &
+            bind(c, name='pcchase_init_blockcyclic_')
+            use iso_c_binding
+            integer(c_int) :: n, nev, nex, mbsize, nbsize, ldh, dim0, dim1
+            integer(c_int) :: irsrc, icsrc, comm, init
+            character(len=1, kind=c_char) :: grid_major
+            complex(c_float_complex) :: h(ldh, *), v(n, *)
+            real(c_float) :: ritzv(*)
+        end subroutine pcchase_init_blockcyclic
+
+        subroutine pcchase_init_blockcyclic_internal(n, nev, nex, mbsize, nbsize, h, ldh, &
+                dim0, dim1, grid_major, irsrc, icsrc, comm, init) &
+            bind(c, name='pcchase_init_blockcyclic_internal_')
+            use iso_c_binding
+            integer(c_int) :: n, nev, nex, mbsize, nbsize, ldh, dim0, dim1
+            integer(c_int) :: irsrc, icsrc, comm, init
+            character(len=1, kind=c_char) :: grid_major
+            complex(c_float_complex) :: h(ldh, *)
+        end subroutine pcchase_init_blockcyclic_internal
+
+        subroutine pzchase_init_internal(n, nev, nex, m, mloc, h, ldh, &
+                dim0, dim1, grid_major, comm, init) &
+            bind(c, name='pzchase_init_internal_')
+            use iso_c_binding
+            integer(c_int) :: n, nev, nex, m, mloc, ldh, dim0, dim1
+            integer(c_int) :: comm, init
+            character(len=1, kind=c_char) :: grid_major
+            complex(c_double_complex) :: h(ldh, *)
+        end subroutine pzchase_init_internal
+
+        subroutine pzchase_init_blockcyclic(n, nev, nex, mbsize, nbsize, h, ldh, &
+                v, ritzv, dim0, dim1, grid_major, irsrc, icsrc, comm, init) &
+            bind(c, name='pzchase_init_blockcyclic_')
+            use iso_c_binding
+            integer(c_int) :: n, nev, nex, mbsize, nbsize, ldh, dim0, dim1
+            integer(c_int) :: irsrc, icsrc, comm, init
+            character(len=1, kind=c_char) :: grid_major
+            complex(c_double_complex) :: h(ldh, *), v(n, *)
+            real(c_double) :: ritzv(*)
+        end subroutine pzchase_init_blockcyclic
+
+        subroutine pzchase_init_blockcyclic_internal(n, nev, nex, mbsize, nbsize, h, ldh, &
+                dim0, dim1, grid_major, irsrc, icsrc, comm, init) &
+            bind(c, name='pzchase_init_blockcyclic_internal_')
+            use iso_c_binding
+            integer(c_int) :: n, nev, nex, mbsize, nbsize, ldh, dim0, dim1
+            integer(c_int) :: irsrc, icsrc, comm, init
+            character(len=1, kind=c_char) :: grid_major
+            complex(c_double_complex) :: h(ldh, *)
+        end subroutine pzchase_init_blockcyclic_internal
+
+        subroutine pcchase_init_pseudo(n, nev, nex, m, mloc, h, ldh, v, ritzv, &
+                dim0, dim1, grid_major, comm, init) &
+            bind(c, name='pcchase_init_pseudo_')
+            use iso_c_binding
+            integer(c_int) :: n, nev, nex, m, mloc, ldh, dim0, dim1
+            integer(c_int) :: comm, init
+            character(len=1, kind=c_char) :: grid_major
+            complex(c_float_complex) :: h(ldh, *), v(n, *)
+            real(c_float) :: ritzv(*)
+        end subroutine pcchase_init_pseudo
+
+        subroutine pcchase_init_pseudo_internal(n, nev, nex, m, mloc, h, ldh, &
+                dim0, dim1, grid_major, comm, init) &
+            bind(c, name='pcchase_init_pseudo_internal_')
+            use iso_c_binding
+            integer(c_int) :: n, nev, nex, m, mloc, ldh, dim0, dim1
+            integer(c_int) :: comm, init
+            character(len=1, kind=c_char) :: grid_major
+            complex(c_float_complex) :: h(ldh, *)
+        end subroutine pcchase_init_pseudo_internal
+
+        subroutine pcchase_init_pseudo_blockcyclic(n, nev, nex, mbsize, nbsize, h, ldh, &
+                v, ritzv, dim0, dim1, grid_major, irsrc, icsrc, comm, init) &
+            bind(c, name='pcchase_init_pseudo_blockcyclic_')
+            use iso_c_binding
+            integer(c_int) :: n, nev, nex, mbsize, nbsize, ldh, dim0, dim1
+            integer(c_int) :: irsrc, icsrc, comm, init
+            character(len=1, kind=c_char) :: grid_major
+            complex(c_float_complex) :: h(ldh, *), v(n, *)
+            real(c_float) :: ritzv(*)
+        end subroutine pcchase_init_pseudo_blockcyclic
+
+        subroutine pcchase_init_pseudo_blockcyclic_internal(n, nev, nex, mbsize, nbsize, h, ldh, &
+                dim0, dim1, grid_major, irsrc, icsrc, comm, init) &
+            bind(c, name='pcchase_init_pseudo_blockcyclic_internal_')
+            use iso_c_binding
+            integer(c_int) :: n, nev, nex, mbsize, nbsize, ldh, dim0, dim1
+            integer(c_int) :: irsrc, icsrc, comm, init
+            character(len=1, kind=c_char) :: grid_major
+            complex(c_float_complex) :: h(ldh, *)
+        end subroutine pcchase_init_pseudo_blockcyclic_internal
+
+        subroutine pzchase_init_pseudo(n, nev, nex, m, mloc, h, ldh, v, ritzv, &
+                dim0, dim1, grid_major, comm, init) &
+            bind(c, name='pzchase_init_pseudo_')
+            use iso_c_binding
+            integer(c_int) :: n, nev, nex, m, mloc, ldh, dim0, dim1
+            integer(c_int) :: comm, init
+            character(len=1, kind=c_char) :: grid_major
+            complex(c_double_complex) :: h(ldh, *), v(n, *)
+            real(c_double) :: ritzv(*)
+        end subroutine pzchase_init_pseudo
+
+        subroutine pzchase_init_pseudo_internal(n, nev, nex, m, mloc, h, ldh, &
+                dim0, dim1, grid_major, comm, init) &
+            bind(c, name='pzchase_init_pseudo_internal_')
+            use iso_c_binding
+            integer(c_int) :: n, nev, nex, m, mloc, ldh, dim0, dim1
+            integer(c_int) :: comm, init
+            character(len=1, kind=c_char) :: grid_major
+            complex(c_double_complex) :: h(ldh, *)
+        end subroutine pzchase_init_pseudo_internal
+
+        subroutine pzchase_init_pseudo_blockcyclic(n, nev, nex, mbsize, nbsize, h, ldh, &
+                v, ritzv, dim0, dim1, grid_major, irsrc, icsrc, comm, init) &
+            bind(c, name='pzchase_init_pseudo_blockcyclic_')
+            use iso_c_binding
+            integer(c_int) :: n, nev, nex, mbsize, nbsize, ldh, dim0, dim1
+            integer(c_int) :: irsrc, icsrc, comm, init
+            character(len=1, kind=c_char) :: grid_major
+            complex(c_double_complex) :: h(ldh, *), v(n, *)
+            real(c_double) :: ritzv(*)
+        end subroutine pzchase_init_pseudo_blockcyclic
+
+        subroutine pzchase_init_pseudo_blockcyclic_internal(n, nev, nex, mbsize, nbsize, h, ldh, &
+                dim0, dim1, grid_major, irsrc, icsrc, comm, init) &
+            bind(c, name='pzchase_init_pseudo_blockcyclic_internal_')
+            use iso_c_binding
+            integer(c_int) :: n, nev, nex, mbsize, nbsize, ldh, dim0, dim1
+            integer(c_int) :: irsrc, icsrc, comm, init
+            character(len=1, kind=c_char) :: grid_major
+            complex(c_double_complex) :: h(ldh, *)
+        end subroutine pzchase_init_pseudo_blockcyclic_internal
 
         subroutine schase(deg, tol, mode, opt, qr) &
             bind(c, name='schase_')

@@ -228,3 +228,59 @@ def test_cli_pseudo_blockcyclic(capsys):
                "--grid", "--mb", "8", "--tol", "1e-6"])
     assert rc == 0
     assert "converged" in capsys.readouterr().out
+
+
+def test_interface_init_blockcyclic_roundtrip():
+    """init_blockcyclic applies the ownership similarity transform and
+    get_eigenpairs restores the caller's row ordering (the C ABI's
+    p?chase_init_blockcyclic_ backing path)."""
+    import chase_tpu.interface as iface
+    N, nev, nex = 64, 6, 6
+    H = np.asarray(clement(N), np.float64)
+    iface.init_blockcyclic(N, nev, nex, 8, 8, H, grid_shape=(2, 2))
+    assert iface.solve(tol=1e-10) == 0
+    evals, evecs = iface.get_eigenpairs()
+    iface.finalize()
+    np.testing.assert_allclose(evals, clement_eigenvalues(N)[:nev],
+                               atol=1e-8)
+    # residual in the CALLER's ordering catches a missing un-permutation
+    R = H @ evecs - evecs * evals[None, :]
+    assert np.linalg.norm(R, axis=0).max() < 1e-8
+
+
+def test_interface_init_pseudo_distributed():
+    """p{c,z}chase_init_pseudo_ backing path: a distributed BSE solve on a
+    2x2 device mesh through the flat interface."""
+    import chase_tpu.interface as iface
+    from chase_tpu.models import random_pseudo_hermitian
+    N, nev, nex = 64, 4, 6
+    H = np.asarray(random_pseudo_hermitian(N, dtype=np.complex128, seed=3))
+    iface.init_pseudo(N, nev, nex, H, distributed=True, grid_shape=(2, 2))
+    assert iface.solve(tol=1e-9) == 0
+    evals, evecs = iface.get_eigenpairs()
+    iface.finalize()
+    import numpy.linalg as la
+    full = np.sort(la.eigvals(H).real)
+    pos = full[full > 0][:nev]
+    np.testing.assert_allclose(evals, pos, atol=1e-7)
+
+
+def test_interface_init_pseudo_blockcyclic():
+    """p?chase_init_pseudo_blockcyclic_ backing path: the per-half
+    block-cyclic similarity preserves the S-metric and the spectrum."""
+    import chase_tpu.interface as iface
+    from chase_tpu.models import random_pseudo_hermitian
+    N, nev, nex = 64, 4, 6
+    H = np.asarray(random_pseudo_hermitian(N, dtype=np.complex128, seed=4))
+    iface.init_blockcyclic(N, nev, nex, 8, 8, H, pseudo=True,
+                           grid_shape=(2, 2))
+    assert iface.solve(tol=1e-9) == 0
+    evals, evecs = iface.get_eigenpairs()
+    iface.finalize()
+    import numpy.linalg as la
+    full = np.sort(la.eigvals(H).real)
+    pos = full[full > 0][:nev]
+    np.testing.assert_allclose(evals, pos, atol=1e-7)
+    # eigenvector rows restored to the caller's ordering: check S-residual
+    R = H @ evecs - evecs * evals[None, :]
+    assert np.linalg.norm(R, axis=0).max() < 1e-6
