@@ -139,19 +139,84 @@ def eigsh(H, nev: int, nex: Optional[int] = None, *,
         order = np.arange(len(res.ritzv))[::-1].copy()
         res.ritzv = (-res.ritzv)[order]
         res.resid = res.resid[order]
-        import jax.numpy as jnp
         full = np.concatenate([order, np.arange(nev, res.V.shape[1])])
-        res.V = jnp.take(res.V, jnp.asarray(full), axis=1)
+        if isinstance(res.V, np.ndarray):    # real-pair results stay on host
+            res.V = np.take(res.V, full, axis=1)
+        else:
+            import jax.numpy as jnp
+            res.V = jnp.take(res.V, jnp.asarray(full), axis=1)
         if res.ritzv_full is not None:
             # keep ritzv_full column-aligned with the reordered V
             res.ritzv_full = (-res.ritzv_full)[full[:len(res.ritzv_full)]]
         return res
+
+    if not isinstance(H, DenseOperator) and _use_real_pair(H, cfg):
+        return _eigsh_real_pair(H, nev, nex, cfg=cfg, v0=v0, ritzv0=ritzv0,
+                                grid=grid, collect_perf=collect_perf,
+                                key=key)
 
     op = H if isinstance(H, DenseOperator) else DenseOperator(H, grid=grid)
     perf = PerfData() if collect_perf else None
     res = solve(op, nev, nex, config=cfg, V0=v0, ritzv0=ritzv0,
                 perf=perf, key=key)
     return _unpad(res, op)
+
+
+def _use_real_pair(H, cfg) -> bool:
+    """Complex input + a backend where native complex is unavailable/slow
+    (config.complex_backend; 'auto' = real_pair off-CPU)."""
+    dt = np.dtype(getattr(H, "dtype", None) or np.asarray(H).dtype)
+    if not np.issubdtype(dt, np.complexfloating):
+        return False
+    cb = getattr(cfg, "complex_backend", "auto")
+    if cb == "native":
+        return False
+    if cb == "real_pair":
+        return True
+    import jax
+    return jax.default_backend() != "cpu"
+
+
+def _eigsh_real_pair(H, nev, nex, *, cfg, v0=None, ritzv0=None, grid=None,
+                     collect_perf=False, key=None,
+                     fused: bool = False) -> SolveResult:
+    """Complex Hermitian solve via the real symplectic embedding
+    (ops/realpair.py): the doubled real problem runs the full real solver
+    stack (host driver or the fused one-dispatch program); the pair
+    structure collapses back to complex eigenpairs."""
+    from .ops.realpair import embed_real, embed_block, extract_pairs
+    from .logger import get_logger
+    H = np.asarray(H)
+    N = H.shape[0]
+    get_logger().info(
+        f"complex {H.dtype} problem → real-pair embedding (2N={2*N}); "
+        f"set complex_backend='native' to force complex dtypes", "interface")
+    J = embed_real(H)
+    v0r = None if v0 is None else embed_block(np.asarray(v0))
+    op = DenseOperator(J, grid=grid)
+    if fused:
+        res = eigsh_fused(op, 2 * nev, 2 * nex, config=cfg, v0=v0r,
+                          collect_perf=collect_perf, key=key)
+    else:
+        r0 = None if ritzv0 is None else np.repeat(np.asarray(ritzv0), 2)
+        perf = PerfData() if collect_perf else None
+        res = solve(op, 2 * nev, 2 * nex, config=cfg, V0=v0r, ritzv0=r0,
+                    perf=perf, key=key)
+        res = _unpad(res, op)
+    X2 = np.asarray(res.V)
+    vals, Vc, rres = extract_pairs(res.ritzv, X2[:, :2 * nev], res.resid,
+                                   nev)
+    # tail columns [nev, nev+nex): naive reconstruction of the real search
+    # directions — valid warm-start material for sequence solves
+    tail = (X2[:N, 2 * nev::2] + 1j * X2[N:, 2 * nev::2]).astype(Vc.dtype)
+    nrm = np.linalg.norm(tail, axis=0)
+    tail = tail / np.where(nrm > 0, nrm, 1.0)[None, :]
+    res.ritzv = vals
+    res.V = np.concatenate([Vc, tail], axis=1)   # (N, nev+nex) complex, host
+    res.resid = rres
+    if res.ritzv_full is not None:
+        res.ritzv_full = res.ritzv_full[::2].copy()
+    return res
 
 
 def eigsh_fused(H, nev: int, nex: Optional[int] = None, *,
@@ -193,15 +258,25 @@ def eigsh_fused(H, nev: int, nex: Optional[int] = None, *,
         res.ritzv = (-res.ritzv)[order]
         res.resid = res.resid[order]
         full = np.concatenate([order, np.arange(nev, res.V.shape[1])])
-        res.V = jnp.take(res.V, jnp.asarray(full), axis=1)
+        if isinstance(res.V, np.ndarray):    # real-pair results stay on host
+            res.V = np.take(res.V, full, axis=1)
+        else:
+            res.V = jnp.take(res.V, jnp.asarray(full), axis=1)
         if res.ritzv_full is not None:
             # keep ritzv_full column-aligned with the reordered V
             res.ritzv_full = (-res.ritzv_full)[full[:len(res.ritzv_full)]]
         return res
     cfg = config or ChaseConfig()
+    if tol is not None:
+        import dataclasses as _dc
+        cfg = _dc.replace(cfg, tol=tol)
+    if not isinstance(H, DenseOperator) and _use_real_pair(H, cfg):
+        return _eigsh_real_pair(H, nev, nex, cfg=cfg, v0=v0, grid=grid,
+                                collect_perf=collect_perf, key=key,
+                                fused=True)
     op = H if isinstance(H, DenseOperator) else DenseOperator(H, grid=grid)
     rcfg = cfg.resolve(op.dtype)
-    tol = tol if tol is not None else rcfg.tol
+    tol = rcfg.tol
     if key is None:
         key = jax.random.key(rcfg.seed)
     warm = v0 is not None

@@ -135,6 +135,14 @@ class ChaseConfig:
     # (grid shape (p, 1)): overlaps V-chunk ICI transfers with local dots
     # instead of GSPMD's all-gather-then-dot lowering.
     ring_filter: bool = False
+    # Complex Hermitian problems on accelerators: "real_pair" solves the
+    # real symplectic embedding J = [[Hr,-Hi],[Hi,Hr]] with purely real
+    # device arithmetic (ops/realpair.py) — required on backends without
+    # complex support, and the only route to the bf16/default MXU rungs
+    # for complex (native complex matmul lowers at highest precision only).
+    # "auto" (default) = real_pair off-CPU, native complex on CPU.
+    # "native" forces complex dtypes end to end.
+    complex_backend: str = "auto"
 
     def resolve(self, dtype) -> "ResolvedConfig":
         """Bind dtype-dependent defaults and env overrides."""

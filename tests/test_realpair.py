@@ -1,0 +1,132 @@
+"""Real-pair complex mode (ops/realpair.py + api complex_backend).
+
+Complex Hermitian solves on real-only accelerators run the real symplectic
+embedding J = [[Hr,-Hi],[Hi,Hr]]; these tests force the mode ON CPU and
+check parity against native complex and numpy (reference 4-dtype e2e
+matrix: tests/chase_serial_solve.cpp:23-120)."""
+
+import numpy as np
+import pytest
+
+import chase_tpu
+from chase_tpu import ChaseConfig
+from chase_tpu.ops.realpair import embed_real, embed_block, extract_pairs
+
+
+def _complex_hermitian(N, seed=0, dtype=np.complex128, spectrum=None):
+    rng = np.random.default_rng(seed)
+    A = rng.standard_normal((N, N)) + 1j * rng.standard_normal((N, N))
+    Q, _ = np.linalg.qr(A)
+    lam = (np.linspace(-1.0, 1.0, N) if spectrum is None
+           else np.asarray(spectrum, np.float64))
+    return ((Q * lam) @ Q.conj().T).astype(dtype), np.sort(lam)
+
+
+def test_embed_real_spectrum_doubles():
+    H, lam = _complex_hermitian(24, seed=1)
+    J = embed_real(H)
+    assert J.dtype == np.float64 and J.shape == (48, 48)
+    np.testing.assert_allclose(J, J.T, atol=1e-14)
+    wJ = np.linalg.eigvalsh(J)
+    np.testing.assert_allclose(wJ, np.repeat(lam, 2), atol=1e-12)
+
+
+def test_real_pair_e2e_matches_native_and_numpy():
+    N, nev, nex = 96, 10, 10
+    H, lam = _complex_hermitian(N, seed=2)
+    cfg = ChaseConfig(complex_backend="real_pair")
+    res = chase_tpu.eigsh(H, nev, nex, tol=1e-10, config=cfg)
+    assert res.converged
+    np.testing.assert_allclose(res.ritzv, lam[:nev], atol=1e-9)
+    V = np.asarray(res.V)[:, :nev]
+    assert V.dtype == np.complex128 and V.shape == (N, nev)
+    # true complex residuals + orthonormality
+    R = H @ V - V * res.ritzv[None, :]
+    assert np.linalg.norm(R, axis=0).max() < 1e-8
+    G = V.conj().T @ V
+    np.testing.assert_allclose(G, np.eye(nev), atol=1e-8)
+    # parity against the native complex path
+    res_n = chase_tpu.eigsh(H, nev, nex, tol=1e-10,
+                            config=ChaseConfig(complex_backend="native"))
+    np.testing.assert_allclose(res.ritzv, res_n.ritzv, atol=1e-9)
+
+
+def test_real_pair_c64():
+    N, nev, nex = 64, 6, 8
+    H, lam = _complex_hermitian(N, seed=3, dtype=np.complex64)
+    cfg = ChaseConfig(complex_backend="real_pair")
+    res = chase_tpu.eigsh(H, nev, nex, tol=1e-5, config=cfg)
+    assert res.converged
+    np.testing.assert_allclose(res.ritzv, lam[:nev], atol=2e-5)
+    V = np.asarray(res.V)[:, :nev]
+    assert V.dtype == np.complex64
+    R = H @ V - V * res.ritzv[None, :].astype(np.complex64)
+    assert np.linalg.norm(R, axis=0).max() < 5e-4
+
+
+def test_real_pair_degenerate_cluster():
+    """A doubly degenerate complex eigenvalue (4-fold in J) must yield two
+    ORTHONORMAL complex eigenvectors, not the same direction twice."""
+    N, nev, nex = 48, 4, 8
+    lam = np.linspace(-1.0, 1.0, N)
+    lam[1] = lam[0]                       # double complex eigenvalue at λ0
+    H, lam_s = _complex_hermitian(N, seed=4, spectrum=lam)
+    cfg = ChaseConfig(complex_backend="real_pair")
+    res = chase_tpu.eigsh(H, nev, nex, tol=1e-10, config=cfg)
+    assert res.converged
+    np.testing.assert_allclose(res.ritzv, lam_s[:nev], atol=1e-8)
+    V = np.asarray(res.V)[:, :nev]
+    G = V.conj().T @ V
+    np.testing.assert_allclose(G, np.eye(nev), atol=1e-6)
+    R = H @ V - V * res.ritzv[None, :]
+    assert np.linalg.norm(R, axis=0).max() < 1e-7
+
+
+def test_real_pair_fused():
+    N, nev, nex = 64, 6, 10
+    H, lam = _complex_hermitian(N, seed=5)
+    cfg = ChaseConfig(complex_backend="real_pair")
+    res = chase_tpu.eigsh_fused(H, nev, nex, tol=1e-9, config=cfg)
+    assert res.converged
+    np.testing.assert_allclose(res.ritzv, lam[:nev], atol=1e-8)
+    V = np.asarray(res.V)[:, :nev]
+    R = H @ V - V * res.ritzv[None, :]
+    assert np.linalg.norm(R, axis=0).max() < 1e-7
+
+
+def test_real_pair_largest():
+    N, nev = 64, 5
+    H, lam = _complex_hermitian(N, seed=6)
+    cfg = ChaseConfig(complex_backend="real_pair")
+    res = chase_tpu.eigsh(H, nev, 8, tol=1e-10, config=cfg, largest=True)
+    np.testing.assert_allclose(res.ritzv, lam[-nev:], atol=1e-8)
+
+
+def test_real_pair_warm_sequence():
+    """approx-mode warm start through the embedding (sequence solves)."""
+    N, nev, nex = 64, 6, 8
+    H1, lam1 = _complex_hermitian(N, seed=7)
+    rng = np.random.default_rng(8)
+    D = rng.standard_normal((N, N)) + 1j * rng.standard_normal((N, N))
+    H2 = H1 + 1e-3 * (D + D.conj().T) / 2
+    cfg = ChaseConfig(complex_backend="real_pair")
+    r1 = chase_tpu.eigsh(H1, nev, nex, tol=1e-9, config=cfg)
+    r2 = chase_tpu.eigsh(H2, nev, nex, tol=1e-9, config=cfg,
+                         v0=np.asarray(r1.V), ritzv0=r1.ritzv_full,
+                         approx=True)
+    assert r2.converged
+    lam2 = np.sort(np.linalg.eigvalsh(H2))
+    np.testing.assert_allclose(r2.ritzv, lam2[:nev], atol=1e-8)
+    assert r2.iterations <= r1.iterations
+
+
+def test_auto_policy_on_cpu_stays_native(monkeypatch):
+    """complex_backend='auto' must NOT engage the embedding on CPU."""
+    from chase_tpu.api import _use_real_pair
+    H = np.eye(8, dtype=np.complex128)
+    assert not _use_real_pair(H, ChaseConfig())
+    import jax
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    assert _use_real_pair(H, ChaseConfig())
+    assert not _use_real_pair(H.real, ChaseConfig())
+    assert not _use_real_pair(H, ChaseConfig(complex_backend="native"))
