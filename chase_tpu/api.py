@@ -298,7 +298,9 @@ def eigsh_fused(H, nev: int, nex: Optional[int] = None, *,
         bf16_filter=rcfg.bf16_filter,
         bf16_threshold=rcfg.bf16_filter_threshold,
         small_dense=_fused_small_dense(rcfg, op.grid),
-        probes=probes, eigh_polish=rcfg.polish_passes())
+        probes=probes, eigh_polish=rcfg.polish_passes(),
+        refine_filter=(rcfg.refine_filter and rcfg.mixed_precision
+                       and rcfg.is_double))
     ritzv = np.asarray(out["ritzv"], np.float64)
     resid = np.asarray(out["resid"], np.float64)
     locked = int(out["locked"])

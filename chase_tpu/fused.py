@@ -92,18 +92,26 @@ def _cheb_rho(t):
                           "max_iter", "lanczos_iter", "num_lanczos",
                           "optimization", "precision", "cholqr_passes",
                           "inject_dos", "bf16_filter", "bf16_threshold",
-                          "small_dense", "eigh_polish"))
+                          "small_dense", "eigh_polish", "refine_filter"))
 def solve_fused(H, V0, *, nev, nex, tol, deg0, max_deg, deg_extra=2,
                 max_iter=25, lanczos_iter=25, num_lanczos=4,
                 optimization=True, precision="highest", cholqr_passes=3,
                 cond_shift_threshold=1e8, inject_dos=True,
                 bf16_filter=False, bf16_threshold=1e-2,
-                small_dense="device", probes=None, eigh_polish=2):
+                small_dense="device", probes=None, eigh_polish=2,
+                refine_filter=False):
     """Fully device-resident Hermitian solve.
 
     Args:
       H: (N, N) Hermitian.
       V0: (N, nev+nex) starting block (random or warm start).
+      refine_filter: DP-tolerance ladder in-graph — from iteration 1 the
+        filter runs the deviation-form refinement recurrence in f32/c64
+        (coefficient tables built in-graph by a fori_loop; the RR residual
+        VECTORS ride in the loop state) so a 1e-10 serving solve never
+        pays emulated-f64 filter FLOPs (ops/filter.chebyshev_filter_refine
+        is the host-driver analogue; reference DP default:
+        algorithm/configuration.hpp:53-62).
     Returns:
       dict of device arrays: V (N, k) converged-first sorted, ritzv (k,),
       resid (k,), locked, iterations, lowerb, upperb.
@@ -119,6 +127,15 @@ def solve_fused(H, V0, *, nev, nex, tol, deg0, max_deg, deg_extra=2,
     use_bf16_rung = (bf16_filter and is_sp
                      and not jnp.issubdtype(H.dtype, jnp.complexfloating))
     H_bf = H.astype(jnp.bfloat16) if use_bf16_rung else None
+    # DP refinement ladder: f32/c64 shadow of H for the deviation
+    # recurrence (the P10 low rung the reference toggles inside Shift,
+    # chase_cpu.hpp:384-447 — here it never hands back to f64)
+    use_refine = refine_filter and not is_sp
+    if use_refine:
+        from .types import low_precision_dtype
+        low_dt = low_precision_dtype(H.dtype)
+        H_lo = H.astype(low_dt)
+        low_rt = real_dtype(low_dt)
 
     def _qr_pass(Q, use_shift):
         """One CholQR round (optionally diagonally shifted)."""
@@ -223,12 +240,12 @@ def solve_fused(H, V0, *, nev, nex, tol, deg0, max_deg, deg_extra=2,
     # per-iteration block sizes, and the residual history rows the host
     # driver writes under CHASE_SAVE_RESIDUALS (locked slots as -1.0).
     def cond_fn(st):
-        (V, ritzv, resid, resid_last, degrees, locked, it, lowerb,
+        (V, Rv, ritzv, resid, resid_last, degrees, locked, it, lowerb,
          filtered, blk_hist, r_hist, e_hist) = st
         return (k - locked > nex) & (it < max_iter)
 
     def body_fn(st):
-        (V, ritzv, resid, resid_last, degrees, locked, it, lowerb,
+        (V, Rv, ritzv, resid, resid_last, degrees, locked, it, lowerb,
          filtered, blk_hist, r_hist, e_hist) = st
         active = cols >= locked
 
@@ -338,6 +355,68 @@ def solve_fused(H, V0, *, nev, nex, tol, deg0, max_deg, deg_extra=2,
             Vf = jax.lax.cond(low_phase,
                               lambda Vin: run_filter(mv_low, Vin),
                               lambda Vin: run_filter(mv_full, Vin), V)
+        elif use_refine:
+            # -- DP refinement ladder (in-graph chebyshev_filter_refine) --
+            # Coefficient tables in f64 (exact polynomial bookkeeping,
+            # cheap elementwise work); the deviation recurrence in f32 on
+            # the MXU, seeded by last iteration's f64 residual vectors.
+            def run_refine(args):
+                Vin, Rin = args
+                lams = (ritzv - c) / e                       # (k,) f64
+
+                def tbody(t, ts):
+                    sig, p_prev, p_cur, al, be, inj, p_fin = ts
+                    sig_new = 1.0 / (2.0 / sigma1 - sig)
+                    al = al.at[t].set(2.0 * sig_new / e)
+                    be = be.at[t].set(-sig * sig_new)
+                    inj = inj.at[t].set((2.0 * sig_new / e) * p_cur)
+                    p_new = (2.0 * sig_new * lams * p_cur
+                             - sig * sig_new * p_prev)
+                    p_fin = jnp.where(degrees >= t, p_new, p_fin)
+                    return (sig_new, p_cur, p_new, al, be, inj, p_fin)
+
+                p1 = sigma1 * lams
+                p_fin0 = jnp.where(degrees >= 1, p1, jnp.ones_like(lams))
+                D = max_deg
+                _, _, _, al, be, inj, p_fin = jax.lax.fori_loop(
+                    2, D + 1, tbody,
+                    (sigma1, jnp.ones_like(lams), p1,
+                     jnp.zeros((D + 1,), rt), jnp.zeros((D + 1,), rt),
+                     jnp.zeros((D + 1, k), rt), p_fin0))
+
+                Rc = Rin.astype(low_dt)
+                cl = c.astype(low_rt)
+                all_ = al.astype(low_rt)
+                bel = be.astype(low_rt)
+                injl = inj.astype(low_rt)
+                Wd = (sigma1 / e).astype(low_rt) * Rc
+
+                def rbody(t, stw):
+                    Wp, Wc = stw
+                    Zc = (all_[t] * (jnp.matmul(H_lo, Wc,
+                                                precision=precision)
+                                     - cl * Wc)
+                          + bel[t] * Wp + injl[t][None, :] * Rc)
+                    Zc = jnp.where(degrees[None, :] >= t, Zc, Wc)
+                    return (Wc, Zc)
+
+                _, Wd = jax.lax.fori_loop(2, dmax + 1, rbody,
+                                          (jnp.zeros_like(Rc), Wd))
+                Y = p_fin[None, :].astype(H.dtype) * Vin + Wd.astype(H.dtype)
+                return jnp.where(degrees[None, :] >= 1, Y, Vin)
+
+            def run_low0(args):
+                # iteration 0 (no residual vectors yet): plain recurrence
+                # with the f32 shadow — the classic DP→SP low phase
+                Vin, _ = args
+                Vl = run_filter(
+                    lambda X: jnp.matmul(H_lo, X.astype(low_dt),
+                                         precision=precision,
+                                         preferred_element_type=H.dtype),
+                    Vin)
+                return Vl
+
+            Vf = jax.lax.cond(it > 0, run_refine, run_low0, (V, Rv))
         else:
             Vf = run_filter(mv_full, V)
 
@@ -385,6 +464,9 @@ def solve_fused(H, V0, *, nev, nex, tol, deg0, max_deg, deg_extra=2,
         w_eig = jnp.roll(w_eig, locked)
         r_new = jnp.roll(r_new, locked)
         V = jnp.where(active[None, :], Vrot, V)
+        if use_refine:
+            # residual VECTORS feed the next iteration's refine injection
+            Rv = jnp.where(active[None, :], jnp.roll(R, locked, axis=1), Rv)
         ritzv = jnp.where(active, w_eig, ritzv)
         resid = jnp.where(active, r_new, resid)
         r_hist = r_hist.at[it].set(
@@ -402,22 +484,28 @@ def solve_fused(H, V0, *, nev, nex, tol, deg0, max_deg, deg_extra=2,
         group = jnp.where(cols < locked, 0, jnp.where(conv, 1, 2))
         perm = jnp.argsort(group, stable=True)
         V = jnp.take(V, perm, axis=1)
+        if use_refine:
+            Rv = jnp.take(Rv, perm, axis=1)
         ritzv = ritzv[perm]
         resid = resid[perm]
         resid_last = resid_last[perm]
         degrees = degrees[perm]
         locked = locked + jnp.sum(conv).astype(locked.dtype)
 
-        return (V, ritzv, resid, resid_last, degrees, locked, it + 1, lowerb,
-                filtered, blk_hist, r_hist, e_hist)
+        return (V, Rv, ritzv, resid, resid_last, degrees, locked, it + 1,
+                lowerb, filtered, blk_hist, r_hist, e_hist)
 
-    state = (V, ritzv, resid, resid_last, degrees,
+    # residual-vector carry: a 1-column zero placeholder when the refine
+    # ladder is off (keeps one state pytree structure)
+    Rv0 = jnp.zeros_like(V) if use_refine \
+        else jnp.zeros((1, 1), V.dtype)
+    state = (V, Rv0, ritzv, resid, resid_last, degrees,
              jnp.int32(0), jnp.int32(0), lowerb.astype(rt),
              jnp.int64(0) if jax.config.jax_enable_x64 else jnp.int32(0),
              jnp.zeros((max_iter,), jnp.int32),
              jnp.full((max_iter, k), -1.0, rt),
              jnp.full((max_iter, k), -1.0, rt))
-    (V, ritzv, resid, resid_last, degrees, locked, it, lowerb,
+    (V, Rv, ritzv, resid, resid_last, degrees, locked, it, lowerb,
      filtered, blk_hist, r_hist, e_hist) = \
         jax.lax.while_loop(cond_fn, body_fn, state)
 

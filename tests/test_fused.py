@@ -171,3 +171,31 @@ def test_fused_tiny_block_smaller_than_num_lanczos():
     assert res.converged
     np.testing.assert_allclose(res.ritzv, clement_eigenvalues(N)[:2],
                                atol=1e-7)
+
+
+def test_fused_refine_ladder_dp():
+    """Fused DP 1e-10 solve with the in-graph refinement ladder: the filter
+    FLOPs stay in f32 (deviation recurrence) while true residuals reach
+    the DP tolerance — mirrors test_ladder for the serving path (VERDICT
+    round 2 item 4; reference runtime-tolerance serving parity,
+    chase_c_interface.h:38-41)."""
+    import numpy as np
+    import chase_tpu
+    from chase_tpu.models import clement
+
+    N, nev, nex = 256, 24, 16
+    rng = np.random.default_rng(0)
+    E = rng.standard_normal((N, N))
+    H = (clement(N) + 1e-6 * (E + E.T) / 2).astype(np.float64)
+    cfg = chase_tpu.ChaseConfig(mixed_precision=True)
+    res = chase_tpu.eigsh_fused(H, nev, nex, tol=1e-10, config=cfg)
+    assert res.converged
+    V = np.asarray(res.V)[:, :nev]
+    R = H @ V - V * res.ritzv[None, :]
+    assert np.linalg.norm(R, axis=0).max() < 5e-9
+    exact = np.linalg.eigvalsh(H)[:nev]
+    np.testing.assert_allclose(res.ritzv, exact, atol=1e-9)
+    # parity: same tolerance WITHOUT the ladder (pure f64 filter)
+    res_f64 = chase_tpu.eigsh_fused(H, nev, nex, tol=1e-10,
+                                    config=chase_tpu.ChaseConfig())
+    assert abs(res.iterations - res_f64.iterations) <= 2
