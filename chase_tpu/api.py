@@ -436,7 +436,8 @@ def eigsh_sequence(matrices, nev: int, nex: Optional[int] = None, *,
                    tol: Optional[float] = None,
                    config: Optional[ChaseConfig] = None,
                    grid: Optional[Grid2D] = None,
-                   collect_perf: bool = False):
+                   collect_perf: bool = False,
+                   warmup: bool = True):
     """Solve a sequence of correlated Hermitian problems with automatic
     warm-starting — the reference's flagship use case (sequences of
     correlated eigenproblems from SCF iterations, README.md:13-16;
@@ -444,9 +445,24 @@ def eigsh_sequence(matrices, nev: int, nex: Optional[int] = None, *,
 
     ``matrices`` is an iterable of (N, N) arrays (or a generator, so the
     whole sequence never needs to be in memory).  Yields SolveResults.
+
+    ``warmup=True`` (default) precompiles every phase program the sequence
+    can visit from a thread pool before the first member (chase_tpu.warmup;
+    compilations overlap, so members never stall on sequential lazy
+    compiles).  No-op cost on runtimes with a hot compilation cache.
     """
     v0 = ritzv0 = None
+    first = True
     for H in matrices:
+        if first:
+            first = False
+            if warmup and not isinstance(H, DenseOperator) \
+                    and not _use_real_pair(H, config or ChaseConfig()):
+                from .warmup import warmup as _warmup
+                nx = nex if nex is not None else max(nev // 4, 8)
+                op0 = DenseOperator(np.asarray(H), grid=grid)
+                _warmup(op0, nev, nx, config=config)
+                H = op0
         res = eigsh(H, nev, nex, tol=tol, config=config, grid=grid,
                     collect_perf=collect_perf,
                     v0=v0, ritzv0=ritzv0, approx=v0 is not None)

@@ -131,10 +131,15 @@ class ChaseConfig:
     # block, algorithm.inc:1712-1718).  Window widths reuse the filter's
     # col_block buckets so XLA compiles a bounded set of programs.
     shrink_subspace: bool = True
-    # Explicit ring collective-matmul filter (P11) on 1D row-stripe meshes
-    # (grid shape (p, 1)): overlaps V-chunk ICI transfers with local dots
-    # instead of GSPMD's all-gather-then-dot lowering.
-    ring_filter: bool = False
+    # Explicit ring collective-matmul filter (P11): overlaps V-chunk ICI
+    # transfers with local dots instead of GSPMD's all-gather-then-dot
+    # lowering ('1d' ring on (p, 1) meshes, 2D ping-pong on r×c meshes with
+    # r·c | N).  None (default) = AUTO: on whenever the grid shape admits a
+    # ring schedule (semantics identical either way; the reference does not
+    # make users opt into overlap — nccl/hemm.hpp:95-266).  True forces the
+    # request (warns if no schedule fits); False opts out
+    # (CHASE_RING_FILTER=0/1 overrides).
+    ring_filter: Optional[bool] = None
     # Complex Hermitian problems on accelerators: "real_pair" solves the
     # real symplectic embedding J = [[Hr,-Hi],[Hi,Hr]] with purely real
     # device arithmetic (ops/realpair.py) — required on backends without
@@ -174,6 +179,9 @@ class ChaseConfig:
         eigh_polish = self.eigh_polish
         if os.environ.get("CHASE_EIGH_POLISH"):
             eigh_polish = int(os.environ["CHASE_EIGH_POLISH"])
+        ring_filter = self.ring_filter
+        if os.environ.get("CHASE_RING_FILTER"):
+            ring_filter = bool(int(os.environ["CHASE_RING_FILTER"]))
         return ResolvedConfig(
             base=self, tol=float(tol), deg=int(deg), max_deg=int(max_deg),
             lanczos_iter=int(lanczos_iter), cholqr=cholqr,
@@ -184,6 +192,7 @@ class ChaseConfig:
             refine_filter=refine_filter,
             qr_check_ortho=qr_check_ortho,
             eigh_polish=eigh_polish,
+            ring_filter=ring_filter,
             is_double=is_dp,
         )
 
@@ -204,6 +213,7 @@ class ResolvedConfig:
     refine_filter: bool = True
     qr_check_ortho: bool = False
     eigh_polish: Optional[int] = None    # None = precision default (DP 2 / SP 0)
+    ring_filter: Optional[bool] = None   # None = auto (on for eligible grids)
     is_double: bool = True               # problem base precision (resolve())
 
     def __getattr__(self, name):

@@ -24,14 +24,18 @@ trades one large exposed collective for p overlapped small ones.
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 from jax import shard_map
 
-__all__ = ["ring_hemm", "chebyshev_filter_ring", "chebyshev_filter_ring2d"]
+__all__ = ["ring_hemm", "chebyshev_filter_ring", "chebyshev_filter_ring2d",
+           "chebyshev_filter_refine_ring", "chebyshev_filter_refine_ring2d"]
 
 
+@partial(jax.jit, static_argnames=("grid", "axis", "precision"))
 def ring_hemm(grid, H, V, *, axis: str = "r", precision="highest"):
     """W = H @ V with H in P(axis, None), V in P(axis), W out in P(axis).
 
@@ -74,6 +78,7 @@ def ring_hemm(grid, H, V, *, axis: str = "r", precision="highest"):
     return fn(H, V)
 
 
+@partial(jax.jit, static_argnames=("grid", "precision"))
 def chebyshev_filter_ring2d(grid, H, X, degrees, lam1, lower, upper, deg_max,
                             *, precision="highest"):
     """Chebyshev filter as a 2D ping-pong collective matmul (P4 + P11).
@@ -216,6 +221,7 @@ def chebyshev_filter_ring2d(grid, H, X, degrees, lam1, lower, upper, deg_max,
     return fn(H, X, degrees)
 
 
+@partial(jax.jit, static_argnames=("grid", "axis", "precision"))
 def chebyshev_filter_ring(grid, H, X, degrees, lam1, lower, upper, deg_max,
                           *, axis: str = "r", precision="highest"):
     """Chebyshev filter with the ring collective matmul as the HEMM (P11
@@ -295,3 +301,196 @@ def chebyshev_filter_ring(grid, H, X, degrees, lam1, lower, upper, deg_max,
                    in_specs=(P(axis, None), P(axis, None), P()),
                    out_specs=P(axis, None))
     return fn(H, X, degrees)
+
+
+@partial(jax.jit, static_argnames=("grid", "axis", "precision"))
+def chebyshev_filter_refine_ring(grid, H, V, R, degrees, alpha1_e, alphas,
+                                 betas, inj, p_final, cc, deg_max, *,
+                                 axis: str = "r", precision="highest"):
+    """Deviation-form refinement filter with the 1D ring HEMM (P10 × P11).
+
+    Same injection algebra as ops.filter.chebyshev_filter_refine — the w
+    recurrence runs in H's fast dtype, seeded by the f64 RR residual
+    vectors R — but every H·w is the software-pipelined ring collective
+    matmul, so a DP grid solve keeps the explicit-overlap schedule on its
+    production (refinement ladder) path.  H in P(axis, None) reduced-dtype
+    shadow; V, R in P(axis); tables replicated.
+    """
+    from ..types import filter_carry_dtype, real_dtype as _rdt
+
+    mesh = grid.mesh
+    p = mesh.shape[axis]
+    out_dtype = V.dtype
+    carry_dt = filter_carry_dtype(H.dtype, V.dtype)
+    rt = _rdt(carry_dt)
+    rtv = _rdt(out_dtype)
+
+    a1 = jnp.asarray(alpha1_e, rt)
+    al = jnp.asarray(alphas, rt)
+    be = jnp.asarray(betas, rt)
+    injt = jnp.asarray(inj, rt)
+    pf = jnp.asarray(p_final, rtv)
+    ccv = jnp.asarray(cc, rt)
+    deg_max = jnp.asarray(deg_max, jnp.int32)
+
+    def local(h, v, r, degs, al, be, injt, pf):
+        n_loc = v.shape[0]
+        me = jax.lax.axis_index(axis)
+
+        def ring_dot(w):
+            def step(s, carry):
+                acc, cur = carry
+                src = (me + s) % p
+                nxt = jax.lax.ppermute(
+                    cur, axis, [(i, (i - 1) % p) for i in range(p)])
+                h_blk = jax.lax.dynamic_slice(
+                    h, (jnp.int32(0), (src * n_loc).astype(jnp.int32)),
+                    (h.shape[0], n_loc))
+                if h_blk.dtype != w.dtype:
+                    acc = acc + jnp.matmul(h_blk, cur.astype(h_blk.dtype),
+                                           precision=precision,
+                                           preferred_element_type=carry_dt)
+                else:
+                    acc = acc + jnp.matmul(h_blk, cur, precision=precision)
+                return (acc, nxt)
+            acc = jnp.zeros((h.shape[0], w.shape[1]), carry_dt)
+            acc = jax.lax.pcast(acc, (axis,), to="varying")
+            acc, _ = jax.lax.fori_loop(0, p, step, (acc, w))
+            return acc
+
+        rc = r.astype(carry_dt)
+        W = a1 * rc
+
+        def body(t, st):
+            Wp, Wc = st
+            Z = (al[t] * (ring_dot(Wc) - ccv * Wc) + be[t] * Wp
+                 + injt[t][None, :] * rc)
+            Z = jnp.where(degs[None, :] >= t, Z, Wc)
+            return (Wc, Z)
+
+        _, W = jax.lax.fori_loop(2, deg_max + 1, body,
+                                 (jnp.zeros_like(rc), W))
+        Y = pf[None, :] * v + W.astype(out_dtype)
+        return jnp.where(degs[None, :] >= 1, Y, v)
+
+    fn = shard_map(local, mesh=mesh,
+                   in_specs=(P(axis, None), P(axis, None), P(axis, None),
+                             P(), P(), P(), P(), P()),
+                   out_specs=P(axis, None))
+    return fn(H, V, R, degrees, al, be, injt, pf)
+
+
+@partial(jax.jit, static_argnames=("grid", "precision"))
+def chebyshev_filter_refine_ring2d(grid, H, V, R, degrees, alpha1_e, alphas,
+                                   betas, inj, p_final, cc, deg_max, *,
+                                   precision="highest"):
+    """Deviation-form refinement filter as the 2D ping-pong ring (P4 + P10
+    + P11).  The w recurrence alternates parities exactly like
+    chebyshev_filter_ring2d; the constant injection vectors R are kept in
+    BOTH parities (one fixed transpose ppermute up front) so each substep
+    injects in its output parity.  V enters/exits in parity A
+    (``P(('c','r'))`` chunk order).  Requires N divisible by r·c.
+    """
+    from ..types import filter_carry_dtype, real_dtype as _rdt
+
+    mesh = grid.mesh
+    pr = mesh.shape["r"]
+    pc = mesh.shape["c"]
+    out_dtype = V.dtype
+    carry = filter_carry_dtype(H.dtype, V.dtype)
+    rt = _rdt(carry)
+    rtv = _rdt(out_dtype)
+
+    a1 = jnp.asarray(alpha1_e, rt)
+    al = jnp.asarray(alphas, rt)
+    be = jnp.asarray(betas, rt)
+    injt = jnp.asarray(inj, rt)
+    pf = jnp.asarray(p_final, rtv)
+    ccv = jnp.asarray(cc, rt)
+    deg_max = jnp.asarray(deg_max, jnp.int32)
+    flip_a2b = [(i * pc + j, j * pr + i)
+                for i in range(pr) for j in range(pc)]
+    flip_b2a = [(m, (m % pr) * pc + (m // pr)) for m in range(pr * pc)]
+
+    def _mm(h_blk, w):
+        if h_blk.dtype != w.dtype:
+            return jnp.matmul(h_blk, w.astype(h_blk.dtype),
+                              precision=precision,
+                              preferred_element_type=carry)
+        return jnp.matmul(h_blk, w, precision=precision)
+
+    def local(h, v, r, degs, al, be, injt, pf):
+        nch = v.shape[0]
+        k = v.shape[1]
+        i = jax.lax.axis_index("r")
+        j = jax.lax.axis_index("c")
+
+        def ring_A(w):
+            def step(s, st):
+                acc, cur = st
+                nxt = jax.lax.ppermute(
+                    cur, "r", [(t, (t - 1) % pr) for t in range(pr)])
+                sub = ((i + s) % pr) * nch
+                h_blk = jax.lax.dynamic_slice(
+                    h, (jnp.int32(0), sub.astype(jnp.int32)),
+                    (h.shape[0], nch))
+                return acc + _mm(h_blk, cur), nxt
+            acc = jnp.zeros((h.shape[0], k), carry)
+            acc = jax.lax.pcast(acc, ("r", "c"), to="varying")
+            acc, _ = jax.lax.fori_loop(0, pr, step, (acc, w))
+            return jax.lax.psum_scatter(acc, "c", scatter_dimension=0,
+                                        tiled=True)
+
+        def ring_B(w):
+            def step(s, st):
+                acc, cur = st
+                nxt = jax.lax.ppermute(
+                    cur, "c", [(t, (t - 1) % pc) for t in range(pc)])
+                sub = ((j + s) % pc) * nch
+                h_blk = jax.lax.dynamic_slice(
+                    h, (sub.astype(jnp.int32), jnp.int32(0)),
+                    (nch, h.shape[1]))
+                return acc + _mm(h_blk.conj().T, cur), nxt
+            acc = jnp.zeros((h.shape[1], k), carry)
+            acc = jax.lax.pcast(acc, ("r", "c"), to="varying")
+            acc, _ = jax.lax.fori_loop(0, pc, step, (acc, w))
+            return jax.lax.psum_scatter(acc, "r", scatter_dimension=0,
+                                        tiled=True)
+
+        rc_A = r.astype(carry)
+        rc_B = jax.lax.ppermute(rc_A, ("r", "c"), flip_a2b)
+
+        def substep(t, Wp, Wc, ring, flip_perm, rc_out):
+            """w-recurrence step with parity-matched injection."""
+            flipped = jax.lax.ppermute(Wc, ("r", "c"), flip_perm)
+            hw = ring(Wc)
+            Z = (al[t] * (hw - ccv * flipped) + be[t] * Wp
+                 + injt[t][None, :] * rc_out)
+            return jnp.where(degs[None, :] >= t, Z, flipped)
+
+        # step 1 (A→B): w₁ = (σ1/e)·r, flipped into parity B (deg-0 columns
+        # are overwritten by the final combine, so w1 needs no mask)
+        W = jax.lax.ppermute(a1 * rc_A, ("r", "c"), flip_a2b)
+
+        def pair(s, st):
+            Wp, Wc = st
+            t2 = 2 + 2 * s
+            Z2 = substep(t2, Wp, Wc, ring_B, flip_b2a, rc_A)    # B→A
+            Z3 = substep(t2 + 1, Wc, Z2, ring_A, flip_a2b, rc_B)  # A→B
+            return (Z2, Z3)
+
+        n_pairs = deg_max // 2
+        # carry is (w_{t-1}, w_t) with w_{t-1} in the OPPOSITE parity;
+        # w_0 = 0 sits in parity A (zero content is parity-invariant)
+        _, W = jax.lax.fori_loop(0, n_pairs, pair,
+                                 (jnp.zeros_like(rc_A), W))
+        # exits in parity B → flip home to A, combine in problem precision
+        Wh = jax.lax.ppermute(W, ("r", "c"), flip_b2a).astype(out_dtype)
+        Y = pf[None, :] * v + Wh
+        return jnp.where(degs[None, :] >= 1, Y, v)
+
+    fn = shard_map(local, mesh=mesh,
+                   in_specs=(P("r", "c"), P(("c", "r"), None),
+                             P(("c", "r"), None), P(), P(), P(), P(), P()),
+                   out_specs=P(("c", "r"), None))
+    return fn(H, V, R, degrees, al, be, injt, pf)

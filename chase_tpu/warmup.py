@@ -61,7 +61,7 @@ def _bucket_widths(nevex: int, B: int):
 
 
 def warmup(H, nev: int, nex: Optional[int] = None, *, config=None,
-           grid=None, max_workers: int = 8) -> dict:
+           grid=None, max_workers: int = 8, fused: bool = False) -> dict:
     """Precompile the phase programs an ``eigsh`` solve will need.
 
     Args:
@@ -72,6 +72,11 @@ def warmup(H, nev: int, nex: Optional[int] = None, *, config=None,
       config: the ChaseConfig the solve will use (width buckets, precision
          and backend selection all follow it).
       max_workers: thread-pool width for concurrent compilations.
+      fused: also precompile the one-dispatch ``eigsh_fused`` program(s):
+         the cold variant and the warm-start (sequence member) variant —
+         a dummy solve with an immediately-satisfied tolerance executes
+         each whole program once (tol is traced, so the cached executable
+         serves every later tolerance).
 
     Returns a dict: {"programs": n_jobs, "failed": n_failed, "widths": [...]}.
     """
@@ -114,13 +119,30 @@ def warmup(H, nev: int, nex: Optional[int] = None, *, config=None,
         (not is_sp and rcfg.mixed_precision)
         or (is_sp and rcfg.bf16_filter and not is_cplx))
 
+    # ring dispatch mirrors solver.solve (auto-on for eligible grids)
+    ring_mode = (_solver._ring_mode(op.grid, N)
+                 if rcfg.ring_filter is not False else None)
+
     def filter_job(w_pad, low):
         locked = nevex - w_pad
         degrees_act = np.full(nevex - locked, 2, np.int32)
         H_f = op.H_low if low else op.H
         f_precision = "default" if (low and is_sp) else precision
-        out = _solver._filter_windowed(H_f, V, degrees_act, locked, nevex,
-                                       B, lam, lo, up, rdt, f_precision)
+        if ring_mode is not None:
+            from .parallel.ring import (chebyshev_filter_ring,
+                                        chebyshev_filter_ring2d)
+            from .ops.blocks import slice_cols
+            w_pad2, start = _solver._window_pad(nevex, locked, B)
+            deg_win = np.full(w_pad2, 2, np.int32)
+            ring_fn = (chebyshev_filter_ring if ring_mode == "1d"
+                       else chebyshev_filter_ring2d)
+            Xw = slice_cols(V, jnp.int32(start), w_pad2)
+            out = ring_fn(op.grid, H_f, Xw, jnp.asarray(deg_win), lam,
+                          lo, up, 2, precision=f_precision)
+        else:
+            out = _solver._filter_windowed(H_f, V, degrees_act, locked,
+                                           nevex, B, lam, lo, up, rdt,
+                                           f_precision)
         out.block_until_ready()
 
     def refine_job(w_pad):
@@ -133,7 +155,8 @@ def warmup(H, nev: int, nex: Optional[int] = None, *, config=None,
         f_precision = "default" if is_sp else precision
         out = _solver._filter_refine_windowed(
             op.H_low, V, R, ritzv_act, degrees_act, locked, nevex, B,
-            lam, lo, up, rcfg.max_deg, f_precision)
+            lam, lo, up, rcfg.max_deg, f_precision,
+            grid=op.grid, ring_mode=ring_mode)
         out.block_until_ready()
 
     def qr_job(w_pad):
@@ -166,13 +189,43 @@ def warmup(H, nev: int, nex: Optional[int] = None, *, config=None,
         out[0].block_until_ready()
 
     def lanczos_job():
+        # want_basis=True matches the COLD solve's program (the DoS vector
+        # extraction needs the basis); also compiles lanczos_dos_vectors
         m = max(2, min(nevex, N // 2, rcfg.lanczos_iter))
         m -= m % 2
         probes = op.place_block(
             jnp.eye(N, min(rcfg.num_lanczos, nevex), dtype=op.dtype))
-        a, b, _ = lz.lanczos_scan(op.H, probes, m=m, want_basis=False,
-                                  precision=precision)
+        a, b, basis = lz.lanczos_scan(op.H, probes, m=m, want_basis=True,
+                                      precision=precision)
         b.block_until_ready()
+        ritzV = np.eye(m, dtype=np.float64)
+        mask = jnp.asarray(np.arange(m) < 1)
+        vd = lz.lanczos_dos_vectors(basis, jnp.asarray(ritzV), mask,
+                                    precision=precision)
+        vd.block_until_ready()
+
+    # auxiliary programs the solve dispatches outside the phase kernels
+    # (the measured ~54 s post-warmup tail, BENCH_NOTES round 2): the
+    # hermiticity probe, the column permutes (degree sort / locking /
+    # final sort — one program), and the DoS head injection.
+    def aux_jobs():
+        from .ops.blocks import permute_cols, set_head_cols
+        if rcfg.sym_check:
+            from .ops.checks import check_hermitian
+            check_hermitian(op.H, precision=precision)
+        out = permute_cols(V, jnp.arange(nevex))
+        out.block_until_ready()
+        m = max(2, min(nevex, N // 2, rcfg.lanczos_iter))
+        m -= m % 2
+        Vd = op.place_block(jnp.eye(N, m, dtype=op.dtype))
+        out = set_head_cols(V, Vd, jnp.asarray(np.arange(m) < 1))
+        out.block_until_ready()
+
+    def fused_job(warm: bool):
+        from .api import eigsh_fused
+        v0 = np.asarray(jnp.eye(N, nevex, dtype=op.dtype)) if warm else None
+        eigsh_fused(op, nev, nex, tol=float(np.finfo(np.float32).max),
+                    config=cfg, v0=v0)
 
     for w in widths:
         jobs.append((f"filter:{w}", lambda w=w: filter_job(w, False)))
@@ -184,6 +237,10 @@ def warmup(H, nev: int, nex: Optional[int] = None, *, config=None,
         jobs.append((f"qr:{w}", lambda w=w: qr_job(w)))
         jobs.append((f"rr:{w}", lambda w=w: rr_job(w)))
     jobs.append(("lanczos", lanczos_job))
+    jobs.append(("aux", aux_jobs))
+    if fused:
+        jobs.append(("fused-cold", lambda: fused_job(False)))
+        jobs.append(("fused-warm", lambda: fused_job(True)))
 
     failed = 0
     with ThreadPoolExecutor(max_workers=max_workers) as ex:

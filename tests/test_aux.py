@@ -261,3 +261,36 @@ def test_eigh_polished_pin_cut_active_gap_floor():
 
     w_cut, Z_cut = eigh_polished(jnp.asarray(A), passes=2, pin_cut=big / 2)
     assert max_resid(w_cut, Z_cut) < 5e-9
+
+
+def test_warmup_fused_and_aux_jobs():
+    """warmup(fused=True) compiles the fused cold+warm programs and the
+    auxiliary programs (sym-check, permutes, DoS head injection) without
+    failures; the subsequent fused solve reuses the cache and matches."""
+    import numpy as np
+    import chase_tpu
+    from chase_tpu.models import clement, clement_eigenvalues
+
+    N = 96
+    op = chase_tpu.DenseOperator(clement(N))
+    cfg = chase_tpu.ChaseConfig(col_block=8)
+    info = chase_tpu.warmup(op, 8, 8, config=cfg, fused=True)
+    assert info["failed"] == 0
+    res = chase_tpu.eigsh_fused(op, 8, 8, tol=1e-5, config=cfg)
+    assert res.converged
+    np.testing.assert_allclose(res.ritzv, clement_eigenvalues(N)[:8],
+                               atol=1e-4)
+
+
+def test_sequence_auto_warmup():
+    """eigsh_sequence warms up before member 0 by default and still
+    produces warm-started members."""
+    import numpy as np
+    import chase_tpu
+    from chase_tpu.models import hermitian_sequence
+
+    mats = hermitian_sequence(96, 3, dtype=np.float64, drift=1e-3, seed=0)
+    results = list(chase_tpu.eigsh_sequence(
+        mats, 6, 6, tol=1e-5, config=chase_tpu.ChaseConfig(col_block=8)))
+    assert all(r.converged for r in results)
+    assert results[1].iterations <= results[0].iterations

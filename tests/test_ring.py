@@ -5,6 +5,7 @@ kernel in the TPU interpreter on a small ring."""
 import numpy as np
 import pytest
 import jax
+import jax.numpy as jnp
 
 import chase_tpu
 from chase_tpu.parallel.ring import ring_hemm
@@ -346,3 +347,97 @@ def test_ring_mode_selection():
     assert _ring_mode(g81, 127) is None      # N not divisible by r
     assert _ring_mode(g42, 128) == "2d"
     assert _ring_mode(g42, 124) is None      # N not divisible by r*c
+
+
+@pytest.mark.parametrize("shape", [(8, 1), (4, 2)], ids=["1d", "2d"])
+def test_refine_ring_matches_flat_refine(shape):
+    """chebyshev_filter_refine_ring(2d) must apply the identical deviation
+    polynomial as ops.filter.chebyshev_filter_refine (ring x refine
+    composition, VERDICT round-2 item 5)."""
+    import chase_tpu
+    from chase_tpu.ops import filter as filt
+    from chase_tpu.parallel.ring import (chebyshev_filter_refine_ring,
+                                         chebyshev_filter_refine_ring2d)
+
+    N, w = 128, 12
+    rng = np.random.default_rng(0)
+    H = rng.standard_normal((N, N))
+    H = ((H + H.T) / 2).astype(np.float64)
+    lam_all = np.linalg.eigvalsh(H)
+    V = np.linalg.qr(rng.standard_normal((N, w)))[0]
+    ritz = np.linspace(lam_all[0], lam_all[w], w)
+    R = (H @ V - V * ritz[None, :]) * 1e-3
+    degrees = np.asarray([0, 0, 4, 4, 6, 6, 8, 8, 8, 10, 10, 10], np.int32)
+    lam1, lo, up = float(lam_all[0]), float(lam_all[w * 2]), \
+        float(lam_all[-1] * 1.01)
+    a1, al, be, inj, pf = filt.refine_tables(
+        ritz, degrees, lam1, lo, up, 12)
+
+    H_low = jnp.asarray(H, jnp.float32)
+    Y_flat = filt.chebyshev_filter_refine(
+        H_low, jnp.asarray(V), jnp.asarray(R), jnp.asarray(degrees),
+        a1, al, be, inj, pf, (up + lo) / 2, jnp.int32(10))
+
+    grid = chase_tpu.make_grid(jax.devices(), shape=shape)
+    Hs = jax.device_put(H_low, grid.sharding("r", "c"))
+    ring_fn = (chebyshev_filter_refine_ring if shape[1] == 1
+               else chebyshev_filter_refine_ring2d)
+    Y_ring = ring_fn(grid, Hs, jnp.asarray(V), jnp.asarray(R),
+                     jnp.asarray(degrees), a1, al, be, inj, pf,
+                     (up + lo) / 2, jnp.int32(10))
+    np.testing.assert_allclose(np.asarray(Y_ring), np.asarray(Y_flat),
+                               rtol=0, atol=2e-5 * np.abs(Y_flat).max())
+    # degree-0 columns bit-exact
+    np.testing.assert_array_equal(np.asarray(Y_ring)[:, :2], V[:, :2])
+
+
+def test_solver_refine_ring_dp_e2e():
+    """DP 1e-10 ladder ON a 2D grid with the ring engaged (auto): the
+    refinement filter must route through the ring and still converge to
+    the DP tolerance (weak #2 closed: ring x refine compose)."""
+    import chase_tpu
+    from chase_tpu.models import clement, clement_eigenvalues
+
+    grid = chase_tpu.make_grid(jax.devices(), shape=(4, 2))
+    cfg = chase_tpu.ChaseConfig(mixed_precision=True)   # ring_filter auto
+    N = 192
+    res = chase_tpu.eigsh(clement(N).astype(np.float64), 12, 12, tol=1e-10,
+                          config=cfg, grid=grid)
+    assert res.converged
+    np.testing.assert_allclose(res.ritzv, clement_eigenvalues(N)[:12],
+                               atol=1e-8)
+
+
+def test_ring_auto_on_and_opt_out():
+    """ring_filter=None (default) auto-engages on eligible grids; False
+    opts out; spectra identical either way (VERDICT round-2 item 9)."""
+    import chase_tpu
+    from chase_tpu.models import clement, clement_eigenvalues
+
+    grid = chase_tpu.make_grid(jax.devices(), shape=(4, 2))
+    N = 192
+    H = clement(N)
+    r_auto = chase_tpu.eigsh(H, 10, 10, tol=1e-10, grid=grid)
+    r_off = chase_tpu.eigsh(H, 10, 10, tol=1e-10, grid=grid,
+                            config=chase_tpu.ChaseConfig(ring_filter=False))
+    assert r_auto.converged and r_off.converged
+    np.testing.assert_allclose(r_auto.ritzv, clement_eigenvalues(N)[:10],
+                               atol=1e-7)
+    np.testing.assert_allclose(r_auto.ritzv, r_off.ritzv, atol=1e-8)
+
+
+def test_windowed_ring_matches_unwindowed():
+    """The ring filter on the padded right-aligned window (P12 on grids)
+    must produce the same spectrum as the full-width ring (small col_block
+    forces several window shrinks as columns lock)."""
+    import chase_tpu
+    from chase_tpu.models import clement, clement_eigenvalues
+
+    grid = chase_tpu.make_grid(jax.devices(), shape=(8, 1))
+    N = 192
+    H = clement(N)
+    cfg_win = chase_tpu.ChaseConfig(ring_filter=True, col_block=8)
+    res = chase_tpu.eigsh(H, 12, 12, tol=1e-10, config=cfg_win, grid=grid)
+    assert res.converged
+    np.testing.assert_allclose(res.ritzv, clement_eigenvalues(N)[:12],
+                               atol=1e-7)
