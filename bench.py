@@ -158,6 +158,41 @@ def main():
         ladder[name] = round(rate, 1)
         log(f"  -> {rate:,.0f} GFLOP/s")
 
+    # f64-accurate GEMM on the bf16 MXU (ops/wide Ozaki-scheme slicing):
+    # the chip has NO f64 matmul hardware; this is the true-f64 rate the
+    # refinement ladder's RR/QR could use (also ~60x faster to compile
+    # than the emulated-f64 dot at this size — measured in BENCH_NOTES).
+    try:
+        import os
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from chase_tpu.ops.wide import presplit, wide_params, slice_f64, \
+            _pair_products
+        jax.config.update("jax_enable_x64", True)
+        H64 = H.astype(jnp.float64)
+        V64 = V0[:, :256].astype(jnp.float64)
+        s, L, cut = wide_params(N)
+        hs = presplit(H64)
+
+        def maker_w(ctx):
+            a_slices, sa = ctx
+
+            def sweep_w(i, v):
+                b_slices, sb = slice_f64(v, s, L, axis=0)
+                cmat = _pair_products(a_slices, b_slices, cut) * sa * sb
+                return cmat / (jnp.linalg.norm(cmat) + 1.0)
+
+            return sweep_w
+
+        log(f"bench wide-f64 GEMM (s={s}, L={L}, "
+            f"{sum(1 for l in range(L) for m in range(L) if l + m <= cut)}"
+            f" bf16 passes)")
+        wide_rate = _measure(maker_w, (hs[0], hs[1]), V64,
+                             2.0 * N * N * 256, reps=2, hi_sweeps=9)
+        ladder["wide_f64"] = round(wide_rate, 1)
+        log(f"  -> wide f64 GEMM: {wide_rate:,.0f} GFLOP/s (f64-accurate)")
+    except Exception as e:   # never let the extra rung kill the bench line
+        log(f"bench: wide_f64 rung skipped ({type(e).__name__}: {e})")
+
     # complex64 figure: native if the backend supports it, else the explicit
     # real-pair decomposition on-device (XLA's own complex lowering).
     complex_rate = None

@@ -432,6 +432,12 @@ def solve_fused(H, V0, *, nev, nex, tol, deg0, max_deg, deg_extra=2,
 
         # -- RR + residuals (masked full width) --
         Qm = jnp.where(active[None, :], V, jnp.zeros((), V.dtype))
+        # renormalize: upstream QR can leave eps_f32-level column-norm
+        # deficits on emulated-f64 backends, biasing Ritz values by λ·η
+        # (ops/rr._rr_project has the measurement)
+        qn = jnp.linalg.norm(Qm, axis=0).real.astype(rt)
+        Qm = Qm / jnp.where(qn > 0, qn, jnp.ones((), rt))[None, :].astype(
+            Qm.dtype)
         W = jnp.matmul(H, Qm, precision=precision)
         A = jnp.matmul(Qm.conj().T, W, precision=precision)
         pad = 2 * jnp.linalg.norm(A).real.astype(rt) + 1

@@ -132,11 +132,21 @@ def _pin_locked(A, active, rt):
 
 @partial(jax.jit, static_argnames=("precision",))
 def _rr_project(H, V, locked, *, precision="highest"):
-    """Device half 1: masked block, H·Q, pinned projected matrix."""
+    """Device half 1: masked block, H·Q, pinned projected matrix.
+
+    The active columns are explicitly RENORMALIZED before projecting: a
+    column with ‖q‖² = 1 − η yields a Rayleigh quotient biased by λ·η —
+    measured on the sandbox accelerator, the emulated-f64 QR chain leaves
+    η ~ eps_f32 at N=8192 (an ill-scaled triangular-solve artifact), which
+    FROZE DP solves at |λ|·eps_f32 ≈ 1e-7·‖H‖ residuals (the round-2
+    "DP ladder size boundary").  Normalization is exact elementwise f64
+    work and makes RR immune to any upstream normalization sloppiness."""
     k = V.shape[1]
     rt = real_dtype(V.dtype)
     active = jnp.arange(k) >= locked
     Q = jnp.where(active[None, :], V, jnp.zeros((), V.dtype))
+    nrm = jnp.linalg.norm(Q, axis=0).real.astype(rt)
+    Q = Q / jnp.where(nrm > 0, nrm, jnp.ones((), rt))[None, :].astype(Q.dtype)
     W = jnp.matmul(H, Q, precision=precision)            # H·Q (one big HEMM)
     A = jnp.matmul(Q.conj().T, W, precision=precision)   # QᴴHQ, k×k
     A, big = _pin_locked(A, active, rt)

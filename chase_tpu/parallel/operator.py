@@ -84,6 +84,7 @@ class DenseOperator:
         self.H = jax.device_put(jnp.asarray(H), sh) if sh is not None \
             else jnp.asarray(H)
         self._H_low = None
+        self._H_wide = None
 
     @property
     def N(self) -> int:
@@ -105,8 +106,22 @@ class DenseOperator:
             self._H_low = self.H.astype(lp)
         return self._H_low
 
+    @property
+    def H_wide(self):
+        """Ozaki-sliced representation of a REAL f64 operator (cached) for
+        the exact-bf16-slice GEMM (ops/wide) — the accuracy-critical f64
+        HEMMs (RR projection, QR Gram) on accelerators whose emulated-f64
+        dot is slow to compile or inaccurate at scale (measured: the
+        sandbox backend's fused f64 programs develop f32-level operator
+        error at N=8192 — BENCH_NOTES round 3)."""
+        if self._H_wide is None:
+            from ..ops.wide import presplit
+            self._H_wide = presplit(self.H)
+        return self._H_wide
+
     def free_low(self):
         self._H_low = None
+        self._H_wide = None
 
     def place_block(self, V):
         """Pin a multivector on the grid with the canonical V sharding

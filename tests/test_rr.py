@@ -99,3 +99,26 @@ def test_solver_host_small_dense_e2e():
     assert res.converged
     np.testing.assert_allclose(res.ritzv, clement_eigenvalues(160)[:10],
                                atol=1e-7)
+
+
+def test_rr_immune_to_column_norm_deficit():
+    """A basis column with ||q||^2 = 1 - eta yields a Rayleigh quotient
+    biased by lambda*eta unless RR renormalizes.  The sandbox
+    accelerator's emulated-f64 QR leaves eta ~ eps_f32 at N=8192, which
+    froze DP solves at 1e-7*||H|| residuals (round-2 'DP ladder size
+    boundary' — root-caused round 3).  RR must be immune."""
+    import numpy as np
+    import jax.numpy as jnp
+    from chase_tpu.ops.rr import rayleigh_ritz_residuals
+
+    rng = np.random.default_rng(0)
+    N, k = 256, 12
+    lam = np.linspace(-200.0, 200.0, N)
+    Q, _ = np.linalg.qr(rng.standard_normal((N, N)))
+    H = (Q * lam) @ Q.T
+    V = Q[:, :k] * (1.0 - 1.2e-7)          # denormalized exact eigenvectors
+    _, ritz, resid = rayleigh_ritz_residuals(
+        jnp.asarray(H), jnp.asarray(V), jnp.int32(0))
+    # without renormalization the bias would be |lam|*1.2e-7 ~ 2.4e-5
+    assert np.abs(np.asarray(ritz) - lam[:k]).max() < 1e-9
+    assert np.asarray(resid).max() < 1e-9
