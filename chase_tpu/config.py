@@ -140,6 +140,20 @@ class ChaseConfig:
     # request (warns if no schedule fits); False opts out
     # (CHASE_RING_FILTER=0/1 overrides).
     ring_filter: Optional[bool] = None
+    # f64 problems on accelerators without f64 matmul hardware: "auto"
+    # (default) routes the accuracy-critical N-contraction f64 HEMMs (RR
+    # projection, QR Gram) through the exact-bf16-slice GEMM (ops/wide,
+    # Ozaki scheme) once N >= wide_f64_min_n — ~1e-14 accurate and ~60x
+    # faster to XLA-compile than the emulated-f64 dot at N=8192 (measured,
+    # BENCH_NOTES round 3).  "on" forces it for every off-CPU f64 solve;
+    # "off" keeps the backend's emulated-f64 dot.
+    # Auto engages for wide_f64_min_n <= N <= wide_f64_max_n: below the
+    # window the emulated dot compiles fine; above it the L bf16 slice
+    # copies (~L*N^2*2 bytes, L~11-14) no longer fit a 16 GB chip next to
+    # H itself — "on" overrides both bounds.
+    wide_f64: str = "auto"
+    wide_f64_min_n: int = 8192
+    wide_f64_max_n: int = 16500
     # Complex Hermitian problems on accelerators: "real_pair" solves the
     # real symplectic embedding J = [[Hr,-Hi],[Hi,Hr]] with purely real
     # device arithmetic (ops/realpair.py) — required on backends without

@@ -139,6 +139,48 @@ def cholqr_hostchol(V, *, passes=2, shifted=False, precision="highest",
     return V.astype(in_dtype), ok
 
 
+def cholqr_wide(V, *, passes=2, shifted=False, precision="highest",
+                upcast=None):
+    """CholQR with the N-contraction Gram on the exact-bf16 slice path and
+    the k×k factorization on host f64 (ops/wide + cholqr_hostchol's
+    split-sync pattern).
+
+    For f64 problems on accelerators without f64 matmul hardware: the
+    emulated-f64 Gram is both slow to compile at large N (806 s at
+    N=8192, BENCH_NOTES round 3) and the source of the eps_f32-level
+    column-norm sloppiness that froze the DP ladder.  Here the Gram is
+    ~1e-14-accurate bf16-slice MXU work, the Cholesky + triangular
+    inverse run on host LAPACK, and the application returns as a plain
+    (N,k)@(k,k) matmul.
+    """
+    import scipy.linalg as sla
+    from .wide import wide_matmul
+
+    in_dtype = V.dtype
+    if shifted:
+        passes = max(passes, 3)      # cleanup pass after the shifted round
+    if upcast is not None:
+        V = V.astype(upcast)
+    m = V.shape[0]
+    in_rt = real_dtype(V.dtype)
+    ok = True
+    for p in range(passes):
+        G = np.asarray(wide_matmul(V.T, V))
+        if p == 0 and shifted:
+            coef = np.sqrt(m) if is_double_base(V.dtype) else 10.0
+            shift = coef * np.finfo(np.dtype(in_rt)).eps \
+                * np.sum(np.abs(np.diagonal(G)))
+            G = G + shift * np.eye(G.shape[0])
+        try:
+            L = np.linalg.cholesky(G)
+        except np.linalg.LinAlgError:
+            return V.astype(in_dtype), False
+        Linv = sla.solve_triangular(L, np.eye(L.shape[0]), lower=True)
+        V = _apply_right_jit(V, jnp.asarray(Linv.T.copy()),
+                             precision=precision)
+    return V.astype(in_dtype), ok
+
+
 @partial(jax.jit, static_argnames=("n_panels", "precision", "upcast"))
 def mgs_cholqr(V, *, n_panels=6, precision="highest", upcast=None):
     """Panelized block-Gram-Schmidt CholQR (BCGS2 shape).
@@ -327,7 +369,11 @@ def orthonormalize_window(V, start, w_pad, locked, cond, rcfg, grid=None,
             passes, shifted, variant = 1, False, "cholQR1(window)"
         else:
             passes, shifted, variant = 2, False, "cholQR2(window)"
-        if (not shifted and V.shape[0] >= rcfg.mgs_qr_min_n
+        if small_dense == "wide":
+            Q, ok = cholqr_wide(W, passes=passes, shifted=shifted,
+                                precision=precision, upcast=upcast)
+            variant += "+wide"
+        elif (not shifted and V.shape[0] >= rcfg.mgs_qr_min_n
                 and w_pad >= 12):
             Q, ok = mgs_cholqr(W, precision=precision, upcast=upcast)
             variant = "MGS-CholQR(window)"
@@ -346,6 +392,10 @@ def orthonormalize_window(V, start, w_pad, locked, cond, rcfg, grid=None,
         if (not rcfg.cholqr) and cond != 1.0:
             Q = tsqr(Q, grid=grid, upcast=upcast)
             ok = True
+        elif small_dense == "wide":
+            Q, ok2 = cholqr_wide(Q, passes=1, precision=precision,
+                                 upcast=upcast)
+            ok = bool(ok2)
         elif small_dense == "host":
             # honor the explicit host opt-in for the cleanup pass too —
             # same emulated-f64 Cholesky rationale as the first pass
@@ -412,8 +462,12 @@ def orthonormalize(V, locked, cond, rcfg, grid=None, small_dense="device"):
     else:
         passes, shifted, variant = 2, False, "cholQR2"
     use_mgs = (not shifted and V.shape[0] >= rcfg.mgs_qr_min_n
-               and V.shape[1] >= 12)
-    if use_mgs:
+               and V.shape[1] >= 12 and small_dense != "wide")
+    if small_dense == "wide":
+        Q, ok = cholqr_wide(V, passes=passes, shifted=shifted,
+                            precision=precision, upcast=upcast)
+        variant += "+wide"
+    elif use_mgs:
         # very tall blocks: panelized Gram-Schmidt CholQR bounds the Gram
         # accumulation error (reference auto-selects at N >= 1e5,
         # Impl/config/config.hpp:9)

@@ -189,9 +189,29 @@ def _rr_device(H, V, locked, *, precision="highest", want_vectors=False,
                       want_vectors=want_vectors)
 
 
+@partial(jax.jit, static_argnames=("precision", "s", "L"))
+def _rr_project_wide(a_slices, sa, V, locked, *, s, L, precision="highest"):
+    """_rr_project with the N-contraction f64 matmuls on the exact-bf16
+    slice path (ops/wide): accuracy ~1e-14 AND none of the emulated-f64
+    dot's pathological compile times at large N (806 s at N=8192 vs
+    13.7 s — BENCH_NOTES round 3).  ``a_slices, sa, s, L`` come from
+    ops.wide.presplit (DenseOperator.H_wide); s/L ride as static args."""
+    from .wide import _wide_matmul_presliced, wide_matmul
+    k = V.shape[1]
+    rt = real_dtype(V.dtype)
+    active = jnp.arange(k) >= locked
+    Q = jnp.where(active[None, :], V, jnp.zeros((), V.dtype))
+    nrm = jnp.linalg.norm(Q, axis=0).real.astype(rt)
+    Q = Q / jnp.where(nrm > 0, nrm, jnp.ones((), rt))[None, :].astype(Q.dtype)
+    W = _wide_matmul_presliced(a_slices, sa, Q, s=s, L=L, cut=L - 1)
+    A = wide_matmul(Q.T, W)                              # QᵀHQ, N-contraction
+    A, big = _pin_locked(A, active, rt)
+    return Q, W, A, big
+
+
 def rayleigh_ritz_residuals(H, V, locked, *, precision="highest",
                             small_dense="device", want_vectors=False,
-                            polish=2):
+                            polish=2, H_wide=None):
     """Project H on the active columns of V, solve, rotate, and compute
     residuals, with ``locked`` as a traced scalar.
 
@@ -202,6 +222,10 @@ def rayleigh_ritz_residuals(H, V, locked, *, precision="highest",
       locked: traced int scalar.
       small_dense: "device" — the k×k eigh stays in the XLA program;
         "host" — split-sync host LAPACK eigh in f64 (see module docstring).
+      H_wide: optional pre-sliced operator (ops/wide.presplit /
+        DenseOperator.H_wide): the big f64 HEMMs run on the exact-bf16
+        slice path instead of the backend's emulated-f64 dot (fast
+        compiles, ~1e-14 accuracy).  Implies the split-sync host eigh.
 
     Returns:
       V_out:  (N, k) — V with columns [locked, k) replaced by the rotated
@@ -212,6 +236,15 @@ def rayleigh_ritz_residuals(H, V, locked, *, precision="highest",
       R:      (N, k) residual VECTORS, same layout — only with
               ``want_vectors=True`` (feeds the refinement filter).
     """
+    if H_wide is not None:
+        rt = real_dtype(V.dtype)
+        a_slices, sa, s, L = H_wide
+        Q, W, A, _ = _rr_project_wide(a_slices, sa, V, locked, s=s, L=L,
+                                      precision=precision)
+        w, Z = host_eigh_f64(np.asarray(A), rt)          # k×k device→host
+        return _rr_finish(Q, W, V, jnp.asarray(w), jnp.asarray(Z), locked,
+                          precision=precision, want_vectors=want_vectors)
+
     if small_dense != "host":
         return _rr_device(H, V, locked, precision=precision,
                           want_vectors=want_vectors, polish=polish)

@@ -350,6 +350,19 @@ def solve(op: DenseOperator, nev: int, nex: int,
     # 31.0 s with host RR vs 7.4 s with device RR, same day)
     small_dense, qr_backend = resolve_small_dense(
         rcfg.small_dense_backend, is_sp)
+    # exact-bf16-slice GEMM for the f64 RR/QR HEMMs (ops/wide): accuracy
+    # insurance + fast compiles on emulated-f64 backends at large N
+    use_wide = (rcfg.wide_f64 == "on"
+                or (rcfg.wide_f64 == "auto" and not is_sp
+                    and not is_complex_dtype(op.dtype)
+                    and jax.default_backend() != "cpu"
+                    and rcfg.wide_f64_min_n <= N <= rcfg.wide_f64_max_n))
+    if use_wide:
+        qr_backend = "wide"
+        if small_dense == "device":
+            small_dense = "host"     # the wide RR path pairs with host eigh
+        log.info(f"wide-f64 GEMM engaged for RR/QR (N={N}); disable with "
+                 f"wide_f64='off'", "linalg")
 
     def toc(phase, t0, *arrays):
         if timing:
@@ -622,12 +635,13 @@ def solve(op: DenseOperator, nev: int, nex: int,
         t0 = toc("Qr", t0, V)
 
         # -- RR + residuals (fused) --
+        H_wide_arg = op.H_wide if use_wide else None
         if use_window:
             Vw = _slice_cols(V, jnp.int32(win_start), w_pad_rr)
             rr_out = rrops.rayleigh_ritz_residuals(
                 op.H, Vw, jnp.int32(locked - win_start), precision=precision,
                 small_dense=small_dense, want_vectors=refine_capable,
-                polish=rcfg.polish_passes())
+                polish=rcfg.polish_passes(), H_wide=H_wide_arg)
             if refine_capable:
                 Vw, ritz_dev, resid_dev, Rw = rr_out
                 if R_prev is None:
@@ -643,7 +657,7 @@ def solve(op: DenseOperator, nev: int, nex: int,
             rr_out = rrops.rayleigh_ritz_residuals(
                 op.H, V, jnp.int32(locked), precision=precision,
                 small_dense=small_dense, want_vectors=refine_capable,
-                polish=rcfg.polish_passes())
+                polish=rcfg.polish_passes(), H_wide=H_wide_arg)
             if refine_capable:
                 V, ritz_dev, resid_dev, R_prev = rr_out
             else:

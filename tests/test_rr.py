@@ -122,3 +122,40 @@ def test_rr_immune_to_column_norm_deficit():
     # without renormalization the bias would be |lam|*1.2e-7 ~ 2.4e-5
     assert np.abs(np.asarray(ritz) - lam[:k]).max() < 1e-9
     assert np.asarray(resid).max() < 1e-9
+
+
+def test_solver_wide_f64_path():
+    """wide_f64='on': the solve routes RR/QR through the exact-bf16-slice
+    GEMM and still reaches DP tolerances (parity with the default path)."""
+    import numpy as np
+    import chase_tpu
+    from chase_tpu.models import clement, clement_eigenvalues
+
+    N, nev, nex = 192, 10, 10
+    H = clement(N).astype(np.float64)
+    cfg = chase_tpu.ChaseConfig(wide_f64="on")
+    res = chase_tpu.eigsh(H, nev, nex, tol=1e-10, config=cfg)
+    assert res.converged
+    np.testing.assert_allclose(res.ritzv, clement_eigenvalues(N)[:nev],
+                               atol=1e-8)
+    V = np.asarray(res.V)[:, :nev]
+    R = H @ V - V * res.ritzv[None, :]
+    assert np.linalg.norm(R, axis=0).max() < 1e-8
+
+
+def test_wide_matmul_accuracy():
+    """ops/wide: f64-level accuracy from exact bf16 slice products."""
+    import numpy as np
+    import jax.numpy as jnp
+    from chase_tpu.ops.wide import wide_matmul, presplit, wide_matmul_sliced
+
+    rng = np.random.default_rng(0)
+    N, k = 512, 64
+    A = rng.standard_normal((N, N)) * np.exp(rng.standard_normal((N, 1)) * 3)
+    B = rng.standard_normal((N, k))
+    C_ref = A @ B
+    C = np.asarray(wide_matmul(jnp.asarray(A), jnp.asarray(B)))
+    assert np.abs(C - C_ref).max() / np.abs(C_ref).max() < 1e-13
+    Cs = np.asarray(wide_matmul_sliced(presplit(jnp.asarray(A)),
+                                       jnp.asarray(B)))
+    assert np.abs(Cs - C_ref).max() / np.abs(C_ref).max() < 1e-13
