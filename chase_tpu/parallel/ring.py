@@ -494,3 +494,179 @@ def chebyshev_filter_refine_ring2d(grid, H, V, R, degrees, alpha1_e, alphas,
                              P(("c", "r"), None), P(), P(), P(), P(), P()),
                    out_specs=P(("c", "r"), None))
     return fn(H, V, R, degrees, al, be, injt, pf)
+
+
+@partial(jax.jit, static_argnames=("grid", "axis", "precision"))
+def chebyshev_filter_h2_ring(grid, H, X, degrees, lam1, lower, upper,
+                             deg_max, *, axis: str = "r",
+                             precision="highest"):
+    """Pseudo-Hermitian H² Chebyshev filter with the 1D ring HEMM (P11 for
+    the BSE path).  Each recurrence step applies H twice through the
+    software-pipelined ring; the interval shift is folded into the epilogue
+    exactly like ops.pseudo.chebyshev_filter_h2 (no shift of H).  The
+    filter itself involves no S-metric work, so the ring needs no
+    half-split awareness.  H in P(axis, None), X in P(axis)."""
+    from ..types import real_dtype as _rdt
+
+    mesh = grid.mesh
+    p = mesh.shape[axis]
+    out_dtype = X.dtype
+    rt = _rdt(H.dtype)
+
+    lam1 = jnp.asarray(lam1, rt)
+    lo = jnp.minimum(jnp.asarray(lower, rt), jnp.asarray(upper, rt))
+    up = jnp.maximum(jnp.asarray(lower, rt), jnp.asarray(upper, rt))
+    c = (up + lo) / 2
+    e = (up - lo) / 2
+    sigma1 = e / (lam1 - c)
+    deg_max = jnp.asarray(deg_max, jnp.int32)
+
+    def local(h, x, degs):
+        n_loc = x.shape[0]
+        me = jax.lax.axis_index(axis)
+        x0 = x
+        x = x.astype(h.dtype)
+
+        def ring_dot(v):
+            def step(s, carry):
+                acc, cur = carry
+                src = (me + s) % p
+                nxt = jax.lax.ppermute(
+                    cur, axis, [(i, (i - 1) % p) for i in range(p)])
+                h_blk = jax.lax.dynamic_slice(
+                    h, (jnp.int32(0), (src * n_loc).astype(jnp.int32)),
+                    (h.shape[0], n_loc))
+                return acc + jnp.matmul(h_blk, cur, precision=precision), nxt
+            acc = jnp.zeros((h.shape[0], v.shape[1]), h.dtype)
+            acc = jax.lax.pcast(acc, (axis,), to="varying")
+            acc, _ = jax.lax.fori_loop(0, p, step, (acc, v))
+            return acc
+
+        def h2_shift(v):
+            return ring_dot(ring_dot(v)) - c * v
+
+        Y = (sigma1 / e) * h2_shift(x)
+        Y = jnp.where(degs[None, :] >= 1, Y, x)
+
+        def body(t, carry):
+            Xp, Yc, sigma = carry
+            tau = 1.0 / (2.0 / sigma1 - sigma)
+            Z = (2.0 * tau / e) * h2_shift(Yc) - (sigma * tau) * Xp
+            Z = jnp.where(degs[None, :] >= t, Z, Yc)
+            return (Yc, Z, tau)
+
+        _, Y, _ = jax.lax.fori_loop(2, deg_max + 1, body, (x, Y, sigma1))
+        return jnp.where(degs[None, :] >= 1, Y.astype(out_dtype), x0)
+
+    fn = shard_map(local, mesh=mesh,
+                   in_specs=(P(axis, None), P(axis, None), P()),
+                   out_specs=P(axis, None))
+    return fn(H, X, degrees)
+
+
+@partial(jax.jit, static_argnames=("grid", "precision"))
+def chebyshev_filter_h2_ring2d(grid, H, X, degrees, lam1, lower, upper,
+                               deg_max, *, precision="highest"):
+    """H² filter as the 2D ping-pong ring (P4 + P11, BSE path).
+
+    One H² application is a FULL parity round-trip — ring_A (A→B) then
+    ring_B (B→A) — so every recurrence step starts and ends in parity A
+    and the shift/beta/mask terms need no flips at all (simpler than the
+    Hermitian single-H schedule).  Requires N divisible by r·c.
+    """
+    mesh = grid.mesh
+    pr = mesh.shape["r"]
+    pc = mesh.shape["c"]
+    out_dtype = X.dtype
+    from ..types import real_dtype as _rdt
+    rt = _rdt(H.dtype)
+
+    lam1 = jnp.asarray(lam1, rt)
+    lo = jnp.minimum(jnp.asarray(lower, rt), jnp.asarray(upper, rt))
+    up = jnp.maximum(jnp.asarray(lower, rt), jnp.asarray(upper, rt))
+    c = (up + lo) / 2
+    e = (up - lo) / 2
+    sigma1 = e / (lam1 - c)
+    deg_max = jnp.asarray(deg_max, jnp.int32)
+
+    def local(h, x, degs):
+        nch = x.shape[0]
+        k = x.shape[1]
+        i = jax.lax.axis_index("r")
+        j = jax.lax.axis_index("c")
+        x0 = x
+        x = x.astype(h.dtype)
+
+        def ring_A(v):
+            def step(s, st):
+                acc, cur = st
+                nxt = jax.lax.ppermute(
+                    cur, "r", [(t, (t - 1) % pr) for t in range(pr)])
+                sub = ((i + s) % pr) * nch
+                h_blk = jax.lax.dynamic_slice(
+                    h, (jnp.int32(0), sub.astype(jnp.int32)),
+                    (h.shape[0], nch))
+                return acc + jnp.matmul(h_blk, cur, precision=precision), nxt
+            acc = jnp.zeros((h.shape[0], k), h.dtype)
+            acc = jax.lax.pcast(acc, ("r", "c"), to="varying")
+            acc, _ = jax.lax.fori_loop(0, pr, step, (acc, v))
+            return jax.lax.psum_scatter(acc, "c", scatter_dimension=0,
+                                        tiled=True)
+
+        def ring_B(v):
+            """Hᴴ·v for a parity-B block (the Hermitian-schedule step)."""
+            def step(s, st):
+                acc, cur = st
+                nxt = jax.lax.ppermute(
+                    cur, "c", [(t, (t - 1) % pc) for t in range(pc)])
+                sub = ((j + s) % pc) * nch
+                h_blk = jax.lax.dynamic_slice(
+                    h, (sub.astype(jnp.int32), jnp.int32(0)),
+                    (nch, h.shape[1]))
+                return acc + jnp.matmul(h_blk.conj().T, cur,
+                                        precision=precision), nxt
+            acc = jnp.zeros((h.shape[1], k), h.dtype)
+            acc = jax.lax.pcast(acc, ("r", "c"), to="varying")
+            acc, _ = jax.lax.fori_loop(0, pc, step, (acc, v))
+            return jax.lax.psum_scatter(acc, "r", scatter_dimension=0,
+                                        tiled=True)
+
+        half = (nch * pr * pc) // 2                  # N/2 (static)
+
+        def s_flip_B(v):
+            """S·v for a parity-B local chunk (global rows i·pc+j)."""
+            chunk = i * pc + j
+            grows = chunk * nch + jnp.arange(nch)
+            return jnp.where((grows >= half)[:, None], -v, v)
+
+        def s_flip_A(v):
+            """S·v for a parity-A local chunk (global rows j·pr+i)."""
+            chunk = j * pr + i
+            grows = chunk * nch + jnp.arange(nch)
+            return jnp.where((grows >= half)[:, None], -v, v)
+
+        def h2_shift(v):
+            # pseudo-Hermitian H is NOT Hermitian: the parity-B step
+            # computes Hᴴw, and Hᴴ = S·H·S (pseudo-Hermiticity), so
+            # H²v = S·Hᴴ·S·(Hv) with parity-matched S flips
+            w1 = ring_A(v)                    # H·v      (A→B)
+            w2 = ring_B(s_flip_B(w1))         # Hᴴ·S·Hv  (B→A)
+            return s_flip_A(w2) - c * v       # S·Hᴴ·S·Hv = H²v
+
+        Y = (sigma1 / e) * h2_shift(x)
+        Y = jnp.where(degs[None, :] >= 1, Y, x)
+
+        def body(t, carry):
+            Xp, Yc, sigma = carry
+            tau = 1.0 / (2.0 / sigma1 - sigma)
+            Z = (2.0 * tau / e) * h2_shift(Yc) - (sigma * tau) * Xp
+            Z = jnp.where(degs[None, :] >= t, Z, Yc)
+            return (Yc, Z, tau)
+
+        _, Y, _ = jax.lax.fori_loop(2, deg_max + 1, body, (x, Y, sigma1))
+        return jnp.where(degs[None, :] >= 1, Y.astype(out_dtype), x0)
+
+    fn = shard_map(local, mesh=mesh,
+                   in_specs=(P("r", "c"), P(("c", "r"), None), P()),
+                   out_specs=P(("c", "r"), None))
+    return fn(H, X, degrees)

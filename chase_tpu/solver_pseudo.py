@@ -343,6 +343,14 @@ def solve_pseudo(op: DenseOperator, nev: int, nex: int,
         resid_file = open(rcfg.save_residuals, "w")
         resid_file.write("iteration,residual\n")
 
+    # ring eligibility (auto like the Hermitian driver; see solver.py)
+    from .solver import _ring_mode
+    ring_mode = (_ring_mode(op.grid, N)
+                 if rcfg.ring_filter is not False else None)
+    if ring_mode is not None and rcfg.ring_filter is None:
+        log.info(f"H² ring filter auto-enabled ({ring_mode} schedule); "
+                 f"opt out with ring_filter=False", "linalg")
+
     # ---- main loop (algorithm.inc:1963-2170) -------------------------------
     while locked < nev and unconverged > 0 and iteration < rcfg.max_iter:
         u = unconverged
@@ -376,12 +384,26 @@ def solve_pseudo(op: DenseOperator, nev: int, nex: int,
         deg_win = np.zeros(w_pad, np.int32)
         deg_win[offset:] = degrees[act]
         X = slice_cols(V, jnp.int32(start), w_pad)
-        X = ps.chebyshev_filter_h2(
-            op.H, X, jnp.asarray(deg_win),
-            np.asarray(lambda_1, op.real_dtype),
-            np.asarray(lower, op.real_dtype),
-            np.asarray(b_sup, op.real_dtype),
-            jnp.int32(int(deg_win.max())), precision=precision)
+        if ring_mode is not None:
+            # H² filter as the ring collective matmul (P11 on the BSE
+            # path): 1D software-pipelined ring or the 2D ping-pong with
+            # S-flip-corrected Hᴴ steps (Hᴴ = S·H·S)
+            from .parallel.ring import (chebyshev_filter_h2_ring,
+                                        chebyshev_filter_h2_ring2d)
+            ring_fn = (chebyshev_filter_h2_ring if ring_mode == "1d"
+                       else chebyshev_filter_h2_ring2d)
+            X = ring_fn(op.grid, op.H, X, jnp.asarray(deg_win),
+                        np.asarray(lambda_1, op.real_dtype),
+                        np.asarray(lower, op.real_dtype),
+                        np.asarray(b_sup, op.real_dtype),
+                        jnp.int32(int(deg_win.max())), precision=precision)
+        else:
+            X = ps.chebyshev_filter_h2(
+                op.H, X, jnp.asarray(deg_win),
+                np.asarray(lambda_1, op.real_dtype),
+                np.asarray(lower, op.real_dtype),
+                np.asarray(b_sup, op.real_dtype),
+                jnp.int32(int(deg_win.max())), precision=precision)
         V = update_cols(V, X, jnp.int32(start))
         if perf is not None:
             perf.add_filtered_vecs(2 * int(np.sum(degrees[act])))

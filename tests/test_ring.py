@@ -441,3 +441,52 @@ def test_windowed_ring_matches_unwindowed():
     assert res.converged
     np.testing.assert_allclose(res.ritzv, clement_eigenvalues(N)[:12],
                                atol=1e-7)
+
+
+@pytest.mark.parametrize("shape", [(8, 1), (4, 2)], ids=["1d", "2d"])
+def test_h2_ring_matches_flat_filter(shape):
+    """chebyshev_filter_h2_ring(2d) must equal ops.pseudo.chebyshev_
+    filter_h2 (P11 on the BSE path; the 2D schedule's Hᴴ step is
+    S-flip-corrected since pseudo-Hermitian H is not Hermitian)."""
+    import chase_tpu
+    from chase_tpu.ops import pseudo as ps
+    from chase_tpu.models import random_pseudo_hermitian
+    from chase_tpu.parallel.ring import (chebyshev_filter_h2_ring,
+                                         chebyshev_filter_h2_ring2d)
+
+    N, w = 128, 10
+    H = np.asarray(random_pseudo_hermitian(N, dtype=np.float64, seed=0))
+    rng = np.random.default_rng(1)
+    X = np.linalg.qr(rng.standard_normal((N, w)))[0]
+    degrees = np.asarray([0, 0, 4, 4, 6, 6, 8, 8, 10, 10], np.int32)
+    lam1, lo, up = 0.5, 2.0, 30.0
+
+    Y_flat = ps.chebyshev_filter_h2(
+        jnp.asarray(H), jnp.asarray(X), jnp.asarray(degrees),
+        lam1, lo, up, jnp.int32(10))
+
+    grid = chase_tpu.make_grid(jax.devices(), shape=shape)
+    Hs = jax.device_put(jnp.asarray(H), grid.sharding("r", "c"))
+    ring_fn = (chebyshev_filter_h2_ring if shape[1] == 1
+               else chebyshev_filter_h2_ring2d)
+    Y_ring = ring_fn(grid, Hs, jnp.asarray(X), jnp.asarray(degrees),
+                     lam1, lo, up, jnp.int32(10))
+    np.testing.assert_allclose(np.asarray(Y_ring), np.asarray(Y_flat),
+                               rtol=0, atol=1e-10 * np.abs(Y_flat).max())
+    np.testing.assert_array_equal(np.asarray(Y_ring)[:, :2], X[:, :2])
+
+
+def test_pseudo_solver_ring_e2e():
+    """Sharded BSE solve with the H² ring auto-engaged matches the direct
+    spectrum (ring x pseudo composition)."""
+    import chase_tpu
+    from chase_tpu.models import random_pseudo_hermitian
+
+    grid = chase_tpu.make_grid(jax.devices(), shape=(4, 2))
+    N, nev, nex = 128, 6, 6
+    H = np.asarray(random_pseudo_hermitian(N, dtype=np.float64, seed=2))
+    res = chase_tpu.eigsh_pseudo(H, nev, nex, tol=1e-9, grid=grid)
+    assert res.converged
+    full = np.sort(np.linalg.eigvals(H).real)
+    pos = full[full > 0][:nev]
+    np.testing.assert_allclose(np.asarray(res.ritzv), pos, atol=1e-7)
