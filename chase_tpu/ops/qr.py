@@ -176,8 +176,7 @@ def cholqr_wide(V, *, passes=2, shifted=False, precision="highest",
         except np.linalg.LinAlgError:
             return V.astype(in_dtype), False
         Linv = sla.solve_triangular(L, np.eye(L.shape[0]), lower=True)
-        V = _apply_right_jit(V, jnp.asarray(Linv.T.copy()),
-                             precision=precision)
+        V = wide_matmul(V, jnp.asarray(Linv.T.copy()))
     return V.astype(in_dtype), ok
 
 
@@ -323,6 +322,18 @@ def _project_against_locked(V_full, W, start, *, precision="highest"):
     return W - jnp.matmul(L, C, precision=precision)
 
 
+@jax.jit
+def _project_against_locked_wide(V_full, W, start):
+    """_project_against_locked with both matmuls on the exact-bf16 slice
+    GEMM (f64 backends whose emulated dot misbehaves at large N)."""
+    from .wide import wide_matmul
+    cols = jnp.arange(V_full.shape[1])
+    L = jnp.where((cols < start)[None, :], V_full,
+                  jnp.zeros((), V_full.dtype))
+    C = wide_matmul(L.T, W)
+    return W - wide_matmul(L, C)
+
+
 def orthonormalize_window(V, start, w_pad, locked, cond, rcfg, grid=None,
                           small_dense="device"):
     """Width-bucketed QR: orthonormalize only the padded active window.
@@ -356,7 +367,11 @@ def orthonormalize_window(V, start, w_pad, locked, cond, rcfg, grid=None,
 
     Vw0 = slice_cols(V, jnp.int32(start), w_pad)
     lw = locked - start
-    W = _project_against_locked(V, Vw0, jnp.int32(start), precision=precision)
+    if small_dense == "wide":
+        W = _project_against_locked_wide(V, Vw0, jnp.int32(start))
+    else:
+        W = _project_against_locked(V, Vw0, jnp.int32(start),
+                                    precision=precision)
 
     if (not rcfg.cholqr) and cond != 1.0:
         Q = tsqr(W, grid=grid, upcast=upcast)
@@ -387,8 +402,11 @@ def orthonormalize_window(V, start, w_pad, locked, cond, rcfg, grid=None,
         # BCGS2 second sweep: re-project + re-orthonormalize.  Honor the
         # user's CholQR opt-out (CHASE_DISABLE_CHOLQR / --qr H) here too —
         # the TSQR window variant must stay Cholesky-free end to end.
-        Q = _project_against_locked(V, Q, jnp.int32(start),
-                                    precision=precision)
+        if small_dense == "wide":
+            Q = _project_against_locked_wide(V, Q, jnp.int32(start))
+        else:
+            Q = _project_against_locked(V, Q, jnp.int32(start),
+                                        precision=precision)
         if (not rcfg.cholqr) and cond != 1.0:
             Q = tsqr(Q, grid=grid, upcast=upcast)
             ok = True

@@ -153,15 +153,22 @@ def _rr_project(H, V, locked, *, precision="highest"):
     return Q, W, A, big
 
 
-@partial(jax.jit, static_argnames=("precision", "want_vectors"))
+@partial(jax.jit, static_argnames=("precision", "want_vectors", "wide"))
 def _rr_finish(Q, W, V, ritz, Z, locked, *, precision="highest",
-               want_vectors=False):
-    """Device half 2: rotate, residuals, roll, merge."""
+               want_vectors=False, wide=False):
+    """Device half 2: rotate, residuals, roll, merge.  ``wide`` routes the
+    rotations through the exact-bf16-slice GEMM (backends whose
+    emulated-f64 dot does not compile at large N)."""
     k = V.shape[1]
     rt = real_dtype(V.dtype)
     active = jnp.arange(k) >= locked
-    Vrot = jnp.matmul(Q, Z, precision=precision)         # Ritz vectors
-    Wrot = jnp.matmul(W, Z, precision=precision)         # = H · Vrot (reused)
+    if wide:
+        from .wide import wide_matmul
+        Vrot = wide_matmul(Q, Z)
+        Wrot = wide_matmul(W, Z)
+    else:
+        Vrot = jnp.matmul(Q, Z, precision=precision)     # Ritz vectors
+        Wrot = jnp.matmul(W, Z, precision=precision)     # = H · Vrot
     R = Wrot - Vrot * ritz[None, :].astype(V.dtype)
     resid = jnp.linalg.norm(R, axis=0).real.astype(rt)
     # Active results live at positions [0, k-locked); roll to [locked, k).
@@ -243,7 +250,8 @@ def rayleigh_ritz_residuals(H, V, locked, *, precision="highest",
                                       precision=precision)
         w, Z = host_eigh_f64(np.asarray(A), rt)          # k×k device→host
         return _rr_finish(Q, W, V, jnp.asarray(w), jnp.asarray(Z), locked,
-                          precision=precision, want_vectors=want_vectors)
+                          precision=precision, want_vectors=want_vectors,
+                          wide=True)
 
     if small_dense != "host":
         return _rr_device(H, V, locked, precision=precision,

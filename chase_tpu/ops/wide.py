@@ -95,16 +95,30 @@ def slice_f64(X, s, L, axis):
 
 
 def _pair_products(a_slices, b_slices, cut):
-    """Σ over l+m ≤ cut of the exact bf16 pair matmuls, f64 accumulation."""
-    acc = None
+    """Σ over l+m ≤ cut of the exact bf16 pair matmuls, f64 accumulation.
+
+    The m-loop is a ``fori_loop`` over the STACKED right-operand slices so
+    only ONE pair product is live at a time — a balanced sum tree keeps
+    all O(L²/2) (rows, k) products resident simultaneously and OOMs HBM
+    at large N (measured at N=16384, BENCH_NOTES round 3).  The right
+    stack is cheap ((L, n, k) with k ≪ n); the big left slices stay a
+    Python-indexed list and are never copied."""
+    L = len(b_slices)
+    B = jnp.stack(b_slices)                       # (L, n, k) — k cols only
+    rows = a_slices[0].shape[0]
+    k = b_slices[0].shape[1]
+    acc = jnp.zeros((rows, k), jnp.float64)
     for l, al in enumerate(a_slices):
-        for m, bm in enumerate(b_slices):
-            if l + m > cut:
-                continue
-            p = jnp.matmul(al, bm, precision="default",
+        hi = min(cut - l + 1, L)
+        if hi <= 0:
+            continue
+
+        def body(m, a, al=al):
+            p = jnp.matmul(al, B[m], precision="default",
                            preferred_element_type=jnp.float32)
-            acc = p.astype(jnp.float64) if acc is None \
-                else acc + p.astype(jnp.float64)
+            return a + p.astype(jnp.float64)
+
+        acc = jax.lax.fori_loop(0, hi, body, acc)
     return acc
 
 

@@ -376,7 +376,11 @@ def solve(op: DenseOperator, nev: int, nex: int,
 
     if rcfg.sym_check:
         from .ops.checks import check_hermitian
-        if not check_hermitian(op.H, precision=precision):
+        # wide mode: probe the f32 shadow — a hermiticity CHECK needs only
+        # f32 fidelity, and the emulated-f64 matvec does not compile at
+        # N>8192 on some backends (BENCH_NOTES round 3)
+        H_probe = op.H_low if use_wide else op.H
+        if not check_hermitian(H_probe, precision=precision):
             log.warn("input matrix failed the randomized hermiticity probe "
                      "(checkSymmetryEasy analogue) — results may be invalid")
 
@@ -390,7 +394,8 @@ def solve(op: DenseOperator, nev: int, nex: int,
     else:
         V = op.place_block(jax.random.normal(key, (N, nevex), dtype=op.dtype))
     if not approx:
-        V = qrops.orthonormalize(V, 0, 1.0, rcfg, op.grid)
+        V = qrops.orthonormalize(V, 0, 1.0, rcfg, op.grid,
+                                 small_dense=qr_backend)
     t0 = toc("InitVecs", t0, V)
 
     deg0 = min(rcfg.deg + rcfg.deg % 2, rcfg.max_deg)
@@ -404,8 +409,13 @@ def solve(op: DenseOperator, nev: int, nex: int,
     m = max(m, 2)
     numvec = min(rcfg.num_lanczos, nevex)
     if not approx:
+        # wide mode: spectral-bound estimation runs on the f32 shadow
+        # (bounds need ~1e-7 relative fidelity; the emulated-f64 matvec
+        # does not compile at N>8192 on some backends)
+        H_lz = op.H_low if use_wide else op.H
         alphas, betas, basis = lz.lanczos_scan(
-            op.H, V[:, :numvec], m=m, precision=precision, want_basis=True)
+            H_lz, V[:, :numvec].astype(H_lz.dtype), m=m,
+            precision=precision, want_basis=True)
         a_np, b_np = np.asarray(alphas, np.float64), np.asarray(betas, np.float64)
         t0 = toc("Lanczos", t0, alphas)
         theta, tau, ritzV_last = lz.lanczos_tridiag_host(a_np, b_np)
@@ -452,8 +462,10 @@ def solve(op: DenseOperator, nev: int, nex: int,
         probe = op.place_block(
             jax.random.normal(jax.random.fold_in(key, 1), (N, 1),
                               dtype=op.dtype))
+        H_lz = op.H_low if use_wide else op.H
         alphas, betas, _ = lz.lanczos_scan(
-            op.H, probe, m=m, precision=precision, want_basis=False)
+            H_lz, probe.astype(H_lz.dtype), m=m, precision=precision,
+            want_basis=False)
         a_np, b_np = np.asarray(alphas, np.float64), np.asarray(betas, np.float64)
         t0 = toc("Lanczos", t0, alphas)
         theta, _, _ = lz.lanczos_tridiag_host(a_np, b_np, want_vectors=False)

@@ -49,6 +49,92 @@ from . import solver as _solver
 __all__ = ["warmup"]
 
 
+def _warmup_pseudo(op, nev, nex, rcfg, max_workers):
+    """Pseudo-Hermitian (BSE) phase-program warmup: H² filter width
+    buckets (ring-aware), the S-aware QR, the pencil RR and the S-metric
+    Lanczos.  Mirrors solver_pseudo's program set."""
+    from .ops import pseudo as ps
+    from .ops.blocks import slice_cols, permute_cols
+
+    log = get_logger()
+    precision = rcfg.matmul_precision
+    nevex = nev + nex
+    K2 = 2 * nevex
+    N = op.N
+    B = _solver._col_block(rcfg.col_block, nevex)
+    widths = sorted({min(nevex, -(-u // B) * B)
+                     for u in range(1, nevex + 1)}, reverse=True)
+    V = op.place_block(jnp.eye(N, K2, dtype=op.dtype))
+    ring_mode = (_solver._ring_mode(op.grid, N)
+                 if rcfg.ring_filter is not False else None)
+
+    def filter_job(w_pad):
+        deg_win = np.full(w_pad, 2, np.int32)
+        X = slice_cols(V, jnp.int32(0), w_pad)
+        if ring_mode is not None:
+            from .parallel.ring import (chebyshev_filter_h2_ring,
+                                        chebyshev_filter_h2_ring2d)
+            fn = (chebyshev_filter_h2_ring if ring_mode == "1d"
+                  else chebyshev_filter_h2_ring2d)
+            out = fn(op.grid, op.H, X, jnp.asarray(deg_win), 0.5, 1.0,
+                     4.0 * N * N, jnp.int32(2), precision=precision)
+        else:
+            out = ps.chebyshev_filter_h2(
+                op.H, X, jnp.asarray(deg_win), 0.5, 1.0, 4.0 * N * N,
+                jnp.int32(2), precision=precision)
+        out.block_until_ready()
+
+    small_dense, _ = _solver.resolve_small_dense(
+        rcfg.small_dense_backend, not rcfg.is_double)
+
+    def qr_job():
+        out = qrops.orthonormalize_pseudo(V, nevex // 2, 10.0, rcfg,
+                                          op.grid, small_dense=small_dense)
+        out.block_until_ready()
+
+    def rr_job():
+        out = ps.rayleigh_ritz_residuals_pseudo(
+            op.H, V, jnp.int32(0), precision=precision,
+            small_dense=small_dense,
+            polish=rcfg.polish_passes(pseudo=True))
+        out[0].block_until_ready()
+
+    def lanczos_job():
+        m = max(2, min(nevex, N // 2, rcfg.lanczos_iter))
+        m -= m % 2
+        probes = op.place_block(
+            jnp.eye(N, min(rcfg.num_lanczos, K2), dtype=op.dtype))
+        a, b, _ = ps.lanczos_scan_pseudo(op.H, probes, m=m,
+                                         precision=precision)
+        b.block_until_ready()
+
+    def aux_job():
+        out = permute_cols(V, jnp.arange(K2))
+        out.block_until_ready()
+        src = jnp.arange(K2)
+        out = ps.k_conjugate_cols(V, src, jnp.zeros(K2, bool))
+        out.block_until_ready()
+
+    jobs = [(f"h2-filter:{w}", lambda w=w: filter_job(w)) for w in widths]
+    jobs += [("pseudo-qr", qr_job), ("pencil-rr", rr_job),
+             ("s-lanczos", lanczos_job), ("aux", aux_job)]
+    failed = 0
+    with ThreadPoolExecutor(max_workers=max_workers) as ex:
+        futs = {ex.submit(fn): name for name, fn in jobs}
+        for fut, name in futs.items():
+            try:
+                fut.result()
+            except Exception as e:
+                failed += 1
+                log.warn(f"pseudo warmup job '{name}' failed "
+                         f"({type(e).__name__}): "
+                         f"{str(e).splitlines()[0][:100] if str(e) else ''}",
+                         "perf")
+    log.info(f"pseudo warmup: {len(jobs) - failed}/{len(jobs)} programs "
+             f"compiled (widths {widths}, B={B})", "perf")
+    return {"programs": len(jobs), "failed": failed, "widths": widths}
+
+
 def _bucket_widths(nevex: int, B: int):
     """Every w_pad the window machinery can produce: multiples of B capped
     at nevex (solver._window_pad)."""
@@ -90,6 +176,9 @@ def warmup(H, nev: int, nex: Optional[int] = None, *, config=None,
     log = get_logger()
     precision = rcfg.matmul_precision
     is_sp = not rcfg.is_double
+
+    if op.pseudo_hermitian:
+        return _warmup_pseudo(op, nev, nex, rcfg, max_workers)
 
     B = _solver._col_block(rcfg.col_block, nevex)
     widths = _bucket_widths(nevex, B)

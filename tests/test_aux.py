@@ -294,3 +294,25 @@ def test_sequence_auto_warmup():
         mats, 6, 6, tol=1e-5, config=chase_tpu.ChaseConfig(col_block=8)))
     assert all(r.converged for r in results)
     assert results[1].iterations <= results[0].iterations
+
+
+def test_warmup_pseudo():
+    """warmup on a pseudo-Hermitian operator compiles the BSE phase
+    programs (H2 filter buckets, S-QR, pencil RR, S-Lanczos) without
+    failures, and the solve then matches the direct spectrum."""
+    import numpy as np
+    import chase_tpu
+    from chase_tpu.models import random_pseudo_hermitian
+
+    N, nev, nex = 96, 6, 6
+    H = np.asarray(random_pseudo_hermitian(N, dtype=np.float64, seed=5))
+    op = chase_tpu.DenseOperator(H, pseudo_hermitian=True)
+    info = chase_tpu.warmup(op, nev, nex,
+                            config=chase_tpu.ChaseConfig(col_block=4))
+    assert info["failed"] == 0
+    res = chase_tpu.eigsh_pseudo(op, nev, nex, tol=1e-9,
+                                 config=chase_tpu.ChaseConfig(col_block=4))
+    assert res.converged
+    full = np.sort(np.linalg.eigvals(H).real)
+    np.testing.assert_allclose(np.asarray(res.ritzv),
+                               full[full > 0][:nev], atol=1e-7)
