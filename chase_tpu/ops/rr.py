@@ -223,7 +223,9 @@ def rayleigh_ritz_residuals(H, V, locked, *, precision="highest",
     residuals, with ``locked`` as a traced scalar.
 
     Args:
-      H: (N, N) Hermitian operator.
+      H: (N, N) Hermitian operator; may be ``None`` when ``H_wide`` is
+        given (the wide path multiplies only by the slices — callers avoid
+        re-materializing an f64 buffer engage_wide dropped).
       V: (N, k) orthonormal block; columns [0, locked) are converged and are
         excluded from the projection.
       locked: traced int scalar.

@@ -167,3 +167,36 @@ def presplit(A, *, target_bits: int = 55):
     s, L, _ = wide_params(A.shape[-1], target_bits)
     a_slices, sa = slice_f64(A, s, L, axis=1)
     return (tuple(a_slices), sa, s, L)
+
+
+@partial(jax.jit, static_argnames=("s", "L"))
+def _presplit_shadow(H, *, s, L):
+    low = H.astype(jnp.float32)
+    slices, sa = slice_f64(H, s, L, axis=1)
+    return tuple(slices), sa, low
+
+
+@partial(jax.jit, static_argnames=("s", "L"), donate_argnums=0)
+def _presplit_shadow_donate(H, *, s, L):
+    low = H.astype(jnp.float32)
+    slices, sa = slice_f64(H, s, L, axis=1)
+    return tuple(slices), sa, low
+
+
+def presplit_and_shadow(H, *, donate: bool = False, target_bits: int = 55):
+    """One jitted program producing BOTH the bf16 slice stack and the f32
+    shadow of a real f64 operator.  With ``donate=True`` the input buffer
+    is donated — XLA frees/reuses the 8-byte H during slicing and the
+    caller drops its reference afterwards.  This is the large-N memory
+    path: eager :func:`presplit` keeps H plus several f64 temporaries plus
+    the slices live at once and OOMs a 16 GB chip at N=16384 (measured,
+    BENCH_NOTES round 3); a wide-mode solve never multiplies by f64 H
+    again, so after this program the resident operator state is
+    ``L·2 + 4`` bytes/element instead of ``L·2 + 12``.
+
+    Returns (slices, sa, low, s, L).
+    """
+    s, L, _ = wide_params(H.shape[-1], target_bits)
+    fn = _presplit_shadow_donate if donate else _presplit_shadow
+    slices, sa, low = fn(H, s=s, L=L)
+    return slices, sa, low, s, L

@@ -48,6 +48,12 @@ class DenseOperator:
         self.grid = grid
         self.pseudo_hermitian = pseudo_hermitian
         self.N_orig = int(H.shape[0])
+        # Re-materialization source + ownership for the wide-mode f64 drop
+        # (engage_wide): we may donate/free the device f64 buffer only if WE
+        # created it (host input) and can re-upload it on demand (no
+        # padding transformed it).
+        H_src = H
+        self._owns_dev = not isinstance(H, jax.Array)
 
         N = self.N_orig
         if grid is not None:
@@ -81,22 +87,40 @@ class DenseOperator:
                 H = Hp.at[idx, idx].set(pad_val)
 
         sh = matrix_sharding(grid)
-        self.H = jax.device_put(jnp.asarray(H), sh) if sh is not None \
+        self._H_dev = jax.device_put(jnp.asarray(H), sh) if sh is not None \
             else jnp.asarray(H)
+        self._N = int(self._H_dev.shape[0])
+        self._dtype = self._H_dev.dtype
+        self._H_src = H_src if (self._N == self.N_orig
+                                and self._owns_dev) else None
         self._H_low = None
         self._H_wide = None
 
     @property
+    def H(self):
+        """The device-resident operator.  After :meth:`engage_wide` dropped
+        the f64 buffer, the first access re-uploads it from the host source
+        (logged — a wide-mode solve should never need it)."""
+        if self._H_dev is None:
+            from ..logger import get_logger
+            get_logger().info(
+                "re-uploading f64 H dropped by engage_wide", "linalg")
+            sh = matrix_sharding(self.grid)
+            Hd = jnp.asarray(self._H_src)
+            self._H_dev = jax.device_put(Hd, sh) if sh is not None else Hd
+        return self._H_dev
+
+    @property
     def N(self) -> int:
-        return self.H.shape[0]
+        return self._N
 
     @property
     def dtype(self):
-        return self.H.dtype
+        return self._dtype
 
     @property
     def real_dtype(self):
-        return real_dtype(self.H.dtype)
+        return real_dtype(self._dtype)
 
     @property
     def H_low(self):
@@ -114,9 +138,33 @@ class DenseOperator:
         dot is slow to compile or inaccurate at scale (measured: the
         sandbox backend's fused f64 programs develop f32-level operator
         error at N=8192 — BENCH_NOTES round 3)."""
+        return self.engage_wide()
+
+    def engage_wide(self, drop: bool = True):
+        """Slice H for the wide GEMM and cache the f32 shadow in ONE
+        donating XLA program, then RELEASE the device f64 buffer (when we
+        own it, can re-upload from the host source, and the caller's solve
+        never multiplies by f64 H again — ``drop=True`` means RR/QR run on
+        the slices and the filter on the refine ladder / f32 shadow).
+        Keeping the 8-byte H costs 2·N² bytes of dead HBM — the difference
+        between OOM and a clean run at N=16384 on a 16 GB chip
+        (BENCH_NOTES round 3).  Pass ``drop=False`` when the solve's
+        filter still needs f64 H (refine ladder off)."""
         if self._H_wide is None:
-            from ..ops.wide import presplit
-            self._H_wide = presplit(self.H)
+            from ..ops.wide import presplit_and_shadow
+            from ..types import is_complex_dtype
+            if is_complex_dtype(self._dtype) or \
+                    np.dtype(self._dtype).itemsize != 8:
+                raise TypeError(
+                    f"wide mode is for real f64 operators, got {self._dtype}")
+            can_drop = drop and self._owns_dev and self._H_src is not None
+            slices, sa, low, s, L = presplit_and_shadow(
+                self.H, donate=can_drop)
+            self._H_wide = (slices, sa, s, L)
+            if self._H_low is None:
+                self._H_low = low
+            if can_drop:
+                self._H_dev = None    # buffer was donated; drop the ref
         return self._H_wide
 
     def free_low(self):

@@ -363,6 +363,11 @@ def solve(op: DenseOperator, nev: int, nex: int,
             small_dense = "host"     # the wide RR path pairs with host eigh
         log.info(f"wide-f64 GEMM engaged for RR/QR (N={N}); disable with "
                  f"wide_f64='off'", "linalg")
+        # Slice NOW, while HBM holds nothing but H: one donating program
+        # builds the bf16 slices + the f32 shadow, and — when the refine
+        # ladder keeps the filter off f64 H for the whole solve — frees
+        # the 8-byte buffer (operator.engage_wide)
+        op.engage_wide(drop=rcfg.refine_filter and rcfg.mixed_precision)
 
     def toc(phase, t0, *arrays):
         if timing:
@@ -566,7 +571,8 @@ def solve(op: DenseOperator, nev: int, nex: int,
                     and not is_complex_dtype(op.dtype)
                     and min_resid > rcfg.bf16_filter_threshold * spec_scale)
         use_refine = refine_capable and R_prev is not None
-        H_f = op.H
+        # select H_f lazily: touching op.H when this iteration's filter
+        # doesn't need f64 would re-upload the buffer engage_wide dropped
         f_precision = precision
         if use_refine:
             # deviation-form ladder: fast-dtype recurrence, f64-residual
@@ -579,9 +585,12 @@ def solve(op: DenseOperator, nev: int, nex: int,
             f_precision = "default"
         elif use_low:
             if is_sp:
+                H_f = op.H
                 f_precision = "high"
             else:
                 H_f = op.H_low
+        else:
+            H_f = op.H
         ring_mode = ring_mode_cfg
         if use_refine:
             V = _filter_refine_windowed(
@@ -647,11 +656,14 @@ def solve(op: DenseOperator, nev: int, nex: int,
         t0 = toc("Qr", t0, V)
 
         # -- RR + residuals (fused) --
+        # wide mode: RR runs entirely on the slices; passing op.H would
+        # re-upload the f64 buffer engage_wide just freed
         H_wide_arg = op.H_wide if use_wide else None
+        H_rr = None if use_wide else op.H
         if use_window:
             Vw = _slice_cols(V, jnp.int32(win_start), w_pad_rr)
             rr_out = rrops.rayleigh_ritz_residuals(
-                op.H, Vw, jnp.int32(locked - win_start), precision=precision,
+                H_rr, Vw, jnp.int32(locked - win_start), precision=precision,
                 small_dense=small_dense, want_vectors=refine_capable,
                 polish=rcfg.polish_passes(), H_wide=H_wide_arg)
             if refine_capable:
@@ -667,7 +679,7 @@ def solve(op: DenseOperator, nev: int, nex: int,
             resid[act] = np.asarray(resid_dev, np.float64)[lw:]
         else:
             rr_out = rrops.rayleigh_ritz_residuals(
-                op.H, V, jnp.int32(locked), precision=precision,
+                H_rr, V, jnp.int32(locked), precision=precision,
                 small_dense=small_dense, want_vectors=refine_capable,
                 polish=rcfg.polish_passes(), H_wide=H_wide_arg)
             if refine_capable:

@@ -187,6 +187,20 @@ def warmup(H, nev: int, nex: Optional[int] = None, *, config=None,
     # small_dense resolution mirroring solver.solve's auto policy
     small_dense, qr_backend = _solver.resolve_small_dense(
         rcfg.small_dense_backend, is_sp)
+    # ... including the wide-f64 override (solver.solve)
+    from .types import is_complex_dtype as _is_cplx
+    use_wide = (rcfg.wide_f64 == "on"
+                or (rcfg.wide_f64 == "auto" and not is_sp
+                    and not _is_cplx(op.dtype)
+                    and jax.default_backend() != "cpu"
+                    and rcfg.wide_f64_min_n <= N <= rcfg.wide_f64_max_n))
+    if use_wide:
+        qr_backend = "wide"
+        if small_dense == "device":
+            small_dense = "host"
+        # mirror solver.solve: slice up front while HBM is empty and drop
+        # the device f64 buffer when the refine ladder owns the filter
+        op.engage_wide(drop=rcfg.refine_filter and rcfg.mixed_precision)
 
     # cheap well-conditioned dummies; identity columns make every CholQR
     # Gram the identity (no rescue-path detours), and degree-2 filters
@@ -263,18 +277,20 @@ def warmup(H, nev: int, nex: Optional[int] = None, *, config=None,
     def rr_job(w_pad):
         locked = nevex - w_pad
         w_pad2, start = _solver._window_pad(nevex, locked, B)
+        hw = op.H_wide if use_wide else None
+        H_rr = None if use_wide else op.H
         if rcfg.shrink_subspace and start > 0:
             from .ops.blocks import slice_cols
             Vw = slice_cols(V, jnp.int32(start), w_pad2)
             out = rrops.rayleigh_ritz_residuals(
-                op.H, Vw, jnp.int32(locked - start), precision=precision,
+                H_rr, Vw, jnp.int32(locked - start), precision=precision,
                 small_dense=small_dense, want_vectors=refine_capable,
-                polish=polish)
+                polish=polish, H_wide=hw)
         else:
             out = rrops.rayleigh_ritz_residuals(
-                op.H, V, jnp.int32(locked), precision=precision,
+                H_rr, V, jnp.int32(locked), precision=precision,
                 small_dense=small_dense, want_vectors=refine_capable,
-                polish=polish)
+                polish=polish, H_wide=hw)
         out[0].block_until_ready()
 
     def lanczos_job():
@@ -284,7 +300,8 @@ def warmup(H, nev: int, nex: Optional[int] = None, *, config=None,
         m -= m % 2
         probes = op.place_block(
             jnp.eye(N, min(rcfg.num_lanczos, nevex), dtype=op.dtype))
-        a, b, basis = lz.lanczos_scan(op.H, probes, m=m, want_basis=True,
+        H_lz = op.H_low if use_wide else op.H   # mirror solver.solve
+        a, b, basis = lz.lanczos_scan(H_lz, probes, m=m, want_basis=True,
                                       precision=precision)
         b.block_until_ready()
         ritzV = np.eye(m, dtype=np.float64)
@@ -301,7 +318,8 @@ def warmup(H, nev: int, nex: Optional[int] = None, *, config=None,
         from .ops.blocks import permute_cols, set_head_cols
         if rcfg.sym_check:
             from .ops.checks import check_hermitian
-            check_hermitian(op.H, precision=precision)
+            check_hermitian(op.H_low if use_wide else op.H,
+                            precision=precision)
         out = permute_cols(V, jnp.arange(nevex))
         out.block_until_ready()
         m = max(2, min(nevex, N // 2, rcfg.lanczos_iter))
@@ -316,8 +334,15 @@ def warmup(H, nev: int, nex: Optional[int] = None, *, config=None,
         eigsh_fused(op, nev, nex, tol=float(np.finfo(np.float32).max),
                     config=cfg, v0=v0)
 
+    # wide mode with the refine ladder: the filter NEVER touches f64 H
+    # (iteration 1 runs the low rung, iterations 2+ the refine recurrence)
+    # — compiling the f64 filter program would re-upload the buffer
+    # engage_wide just dropped
+    skip_f64_filter = (use_wide and rcfg.mixed_precision
+                       and rcfg.refine_filter)
     for w in widths:
-        jobs.append((f"filter:{w}", lambda w=w: filter_job(w, False)))
+        if not skip_f64_filter:
+            jobs.append((f"filter:{w}", lambda w=w: filter_job(w, False)))
         if low_rung:
             jobs.append((f"filter-low:{w}",
                          lambda w=w: filter_job(w, True)))

@@ -143,6 +143,31 @@ def test_solver_wide_f64_path():
     assert np.linalg.norm(R, axis=0).max() < 1e-8
 
 
+def test_engage_wide_drops_f64_and_rematerializes():
+    """operator.engage_wide releases the device f64 buffer after the one
+    donating slice+shadow program (the N=16384 HBM fix, BENCH_NOTES round
+    3); op.H re-uploads lazily from the host source on later access."""
+    import numpy as np
+    import chase_tpu
+    from chase_tpu.parallel.operator import DenseOperator
+    from chase_tpu.models import clement, clement_eigenvalues
+
+    N = 192
+    H = np.asarray(clement(N), np.float64)
+    op = DenseOperator(H)
+    op.engage_wide()
+    assert op._H_dev is None              # dropped after donation
+    assert op._H_wide is not None and op._H_low is not None
+    # a wide refine-ladder solve runs entirely without the f64 buffer
+    cfg = chase_tpu.ChaseConfig(wide_f64="on", mixed_precision=True)
+    res = chase_tpu.eigsh(op, 10, 10, tol=1e-10, config=cfg)
+    assert res.converged and op._H_dev is None
+    np.testing.assert_allclose(res.ritzv, clement_eigenvalues(N)[:10],
+                               atol=1e-8)
+    # lazy re-materialization for any later f64 access
+    np.testing.assert_array_equal(np.asarray(op.H), H)
+
+
 def test_wide_matmul_accuracy():
     """ops/wide: f64-level accuracy from exact bf16 slice products."""
     import numpy as np
