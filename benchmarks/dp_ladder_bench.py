@@ -1,0 +1,81 @@
+"""On-chip DP refinement-ladder benchmark (tol=1e-10 at scale).
+
+Runs the host-driver solve on a perturbed Clement matrix in f64 at the
+reference's default DP tolerance (configuration.hpp:53-62) and reports
+iterations, the TRUE residual checked on host against the f64 matrix,
+the low-precision FLOP fraction, and wall times.  On emulated-f64
+backends the solver auto-engages the wide (Ozaki-slice) GEMM for RR/QR
+and the deviation-form refinement ladder keeps the filter on the f32
+MXU path; `operator.engage_wide` frees the device f64 buffer so the
+resident operator state is the slice stack + f32 shadow only (the
+N=16384 HBM budget on a 16 GB chip).
+
+    python benchmarks/dp_ladder_bench.py --n 16384 --nev 512 --nex 256
+"""
+
+import argparse
+import time
+
+import numpy as np
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--n", type=int, default=8192)
+    p.add_argument("--nev", type=int, default=512)
+    p.add_argument("--nex", type=int, default=256)
+    p.add_argument("--tol", type=float, default=1e-10)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--repeat", action="store_true",
+                   help="run a second (warm) solve and report its wall")
+    args = p.parse_args()
+
+    import chase_tpu
+    from chase_tpu.models import clement
+    from chase_tpu.parallel.operator import DenseOperator
+
+    N = args.n
+    t0 = time.perf_counter()
+    rng = np.random.default_rng(args.seed)
+    H = clement(N)
+    E = rng.standard_normal((N, N))
+    H = (H + 1e-6 * (E + E.T) / 2).astype(np.float64)
+    del E
+    print(f"[gen] perturbed Clement N={N}: {time.perf_counter()-t0:.1f}s",
+          flush=True)
+
+    cfg = chase_tpu.ChaseConfig(mixed_precision=True)
+    op = DenseOperator(H)
+
+    t0 = time.perf_counter()
+    res = chase_tpu.eigsh(op, args.nev, args.nex, tol=args.tol, config=cfg,
+                          collect_perf=True)
+    t_first = time.perf_counter() - t0
+    rcfg = cfg.resolve(np.float64)
+    low_frac = res.perf.low_flop_fraction(
+        N, rcfg.lanczos_iter, cfg.num_lanczos, np.float64)
+    print(f"[solve] wall={t_first:.1f}s converged={res.converged} "
+          f"iters={res.iterations} max_reported={res.resid.max():.3e} "
+          f"low_flop_fraction={low_frac:.3f}", flush=True)
+    print(res.perf.report(N, rcfg.lanczos_iter, cfg.num_lanczos,
+                          np.float64), flush=True)
+
+    # TRUE residual against the host f64 matrix
+    V = np.asarray(res.V)[:, :args.nev]
+    lam = np.asarray(res.ritzv)[:args.nev]
+    R = H @ V - V * lam
+    true_resid = np.linalg.norm(R, axis=0).max()
+    print(f"[check] true residual max={true_resid:.3e} "
+          f"orth={np.abs(V.T @ V - np.eye(args.nev)).max():.3e}", flush=True)
+
+    if args.repeat:
+        op2 = DenseOperator(H)
+        t0 = time.perf_counter()
+        res2 = chase_tpu.eigsh(op2, args.nev, args.nex, tol=args.tol,
+                               config=cfg)
+        print(f"[warm] wall={time.perf_counter()-t0:.1f}s "
+              f"iters={res2.iterations}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

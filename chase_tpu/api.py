@@ -219,6 +219,64 @@ def _eigsh_real_pair(H, nev, nex, *, cfg, v0=None, ritzv0=None, grid=None,
     return res
 
 
+def _eigsh_pseudo_real_pair(H, nev, nex, *, cfg, v0=None, ritzv0=None,
+                            grid=None, collect_perf=False, key=None,
+                            fused: bool = False) -> SolveResult:
+    """Complex pseudo-Hermitian (BSE) solve via the permuted symplectic
+    embedding (ops/realpair.embed_real_pseudo): J' is a REAL BSE-form
+    matrix of size 2N with every eigenvalue of H doubled, so the whole
+    real pseudo stack (H² filter, S-metric Lanczos, pencil RR,
+    K-conjugation, ring schedules) runs unchanged on real MXU arithmetic
+    — the TPU-native counterpart of the reference's {c,z} solve_pseudo
+    (interface/chase_c_interface.h:159-175)."""
+    from .ops.realpair import (embed_real_pseudo, embed_block_pseudo,
+                               extract_pairs)
+    from .solver_pseudo import solve_pseudo
+    from .logger import get_logger
+    H = np.asarray(H)
+    N = H.shape[0]
+    get_logger().info(
+        f"complex {H.dtype} BSE problem → real-pair embedding (2N={2*N}); "
+        f"set complex_backend='native' to force complex dtypes", "interface")
+    Jp, P, d = embed_real_pseudo(H)
+    invP = np.argsort(P)
+    v0r = None
+    if v0 is not None:
+        v0r = embed_block_pseudo(np.asarray(v0), P, d)   # (2N, 2(nev+nex))
+        # the embedded subspace holds 2·(2nev+2nex) vectors; fill the
+        # mirror half by K-conjugation (the plain half-swap IS the complex
+        # K in these coordinates — embed_real_pseudo's D similarity)
+        v0r = np.concatenate(
+            [v0r, np.concatenate([v0r[N:], v0r[:N]], axis=0)], axis=1)
+    op = DenseOperator(Jp, grid=grid, pseudo_hermitian=True)
+    if fused:
+        res = eigsh_pseudo_fused(op, 2 * nev, 2 * nex, config=cfg, v0=v0r,
+                                 collect_perf=collect_perf, key=key)
+    else:
+        r0 = None if ritzv0 is None else np.repeat(np.asarray(ritzv0), 2)
+        perf = PerfData() if collect_perf else None
+        if perf is not None:
+            perf.matrix_type = 1
+        res = solve_pseudo(op, 2 * nev, 2 * nex, config=cfg, V0=v0r,
+                           ritzv0=r0, perf=perf, key=key)
+    # undo the sign similarity + signature permutation, then collapse
+    # the doubled pairs
+    X2 = (d[:, None] * np.asarray(res.V))[invP]
+    vals, Vc, rres = extract_pairs(res.ritzv, X2[:, :2 * nev], res.resid,
+                                   nev)
+    # tail columns: positive search directions as complex warm-start seeds
+    tail = (X2[:N, 2 * nev:2 * (nev + nex):2]
+            + 1j * X2[N:, 2 * nev:2 * (nev + nex):2]).astype(Vc.dtype)
+    nrm = np.linalg.norm(tail, axis=0)
+    tail = tail / np.where(nrm > 0, nrm, 1.0)[None, :]
+    res.ritzv = vals
+    res.V = np.concatenate([Vc, tail], axis=1)   # (N, nev+nex) complex
+    res.resid = rres
+    if res.ritzv_full is not None:
+        res.ritzv_full = res.ritzv_full[::2].copy()
+    return res
+
+
 def eigsh_fused(H, nev: int, nex: Optional[int] = None, *,
                 tol: Optional[float] = None, v0=None,
                 largest: bool = False,
@@ -342,10 +400,17 @@ def eigsh_pseudo_fused(H, nev: int, nex: Optional[int] = None, *,
     if nex is None:
         nex = max(nev // 4, 8)
     cfg = config or ChaseConfig()
+    if tol is not None:
+        import dataclasses as _dc
+        cfg = _dc.replace(cfg, tol=tol)
+    if not isinstance(H, DenseOperator) and _use_real_pair(H, cfg):
+        return _eigsh_pseudo_real_pair(H, nev, nex, cfg=cfg, v0=v0,
+                                       grid=grid, collect_perf=collect_perf,
+                                       key=key, fused=True)
     op = H if isinstance(H, DenseOperator) else DenseOperator(
         H, grid=grid, pseudo_hermitian=True)
     rcfg = cfg.resolve(op.dtype)
-    tol = tol if tol is not None else rcfg.tol
+    tol = rcfg.tol
     if rcfg.bf16_filter:
         from .logger import get_logger
         get_logger().warn("bf16_filter is not supported for pseudo-Hermitian "
@@ -423,6 +488,10 @@ def eigsh_pseudo(H, nev: int, nex: Optional[int] = None, *,
         if approx:
             updates["approx"] = True
         cfg = dataclasses.replace(cfg, **updates)
+    if not isinstance(H, DenseOperator) and _use_real_pair(H, cfg):
+        return _eigsh_pseudo_real_pair(H, nev, nex, cfg=cfg, v0=v0,
+                                       ritzv0=ritzv0, grid=grid,
+                                       collect_perf=collect_perf, key=key)
     op = H if isinstance(H, DenseOperator) else DenseOperator(
         H, grid=grid, pseudo_hermitian=True)
     perf = PerfData() if collect_perf else None

@@ -34,7 +34,8 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["embed_real", "embed_block", "extract_pairs"]
+__all__ = ["embed_real", "embed_block", "extract_pairs",
+           "pseudo_perm", "embed_real_pseudo", "embed_block_pseudo"]
 
 
 def embed_real(H):
@@ -70,6 +71,72 @@ def embed_block(V):
     X[:N, 1::2] = -b
     X[N:, 1::2] = a
     return X
+
+
+def pseudo_perm(N: int) -> np.ndarray:
+    """Row permutation carrying the [re; im] embedding of a pseudo-Hermitian
+    problem back to the canonical signature.
+
+    A complex BSE matrix is pseudo-Hermitian w.r.t. S = diag(I_{N/2},
+    −I_{N/2}).  Its symplectic embedding J = [[Hr, −Hi], [Hi, Hr]] is real
+    pseudo-symmetric w.r.t. diag(S, S) — the + and − rows interleave in
+    blocks of N/2.  Grouping all + rows first (re⁺, im⁺) then all − rows
+    (re⁻, im⁻) restores the canonical diag(I_N, −I_N) the real pseudo
+    solver (ops/pseudo.apply_s, solver_pseudo) is written against:
+    J' = J[P][:, P] is then just another REAL BSE-form matrix of size 2N
+    and the whole real pseudo stack (H² filter, S-metric Lanczos, pencil
+    RR, K-conjugation) applies verbatim — the TPU-native counterpart of
+    the reference's {c,z} solve_pseudo backends
+    (tests/chase_serial_solve.cpp + interface/chase_c_interface.h:159-175).
+    """
+    n = N // 2
+    return np.concatenate([
+        np.arange(0, n),              # re of the + half
+        np.arange(N, N + n),          # im of the + half
+        np.arange(n, N),              # re of the − half
+        np.arange(N + n, 2 * N),      # im of the − half
+    ])
+
+
+def embed_real_pseudo(H):
+    """Complex (N, N) pseudo-Hermitian → real BSE-form (2N, 2N) J''.
+
+    Two coordinate transforms on the symplectic embedding J:
+
+    1. the signature permutation P of :func:`pseudo_perm`, and
+    2. a diagonal ±1 similarity D negating the im sub-block of the
+       NEGATIVE half.  The real solver mirrors locked pairs by the plain
+       half-swap K-conjugation (ops/pseudo.k_conjugate_cols,
+       chase_cpu.hpp:557-588); on the bare permuted embedding that swap
+       is NOT the complex K (K v = conj([v₂; v₁]) — the conj negates im
+       parts) and the mirrored "locked −λ" columns are not eigenvectors,
+       which stalls convergence at one vector per doubled pair (measured:
+       locked=2/16 at 25 iterations).  Conjugating by D makes the plain
+       swap exactly the complex K: ``d⁺ ⊙ d⁻ = (1_{N/2}, −1_{N/2})``
+       within each half.  With it the embedded solve converges like the
+       native one (3 iterations on the 128-pair test problem).
+
+    Returns (J'', perm, d) with ``J'' = D·J[perm][:, perm]·D``;
+    spec(J'') = spec(H) with every (real) eigenvalue doubled, and eigvec
+    z of J'' ↔ complex eigvec v of H via
+    ``y = (d·z)[argsort(perm)]; v = y[:N] + i·y[N:]`` (same eigenvalue,
+    identical residual norm)."""
+    H = np.asarray(H)
+    N = H.shape[0]
+    if N % 2:
+        raise ValueError("pseudo-Hermitian problems need even N")
+    J = embed_real(H)                 # [[Hr, -Hi], [Hi, Hr]]
+    P = pseudo_perm(N)
+    d = np.ones(2 * N, J.dtype)
+    d[2 * N - N // 2:] = -1.0         # im sub-block of the − half
+    Jpp = d[:, None] * J[np.ix_(P, P)] * d[None, :]
+    return np.ascontiguousarray(Jpp), P, d
+
+
+def embed_block_pseudo(V, perm, d):
+    """Complex (N, k) multivector → real (2N, 2k) warm-start basis in the
+    transformed coordinates of :func:`embed_real_pseudo`."""
+    return np.ascontiguousarray(d[:, None] * embed_block(V)[perm])
 
 
 def extract_pairs(ritzv2, X2, resid2, nev, *, cluster_tol=None):

@@ -418,8 +418,19 @@ def solve(op: DenseOperator, nev: int, nex: int,
         # (bounds need ~1e-7 relative fidelity; the emulated-f64 matvec
         # does not compile at N>8192 on some backends)
         H_lz = op.H_low if use_wide else op.H
+        if V0 is not None:
+            # user-provided basis: probe with FRESH random vectors — a
+            # Krylov space seeded with (near-)converged eigenvectors
+            # breaks down immediately and the DoS bounds collapse (same
+            # pathology as the approx branch below; measured on the
+            # pseudo driver: 10/12 columns stalled for 25 iterations)
+            probes = op.place_block(
+                jax.random.normal(jax.random.fold_in(key, 1), (N, numvec),
+                                  dtype=op.dtype))
+        else:
+            probes = V[:, :numvec]
         alphas, betas, basis = lz.lanczos_scan(
-            H_lz, V[:, :numvec].astype(H_lz.dtype), m=m,
+            H_lz, probes.astype(H_lz.dtype), m=m,
             precision=precision, want_basis=True)
         a_np, b_np = np.asarray(alphas, np.float64), np.asarray(betas, np.float64)
         t0 = toc("Lanczos", t0, alphas)
@@ -435,6 +446,9 @@ def solve(op: DenseOperator, nev: int, nex: int,
                 break
         idx = max(idx, 0)
         idx = min(idx, nevex - 1)
+        if V0 is not None:
+            # keep the caller's warm subspace intact — no DoS injection
+            idx = 0
         if idx > 0:
             mask = jnp.asarray(np.arange(m) < idx)
             Vd = lz.lanczos_dos_vectors(basis, jnp.asarray(ritzV_last),

@@ -231,12 +231,16 @@ def solve_pseudo(op: DenseOperator, nev: int, nex: int,
     m -= m % 2
     m = max(m, 2)
     numvec = min(rcfg.num_lanczos, K2)
-    # Warm starts probe with FRESH random vectors: a Krylov space seeded
-    # with the previous problem's converged eigenvectors underestimates the
-    # drifted spectral top and the H² filter then amplifies the unwanted
-    # end (same rationale as solver.py's approx branch; deviation from the
-    # reference, which reuses the approximate V for lanczos_for_H2).
-    if approx:
+    # ANY user-provided basis probes with FRESH random vectors: a Krylov
+    # space seeded with converged (or near-converged) eigenvectors breaks
+    # down immediately (beta~0), the DoS quantile collapses toward
+    # lambda_1, and the H² filter window then SUPPRESSES most of the
+    # wanted band (measured: warm solve with 6 exact eigvecs in v0
+    # stalled 10/12 columns for 25 iterations with lower=1.078 vs the
+    # true 4.107; fresh probes restore 1-iteration re-convergence).
+    # Same rationale as solver.py's approx branch; deviation from the
+    # reference, which reuses the approximate V for lanczos_for_H2.
+    if V0 is not None:
         probes = op.place_block(scale_lower_rows(
             jax.random.normal(jax.random.fold_in(key, 1), (N, numvec),
                               dtype=op.dtype), 0.001))
@@ -300,7 +304,7 @@ def solve_pseudo(op: DenseOperator, nev: int, nex: int,
         idx = i + 1
     idx = max(idx, 0)
     idx = min(idx, nevex - 1)
-    if approx:
+    if V0 is not None:
         # keep the caller's warm subspace intact — no DoS vector injection
         # (fused drivers already skip it for warm starts)
         idx = 0

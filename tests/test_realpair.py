@@ -130,3 +130,99 @@ def test_auto_policy_on_cpu_stays_native(monkeypatch):
     assert _use_real_pair(H, ChaseConfig())
     assert not _use_real_pair(H.real, ChaseConfig())
     assert not _use_real_pair(H, ChaseConfig(complex_backend="native"))
+
+
+# ---------------------------------------------------------------------------
+# pseudo-Hermitian (BSE) real-pair mode
+# ---------------------------------------------------------------------------
+
+def _bse_exact_positive(H, k):
+    ev = np.sort(np.linalg.eigvals(H.astype(np.complex128)).real)
+    return ev[ev > 0][:k]
+
+
+def test_embed_real_pseudo_structure():
+    """J'' is pseudo-symmetric w.r.t. the canonical signature, doubles the
+    spectrum, and the plain half-swap IS the complex K-conjugation (the D
+    similarity of embed_real_pseudo — without it the real solver's locked
+    mirrors are not eigenvectors and convergence stalls)."""
+    from chase_tpu.models import random_pseudo_hermitian
+    from chase_tpu.ops.realpair import embed_real_pseudo
+    N = 64
+    H = random_pseudo_hermitian(N, dtype=np.complex128, seed=11)
+    J, P, d = embed_real_pseudo(H)
+    S2 = np.ones(2 * N)
+    S2[N:] = -1
+    M = S2[:, None] * J
+    np.testing.assert_allclose(M, M.T, atol=1e-14)
+    evH = np.sort(np.linalg.eigvals(H).real)
+    evJ = np.sort(np.linalg.eig(J)[0].real)
+    np.testing.assert_allclose(evJ, np.repeat(evH, 2), atol=1e-10)
+    # K check on one positive eigenpair
+    w, Z = np.linalg.eig(J)
+    i = int(np.argmin(np.abs(w.real - evH[evH > 0][0])))
+    z, lam = Z[:, i].real, w[i].real
+    kz = np.concatenate([z[N:], z[:N]])
+    assert np.linalg.norm(J @ kz + lam * kz) < 1e-10 * max(1.0, abs(lam))
+
+
+@pytest.mark.parametrize("dtype,tol,atol", [
+    (np.complex128, 1e-10, 1e-8), (np.complex64, 1e-5, 1e-3)],
+    ids=["c128", "c64"])
+def test_pseudo_real_pair_e2e(dtype, tol, atol):
+    """{c,z} BSE solves through the embedding match the exact spectrum and
+    return true complex eigenvectors (reference solve_pseudo dtypes,
+    interface/chase_c_interface.h:159-175)."""
+    from chase_tpu.models import random_pseudo_hermitian
+    N, nev, nex = 128, 8, 8
+    H = random_pseudo_hermitian(N, dtype=dtype, seed=3)
+    cfg = ChaseConfig(complex_backend="real_pair")
+    res = chase_tpu.eigsh_pseudo(H, nev, nex, tol=tol, config=cfg)
+    assert res.converged
+    pos = _bse_exact_positive(H, nev)
+    np.testing.assert_allclose(res.ritzv, pos, atol=atol)
+    V = np.asarray(res.V)[:, :nev]
+    assert V.dtype == np.dtype(dtype)
+    r = np.linalg.norm(H @ V - V * res.ritzv, axis=0)
+    assert r.max() < 100 * tol
+
+
+def test_pseudo_real_pair_fused_and_warm():
+    """fused one-dispatch BSE solve through the embedding + a v0 warm
+    restart that reconverges in one iteration."""
+    from chase_tpu.models import random_pseudo_hermitian
+    H = random_pseudo_hermitian(96, dtype=np.complex64, seed=7)
+    cfg = ChaseConfig(complex_backend="real_pair")
+    r0 = chase_tpu.eigsh_pseudo_fused(H, 6, 6, tol=1e-4, config=cfg)
+    assert r0.converged
+    pos = _bse_exact_positive(H, 6)
+    np.testing.assert_allclose(r0.ritzv, pos, atol=1e-3)
+    r1 = chase_tpu.eigsh_pseudo(H, 6, 6, tol=1e-4, config=cfg, v0=r0.V)
+    assert r1.converged and r1.iterations <= 2
+    np.testing.assert_allclose(r1.ritzv, pos, atol=1e-3)
+
+
+def test_warm_v0_uses_fresh_lanczos_probes():
+    """Seeding v0 with converged eigenvectors must NOT collapse the
+    Lanczos/DoS filter bounds (regression: the probe Krylov space broke
+    down on eigenvector seeds and 10/12 columns stalled for 25
+    iterations; both drivers now probe with fresh random vectors for any
+    user-provided basis)."""
+    from chase_tpu.models import random_pseudo_hermitian, clement
+    # pseudo, native complex path
+    H = random_pseudo_hermitian(96, dtype=np.complex64, seed=7)
+    cfg = ChaseConfig(complex_backend="native")
+    r0 = chase_tpu.eigsh_pseudo(H, 6, 6, tol=1e-4, config=cfg)
+    rng = np.random.default_rng(0)
+    v = rng.standard_normal((96, 24)) + 1j * rng.standard_normal((96, 24))
+    v[:, :6] = np.asarray(r0.V)[:, :6]     # eigvecs + random rest
+    r1 = chase_tpu.eigsh_pseudo(H, 6, 6, tol=1e-4, config=cfg,
+                                v0=v.astype(np.complex64))
+    pos = _bse_exact_positive(H, 6)
+    assert r1.converged and np.abs(r1.ritzv - pos).max() < 1e-3
+    assert r1.resid.max() <= 1e-4
+    # hermitian driver, plain v0 (no approx)
+    Hc = clement(192).astype(np.float64)
+    h0 = chase_tpu.eigsh(Hc, 12, 8, tol=1e-10)
+    h1 = chase_tpu.eigsh(Hc, 12, 8, tol=1e-10, v0=np.asarray(h0.V))
+    assert h1.converged and h1.iterations <= 2
