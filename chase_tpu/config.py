@@ -140,6 +140,15 @@ class ChaseConfig:
     # request (warns if no schedule fits); False opts out
     # (CHASE_RING_FILTER=0/1 overrides).
     ring_filter: Optional[bool] = None
+    # Ring HEMM implementation: "xla" (default) = shard_map + ppermute
+    # rings (GSPMD-scheduled overlap); "pallas" = the hand-scheduled RDMA
+    # kernel (ops/pallas_ring) for 1D same-dtype rings — explicit
+    # double-buffered V-chunk RDMA + H-block DMA behind the MXU dot, the
+    # analogue of the reference's dual-stream overlap
+    # (nccl/hemm.hpp:95-266).  Falls back to "xla" with a warning when the
+    # schedule/dtypes don't fit (2D meshes, mixed-precision shadows,
+    # refine recurrence).  CHASE_RING_BACKEND overrides.
+    ring_backend: str = "xla"
     # f64 problems on accelerators without f64 matmul hardware: "auto"
     # (default) routes the accuracy-critical N-contraction f64 HEMMs (RR
     # projection, QR Gram) through the exact-bf16-slice GEMM (ops/wide,
@@ -196,6 +205,9 @@ class ChaseConfig:
         ring_filter = self.ring_filter
         if os.environ.get("CHASE_RING_FILTER"):
             ring_filter = bool(int(os.environ["CHASE_RING_FILTER"]))
+        ring_backend = self.ring_backend
+        if os.environ.get("CHASE_RING_BACKEND"):
+            ring_backend = os.environ["CHASE_RING_BACKEND"]
         return ResolvedConfig(
             base=self, tol=float(tol), deg=int(deg), max_deg=int(max_deg),
             lanczos_iter=int(lanczos_iter), cholqr=cholqr,
@@ -207,6 +219,7 @@ class ChaseConfig:
             qr_check_ortho=qr_check_ortho,
             eigh_polish=eigh_polish,
             ring_filter=ring_filter,
+            ring_backend=ring_backend,
             is_double=is_dp,
         )
 
@@ -228,6 +241,7 @@ class ResolvedConfig:
     qr_check_ortho: bool = False
     eigh_polish: Optional[int] = None    # None = precision default (DP 2 / SP 0)
     ring_filter: Optional[bool] = None   # None = auto (on for eligible grids)
+    ring_backend: str = "xla"            # "xla" | "pallas" ring HEMM impl
     is_double: bool = True               # problem base precision (resolve())
 
     def __getattr__(self, name):

@@ -28,7 +28,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 from jax.sharding import PartitionSpec as P
 
-__all__ = ["pallas_ring_hemm"]
+__all__ = ["pallas_ring_hemm", "make_hemm_local"]
 
 
 def _ring_kernel(p, axis, h_ref, v_ref, o_ref, h_buf, v_buf, h_sem,
@@ -100,6 +100,43 @@ def _ring_kernel(p, axis, h_ref, v_ref, o_ref, h_buf, v_buf, h_sem,
     jax.lax.fori_loop(jnp.int32(0), jnp.int32(p), step_fn, jnp.int32(0))
 
 
+def make_hemm_local(p, axis, m, b, k, h_dtype, v_dtype, *,
+                    interpret: bool = False, collective_id: int = 0):
+    """Per-shard callable ``local(h, v) -> (m, k)`` running the pipelined
+    ring HEMM as ONE pallas_call — for embedding the kernel inside a
+    larger shard_map body (e.g. the Chebyshev recurrence of
+    parallel.ring.chebyshev_filter_ring_pallas).  ``h`` is the local
+    (m, N) stripe, ``v`` the local (b, k) chunk.
+
+    ``interpret=True`` routes through the TPU interpreter
+    (pltpu.InterpretParams) — the plain HLO interpreter cannot model the
+    barrier/DMA semaphores this kernel uses."""
+    if interpret is True:
+        interpret = pltpu.InterpretParams()
+    kernel = functools.partial(_ring_kernel, p, axis)
+
+    def local(h, v):
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((m, k), v_dtype),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                      pl.BlockSpec(memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((2, m, b), h_dtype),
+                pltpu.VMEM((2, b, k), v_dtype),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+            interpret=interpret,
+            compiler_params=pltpu.CompilerParams(
+                collective_id=collective_id, has_side_effects=True),
+        )(h, v)
+
+    return local
+
+
 def pallas_ring_hemm(grid, H, V, *, axis: str = "r", interpret: bool = False,
                      collective_id: int = 0):
     """W = H @ V on a 1D ring: H in P(axis, None), V in P(axis, None).
@@ -123,26 +160,9 @@ def pallas_ring_hemm(grid, H, V, *, axis: str = "r", interpret: bool = False,
     m = N // p
     b = N // p
 
-    kernel = functools.partial(_ring_kernel, p, axis)
-
-    def local(h, v):
-        return pl.pallas_call(
-            kernel,
-            out_shape=jax.ShapeDtypeStruct((m, k), v.dtype),
-            in_specs=[pl.BlockSpec(memory_space=pl.ANY),
-                      pl.BlockSpec(memory_space=pltpu.VMEM)],
-            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-            scratch_shapes=[
-                pltpu.VMEM((2, m, b), h.dtype),
-                pltpu.VMEM((2, b, k), v.dtype),
-                pltpu.SemaphoreType.DMA((2,)),
-                pltpu.SemaphoreType.DMA((2,)),
-                pltpu.SemaphoreType.DMA((2,)),
-            ],
-            interpret=interpret,
-            compiler_params=pltpu.CompilerParams(
-                collective_id=collective_id, has_side_effects=True),
-        )(h, v)
+    local = make_hemm_local(p, axis, m, b, k, H.dtype, V.dtype,
+                            interpret=interpret,
+                            collective_id=collective_id)
 
     spec = P(axis, None)
     fn = shard_map(local, mesh=mesh, in_specs=(spec, spec), out_specs=spec,

@@ -621,12 +621,23 @@ def solve(op: DenseOperator, nev: int, nex: int,
             # retirement inside the window.  Mixed-precision H shadows are
             # supported (the carry follows filter_carry_dtype).
             from .parallel.ring import (chebyshev_filter_ring,
-                                        chebyshev_filter_ring2d)
+                                        chebyshev_filter_ring2d,
+                                        chebyshev_filter_ring_pallas)
             w_pad_f, start_f = _window_pad(nevex, locked, B)
             deg_win = np.zeros(w_pad_f, np.int32)
             deg_win[locked - start_f:] = degrees[act]
             ring_fn = (chebyshev_filter_ring if ring_mode == "1d"
                        else chebyshev_filter_ring2d)
+            if rcfg.ring_backend == "pallas":
+                # hand-scheduled RDMA kernel: 1D same-dtype rings only
+                if ring_mode == "1d" and H_f.dtype == V.dtype:
+                    ring_fn = chebyshev_filter_ring_pallas
+                else:
+                    log.warn(
+                        f"ring_backend='pallas' needs a 1D ring and "
+                        f"matching dtypes (mode={ring_mode}, "
+                        f"H={H_f.dtype}, V={V.dtype}) — falling back to "
+                        f"the XLA ring", "linalg")
             Xw = _slice_cols(V, jnp.int32(start_f), w_pad_f)
             Yw = ring_fn(
                 op.grid, H_f, Xw, jnp.asarray(deg_win), lam_filter,
