@@ -212,6 +212,17 @@ int do_init_dist(const void* H, const void* V, const void* ritzv, int N,
         do_init(H, V, ritzv, *N, *nev, *nex, *ldh, DT, RDT, PSEUDO, DIST);  \
     }
 
+// serial init without user-provided V/ritzv: the library allocates the
+// search space internally; eigenpairs come back through the caller's
+// buffers in *chase_get_eigenpairs_ (chase_c_interface.h:25-32, 49-55)
+#define INIT_INT_FN(prefix, T, DT, RDT, PSEUDO)                             \
+    extern "C" void prefix(int* N, int* nev, int* nex, T* H, int* ldh,      \
+                           int* init) {                                     \
+        (void)init;                                                         \
+        do_init(H, nullptr, nullptr, *N, *nev, *nex, *ldh, DT, RDT,         \
+                PSEUDO, 0);                                                 \
+    }
+
 // distributed block-block init — reference signature with local (m, n)
 // dims, (dim0, dim1) grid, grid_major, MPI communicator (accepted and
 // ignored: the process grid is the in-process device mesh)
@@ -268,6 +279,9 @@ int do_init_dist(const void* H, const void* V, const void* ritzv, int N,
 INIT_FN(schase_init_, float, "float32", "float32", 0, 0)
 INIT_FN(cchase_init_, void, "complex64", "float32", 0, 0)
 INIT_FN(cchase_init_pseudo_, void, "complex64", "float32", 1, 0)
+INIT_INT_FN(schase_init_internal_, float, "float32", "float32", 0)
+INIT_INT_FN(cchase_init_internal_, void, "complex64", "float32", 0)
+INIT_INT_FN(cchase_init_pseudo_internal_, void, "complex64", "float32", 1)
 PINIT_FN(pschase_init_, float, "float32", "float32", 0)
 PINIT_FN(pcchase_init_, void, "complex64", "float32", 0)
 PINIT_FN(pcchase_init_pseudo_, void, "complex64", "float32", 1)
@@ -288,6 +302,9 @@ PINIT_BC_INT_FN(pcchase_init_pseudo_blockcyclic_internal_, void, "complex64",
 INIT_FN(dchase_init_, double, "float64", "float64", 0, 0)
 INIT_FN(zchase_init_, void, "complex128", "float64", 0, 0)
 INIT_FN(zchase_init_pseudo_, void, "complex128", "float64", 1, 0)
+INIT_INT_FN(dchase_init_internal_, double, "float64", "float64", 0)
+INIT_INT_FN(zchase_init_internal_, void, "complex128", "float64", 0)
+INIT_INT_FN(zchase_init_pseudo_internal_, void, "complex128", "float64", 1)
 PINIT_FN(pdchase_init_, double, "float64", "float64", 0)
 PINIT_FN(pzchase_init_, void, "complex128", "float64", 0)
 PINIT_FN(pzchase_init_pseudo_, void, "complex128", "float64", 1)

@@ -13,6 +13,7 @@
 #include <stdlib.h>
 
 void dchase_init_(int*, int*, int*, double*, int*, double*, double*, int*);
+void dchase_init_internal_(int*, int*, int*, double*, int*, int*);
 void dchase_(int*, double*, char*, char*, char*);
 void dchase_get_eigenpairs_(double*, int*, double*);
 void dchase_finalize_(int*);
@@ -57,6 +58,23 @@ int main(void) {
     }
     printf("||Hv - lambda v|| = %.3e  ||v|| = %.3f\n", sqrt(r2), sqrt(n2));
     if (sqrt(r2) > 1e-7) ok = 0;
+
+    /* second solve through the internal-init variant: the library
+     * allocates the search space; eigenpairs return via our buffers
+     * (reference chase_c_interface.h:25-26) */
+    dchase_init_internal_(&N, &nev, &nex, H, &ldh, &init);
+    dchase_(&deg, &tol, &mode, &opt, &qr);
+    for (int i = 0; i < nev; ++i) ritzv[i] = 0;
+    dchase_get_eigenpairs_(V, &ldh, ritzv);
+    dchase_finalize_(&flag);
+    for (int i = 0; i < nev; ++i) {
+        double want = -(double)(N - 1) + 2.0 * i;
+        if (fabs(ritzv[i] - want) > 1e-6) {
+            printf("internal-init lambda[%d] = %.12f != %.1f\n", i,
+                   ritzv[i], want);
+            ok = 0;
+        }
+    }
 
     printf(ok ? "C-interface demo: PASS\n" : "C-interface demo: FAIL\n");
     free(H); free(V); free(ritzv);

@@ -104,6 +104,51 @@ module chase_tpu_interface
             real(c_double) :: ritzv(*)
         end subroutine zchase_init_pseudo
 
+        ! -- serial init without user V/ritzv: the library allocates the
+        !    search space internally (chase_c_interface.h:25-32, 49-55) --
+
+        subroutine schase_init_internal(n, nev, nex, h, ldh, init) &
+            bind(c, name='schase_init_internal_')
+            use iso_c_binding
+            integer(c_int) :: n, nev, nex, ldh, init
+            real(c_float) :: h(ldh, *)
+        end subroutine schase_init_internal
+
+        subroutine dchase_init_internal(n, nev, nex, h, ldh, init) &
+            bind(c, name='dchase_init_internal_')
+            use iso_c_binding
+            integer(c_int) :: n, nev, nex, ldh, init
+            real(c_double) :: h(ldh, *)
+        end subroutine dchase_init_internal
+
+        subroutine cchase_init_internal(n, nev, nex, h, ldh, init) &
+            bind(c, name='cchase_init_internal_')
+            use iso_c_binding
+            integer(c_int) :: n, nev, nex, ldh, init
+            complex(c_float_complex) :: h(ldh, *)
+        end subroutine cchase_init_internal
+
+        subroutine zchase_init_internal(n, nev, nex, h, ldh, init) &
+            bind(c, name='zchase_init_internal_')
+            use iso_c_binding
+            integer(c_int) :: n, nev, nex, ldh, init
+            complex(c_double_complex) :: h(ldh, *)
+        end subroutine zchase_init_internal
+
+        subroutine cchase_init_pseudo_internal(n, nev, nex, h, ldh, init) &
+            bind(c, name='cchase_init_pseudo_internal_')
+            use iso_c_binding
+            integer(c_int) :: n, nev, nex, ldh, init
+            complex(c_float_complex) :: h(ldh, *)
+        end subroutine cchase_init_pseudo_internal
+
+        subroutine zchase_init_pseudo_internal(n, nev, nex, h, ldh, init) &
+            bind(c, name='zchase_init_pseudo_internal_')
+            use iso_c_binding
+            integer(c_int) :: n, nev, nex, ldh, init
+            complex(c_double_complex) :: h(ldh, *)
+        end subroutine zchase_init_pseudo_internal
+
 
         ! -- distributed init variants (chase_c_interface.h:61-175) --
 

@@ -48,6 +48,11 @@ def test_capi_symbol_surface(tmp_path):
                   "chase_has_mpi_", "chase_get_version_",
                   "pdchase_readHam_", "pzchase_get_eigenpairs_"]:
         assert extra in syms, extra
+    # serial internal-init variants (chase_c_interface.h:25-32, 49-55)
+    for t in "sdcz":
+        assert f" T {t}chase_init_internal_" in syms, t
+    for t in "cz":
+        assert f" T {t}chase_init_pseudo_internal_" in syms, t
     # distributed init surface (chase_c_interface.h:61-175)
     for t in "sdcz":
         for fam in ["chase_init_", "chase_init_internal_",
