@@ -127,6 +127,7 @@ def capi_read_ham(path):
     import chase_tpu.io as _io
     s = _iface._require()
     s.H = _io.load_matrix(path, s.N, s.H.dtype)
+    s.H_owned = None   # invalidate the memoized layout-permuted copy
     return 0
 
 def capi_write_ham(path):

@@ -242,12 +242,27 @@ def _eigsh_pseudo_real_pair(H, nev, nex, *, cfg, v0=None, ritzv0=None,
     invP = np.argsort(P)
     v0r = None
     if v0 is not None:
-        v0r = embed_block_pseudo(np.asarray(v0), P, d)   # (2N, 2(nev+nex))
-        # the embedded subspace holds 2·(2nev+2nex) vectors; fill the
-        # mirror half by K-conjugation (the plain half-swap IS the complex
-        # K in these coordinates — embed_real_pseudo's D similarity)
-        v0r = np.concatenate(
-            [v0r, np.concatenate([v0r[N:], v0r[:N]], axis=0)], axis=1)
+        v0 = np.asarray(v0)
+        k_half, k_full = nev + nex, 2 * (nev + nex)
+        # embed_block_pseudo doubles the columns; the embedded subspace
+        # needs 2·(2nev+2nex) of them
+        if v0.shape[1] == k_full:
+            # native/C-ABI convention: a full 2(nev+nex)-column S-basis
+            # (previous native solve's V, or init-time V buffers) embeds
+            # straight to the full embedded width
+            v0r = embed_block_pseudo(v0, P, d)       # (2N, 2·k_full)
+        elif v0.shape[1] == k_half:
+            # a previous real-pair result's V (positive pairs + tail):
+            # fill the negative mirrors by K-conjugation (the plain
+            # half-swap IS the complex K in these coordinates —
+            # embed_real_pseudo's D similarity)
+            v0r = embed_block_pseudo(v0, P, d)       # (2N, 2·k_half)
+            v0r = np.concatenate(
+                [v0r, np.concatenate([v0r[N:], v0r[:N]], axis=0)], axis=1)
+        else:
+            raise ValueError(
+                f"pseudo-Hermitian v0 must have nev+nex={k_half} or "
+                f"2(nev+nex)={k_full} columns, got {v0.shape[1]}")
     op = DenseOperator(Jp, grid=grid, pseudo_hermitian=True)
     if fused:
         res = eigsh_pseudo_fused(op, 2 * nev, 2 * nex, config=cfg, v0=v0r,

@@ -48,6 +48,9 @@ class _Session:
     pseudo: bool = False
     grid: Optional[Grid2D] = None
     layout = None                       # (Pseudo)BlockCyclicLayout or None
+    H_owned = None                      # layout-permuted H, memoized (the
+    # permutation is two full N×N gathers on the single-core host — pay it
+    # once per session, not once per solve of a sequence)
     config: ChaseConfig = dataclasses.field(default_factory=ChaseConfig)
     result = None
 
@@ -256,7 +259,12 @@ def solve(deg: Optional[int] = None, tol: Optional[float] = None,
         else:
             raise RuntimeError("mode='A' needs a previous solve or V+ritzv "
                                "buffers supplied at init")
-    H = s.H if s.layout is None else s.layout.apply(s.H)
+    if s.layout is None:
+        H = s.H
+    else:
+        if s.H_owned is None:
+            s.H_owned = np.ascontiguousarray(s.layout.apply(s.H))
+        H = s.H_owned
     s.result = fn(H, s.nev, s.nex, config=s.config, grid=s.grid, **kwargs)
     return 0 if s.result.converged else 1
 

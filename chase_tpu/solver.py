@@ -67,6 +67,34 @@ def resolve_small_dense(rcfg_backend: str, is_sp: bool):
     return ("host" if (off_cpu and not is_sp) else "device"), "device"
 
 
+def resolve_wide(rcfg, op, is_sp: bool, small_dense: str, qr_backend: str):
+    """Shared wide-f64 GEMM policy (exact-bf16-slice RR/QR HEMMs, ops/wide)
+    for solve() and warmup.warmup() — one definition so the warmed programs
+    always match the solve's.  Returns (use_wide, small_dense, qr_backend).
+
+    Only real-f64 operators are eligible: the wide kernels have no
+    complex/f32 variants, so wide_f64='on' on a non-f64 solve is ignored
+    (with a log line) rather than crashing mid-solve in engage_wide.
+    'auto' additionally requires an off-CPU backend and
+    wide_f64_min_n <= N <= wide_f64_max_n.
+    """
+    eligible = not is_sp and not is_complex_dtype(op.dtype)
+    use_wide = eligible and (
+        rcfg.wide_f64 == "on"
+        or (rcfg.wide_f64 == "auto"
+            and jax.default_backend() != "cpu"
+            and rcfg.wide_f64_min_n <= op.N <= rcfg.wide_f64_max_n))
+    if rcfg.wide_f64 == "on" and not eligible:
+        get_logger().info(
+            f"wide_f64='on' ignored: operator dtype {np.dtype(op.dtype)} "
+            f"is not real f64", "linalg")
+    if use_wide:
+        qr_backend = "wide"
+        if small_dense == "device":
+            small_dense = "host"     # the wide RR path pairs with host eigh
+    return use_wide, small_dense, qr_backend
+
+
 def _ring_mode(grid, N: int):
     """Which explicit collective-matmul filter fits this grid: '1d' for
     row-stripe meshes (p, 1), '2d' for r×c meshes with r·c | N, else None
@@ -352,15 +380,9 @@ def solve(op: DenseOperator, nev: int, nex: int,
         rcfg.small_dense_backend, is_sp)
     # exact-bf16-slice GEMM for the f64 RR/QR HEMMs (ops/wide): accuracy
     # insurance + fast compiles on emulated-f64 backends at large N
-    use_wide = (rcfg.wide_f64 == "on"
-                or (rcfg.wide_f64 == "auto" and not is_sp
-                    and not is_complex_dtype(op.dtype)
-                    and jax.default_backend() != "cpu"
-                    and rcfg.wide_f64_min_n <= N <= rcfg.wide_f64_max_n))
+    use_wide, small_dense, qr_backend = resolve_wide(
+        rcfg, op, is_sp, small_dense, qr_backend)
     if use_wide:
-        qr_backend = "wide"
-        if small_dense == "device":
-            small_dense = "host"     # the wide RR path pairs with host eigh
         log.info(f"wide-f64 GEMM engaged for RR/QR (N={N}); disable with "
                  f"wide_f64='off'", "linalg")
         # Slice NOW, while HBM holds nothing but H: one donating program
@@ -527,6 +549,18 @@ def solve(op: DenseOperator, nev: int, nex: int,
         log.info(f"ring filter auto-enabled ({ring_mode_cfg} schedule, grid "
                  f"{op.grid.shape}); opt out with ring_filter=False",
                  "linalg")
+    # Pallas RDMA ring eligibility, decided ONCE: 1D rings with an
+    # f32/bf16 carry only (the kernel accumulates in f32 —
+    # ops/pallas_ring).  Per-iteration dtype mismatches (mixed-precision
+    # H shadows vs the V carry) fall back to the XLA ring silently.
+    pallas_eligible = (rcfg.ring_backend == "pallas"
+                       and ring_mode_cfg == "1d"
+                       and op.real_dtype == np.float32)
+    if rcfg.ring_backend == "pallas" and not pallas_eligible:
+        log.warn(f"ring_backend='pallas' needs a 1D ring schedule and an "
+                 f"f32/bf16 problem (mode={ring_mode_cfg}, "
+                 f"dtype={np.dtype(op.dtype)}) — using the XLA ring",
+                 "linalg")
 
     resid_file = None
     if rcfg.save_residuals:
@@ -628,16 +662,10 @@ def solve(op: DenseOperator, nev: int, nex: int,
             deg_win[locked - start_f:] = degrees[act]
             ring_fn = (chebyshev_filter_ring if ring_mode == "1d"
                        else chebyshev_filter_ring2d)
-            if rcfg.ring_backend == "pallas":
-                # hand-scheduled RDMA kernel: 1D same-dtype rings only
-                if ring_mode == "1d" and H_f.dtype == V.dtype:
-                    ring_fn = chebyshev_filter_ring_pallas
-                else:
-                    log.warn(
-                        f"ring_backend='pallas' needs a 1D ring and "
-                        f"matching dtypes (mode={ring_mode}, "
-                        f"H={H_f.dtype}, V={V.dtype}) — falling back to "
-                        f"the XLA ring", "linalg")
+            if pallas_eligible and H_f.dtype == V.dtype:
+                # hand-scheduled RDMA kernel: same-dtype steps only
+                # (mixed-precision shadow iterations use the XLA ring)
+                ring_fn = chebyshev_filter_ring_pallas
             Xw = _slice_cols(V, jnp.int32(start_f), w_pad_f)
             Yw = ring_fn(
                 op.grid, H_f, Xw, jnp.asarray(deg_win), lam_filter,

@@ -187,17 +187,11 @@ def warmup(H, nev: int, nex: Optional[int] = None, *, config=None,
     # small_dense resolution mirroring solver.solve's auto policy
     small_dense, qr_backend = _solver.resolve_small_dense(
         rcfg.small_dense_backend, is_sp)
-    # ... including the wide-f64 override (solver.solve)
-    from .types import is_complex_dtype as _is_cplx
-    use_wide = (rcfg.wide_f64 == "on"
-                or (rcfg.wide_f64 == "auto" and not is_sp
-                    and not _is_cplx(op.dtype)
-                    and jax.default_backend() != "cpu"
-                    and rcfg.wide_f64_min_n <= N <= rcfg.wide_f64_max_n))
+    # ... including the wide-f64 override (one shared policy — the warmed
+    # programs must match the solve's exactly)
+    use_wide, small_dense, qr_backend = _solver.resolve_wide(
+        rcfg, op, is_sp, small_dense, qr_backend)
     if use_wide:
-        qr_backend = "wide"
-        if small_dense == "device":
-            small_dense = "host"
         # mirror solver.solve: slice up front while HBM is empty and drop
         # the device f64 buffer when the refine ladder owns the filter
         op.engage_wide(drop=rcfg.refine_filter and rcfg.mixed_precision)
@@ -222,9 +216,13 @@ def warmup(H, nev: int, nex: Optional[int] = None, *, config=None,
         (not is_sp and rcfg.mixed_precision)
         or (is_sp and rcfg.bf16_filter and not is_cplx))
 
-    # ring dispatch mirrors solver.solve (auto-on for eligible grids)
+    # ring dispatch mirrors solver.solve (auto-on for eligible grids),
+    # including the Pallas one-time eligibility gate
     ring_mode = (_solver._ring_mode(op.grid, N)
                  if rcfg.ring_filter is not False else None)
+    pallas_eligible = (rcfg.ring_backend == "pallas"
+                       and ring_mode == "1d"
+                       and op.real_dtype == np.float32)
 
     def filter_job(w_pad, low):
         locked = nevex - w_pad
@@ -233,12 +231,15 @@ def warmup(H, nev: int, nex: Optional[int] = None, *, config=None,
         f_precision = "default" if (low and is_sp) else precision
         if ring_mode is not None:
             from .parallel.ring import (chebyshev_filter_ring,
-                                        chebyshev_filter_ring2d)
+                                        chebyshev_filter_ring2d,
+                                        chebyshev_filter_ring_pallas)
             from .ops.blocks import slice_cols
             w_pad2, start = _solver._window_pad(nevex, locked, B)
             deg_win = np.full(w_pad2, 2, np.int32)
             ring_fn = (chebyshev_filter_ring if ring_mode == "1d"
                        else chebyshev_filter_ring2d)
+            if pallas_eligible and H_f.dtype == V.dtype:
+                ring_fn = chebyshev_filter_ring_pallas
             Xw = slice_cols(V, jnp.int32(start), w_pad2)
             out = ring_fn(op.grid, H_f, Xw, jnp.asarray(deg_win), lam,
                           lo, up, 2, precision=f_precision)
@@ -301,8 +302,8 @@ def warmup(H, nev: int, nex: Optional[int] = None, *, config=None,
         probes = op.place_block(
             jnp.eye(N, min(rcfg.num_lanczos, nevex), dtype=op.dtype))
         H_lz = op.H_low if use_wide else op.H   # mirror solver.solve
-        a, b, basis = lz.lanczos_scan(H_lz, probes, m=m, want_basis=True,
-                                      precision=precision)
+        a, b, basis = lz.lanczos_scan(H_lz, probes.astype(H_lz.dtype), m=m,
+                                      want_basis=True, precision=precision)
         b.block_until_ready()
         ritzV = np.eye(m, dtype=np.float64)
         mask = jnp.asarray(np.arange(m) < 1)

@@ -226,3 +226,42 @@ def test_warm_v0_uses_fresh_lanczos_probes():
     h0 = chase_tpu.eigsh(Hc, 12, 8, tol=1e-10)
     h1 = chase_tpu.eigsh(Hc, 12, 8, tol=1e-10, v0=np.asarray(h0.V))
     assert h1.converged and h1.iterations <= 2
+
+
+def test_pseudo_real_pair_native_v0_convention():
+    """A v0 produced by the NATIVE pseudo path (2·(nev+nex) columns — the
+    C-ABI/`eigsh_pseudo` convention) must warm-start the real-pair path
+    (regression: the mirror-concat assumed nev+nex columns and built a
+    2x-oversized V0 → shape crash; a v0 that worked on CPU crashed on any
+    accelerator where complex_backend auto-selects real_pair)."""
+    from chase_tpu.models import random_pseudo_hermitian
+    H = random_pseudo_hermitian(96, dtype=np.complex64, seed=7)
+    r0 = chase_tpu.eigsh_pseudo(H, 6, 6, tol=1e-4,
+                                config=ChaseConfig(complex_backend="native"))
+    assert np.asarray(r0.V).shape[1] == 2 * (6 + 6)
+    cfg = ChaseConfig(complex_backend="real_pair")
+    r1 = chase_tpu.eigsh_pseudo(H, 6, 6, tol=1e-4, config=cfg,
+                                v0=np.asarray(r0.V))
+    pos = _bse_exact_positive(H, 6)
+    assert r1.converged
+    np.testing.assert_allclose(r1.ritzv, pos, atol=1e-3)
+    # wrong widths raise a clear error instead of a broadcast crash
+    with pytest.raises(ValueError, match="columns"):
+        chase_tpu.eigsh_pseudo(H, 6, 6, tol=1e-4, config=cfg,
+                               v0=np.asarray(r0.V)[:, :7])
+
+
+def test_wide_f64_on_ignored_for_non_f64():
+    """wide_f64='on' on an f32 or complex solve is ignored (logged), not a
+    mid-solve TypeError (regression)."""
+    from chase_tpu.models import clement
+    H32 = clement(128).astype(np.float32)
+    r = chase_tpu.eigsh(H32, 8, 8, tol=1e-3,
+                        config=ChaseConfig(wide_f64="on"))
+    assert r.converged
+    Hc, lam = _complex_hermitian(96, seed=3, dtype=np.complex128)
+    rc = chase_tpu.eigsh(Hc, 8, 8, tol=1e-8,
+                         config=ChaseConfig(wide_f64="on",
+                                            complex_backend="native"))
+    assert rc.converged
+    np.testing.assert_allclose(rc.ritzv, lam[:8], atol=1e-7)
