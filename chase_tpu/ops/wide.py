@@ -183,6 +183,46 @@ def _presplit_shadow_donate(H, *, s, L):
     return tuple(slices), sa, low
 
 
+def presplit_and_shadow_chunked(H_host, *, target_bits: int = 55,
+                                row_chunk: int = None):
+    """Row-chunked :func:`presplit_and_shadow` from a HOST array.
+
+    The one-shot donating program still OOMs a 16 GB chip at N=16384: its
+    unrolled round/subtract slice chain keeps ~20 N²-sized f32 temporaries
+    live at once (measured, BENCH_NOTES round 3).  The per-row 2^e scaling
+    makes slicing embarrassingly row-parallel, so this variant uploads and
+    slices H in ~256 MB row blocks: peak HBM is the final slice stack +
+    shadow (≈ (2L+4)/8 of the f64 operator) plus ONE chunk's temporaries,
+    and the full 8-byte H never needs device residency at all.
+
+    Returns (slices, sa, low, s, L) like :func:`presplit_and_shadow`.
+    """
+    N, n = H_host.shape
+    s, L, _ = wide_params(n, target_bits)
+    if row_chunk is None:
+        row_chunk = max(512, (1 << 25) // max(1, n))   # ≈256 MB f64 chunks
+    k = -(-N // row_chunk)
+    chunk = -(-N // k)            # equalize (at most one ragged tail chunk)
+    parts_sl = [[] for _ in range(L)]
+    parts_sa, parts_low = [], []
+    for i in range(0, N, chunk):
+        Hc = jnp.asarray(np.ascontiguousarray(H_host[i:i + chunk]))
+        sl, sa_c, low_c = _presplit_shadow_donate(Hc, s=s, L=L)
+        for l in range(L):
+            parts_sl[l].append(sl[l])
+        parts_sa.append(sa_c)
+        parts_low.append(low_c)
+    if k == 1:
+        return tuple(p[0] for p in parts_sl), parts_sa[0], parts_low[0], s, L
+    slices = []
+    for l in range(L):
+        slices.append(jnp.concatenate(parts_sl[l], axis=0))
+        parts_sl[l].clear()       # free this slice's chunk buffers early
+    sa = jnp.concatenate(parts_sa, axis=0)
+    low = jnp.concatenate(parts_low, axis=0)
+    return tuple(slices), sa, low, s, L
+
+
 def presplit_and_shadow(H, *, donate: bool = False, target_bits: int = 55):
     """One jitted program producing BOTH the bf16 slice stack and the f32
     shadow of a real f64 operator.  With ``donate=True`` the input buffer

@@ -151,15 +151,29 @@ class DenseOperator:
         (BENCH_NOTES round 3).  Pass ``drop=False`` when the solve's
         filter still needs f64 H (refine ladder off)."""
         if self._H_wide is None:
-            from ..ops.wide import presplit_and_shadow
+            from ..ops.wide import presplit_and_shadow, \
+                presplit_and_shadow_chunked
             from ..types import is_complex_dtype
             if is_complex_dtype(self._dtype) or \
                     np.dtype(self._dtype).itemsize != 8:
                 raise TypeError(
                     f"wide mode is for real f64 operators, got {self._dtype}")
             can_drop = drop and self._owns_dev and self._H_src is not None
-            slices, sa, low, s, L = presplit_and_shadow(
-                self.H, donate=can_drop)
+            big = self._N * self._N * 8 > (1 << 30)
+            if big and self._H_src is not None and self.grid is None:
+                # Large single-device operators: slice in row chunks from
+                # the HOST source — the one-shot program's unrolled slice
+                # chain holds ~20 N² f32 temps and OOMs 16 GB HBM at
+                # N=16384 (measured, BENCH_NOTES round 3).  Free the
+                # device f64 buffer FIRST when we may: the chunked path
+                # never reads it.
+                if can_drop:
+                    self._H_dev = None
+                slices, sa, low, s, L = presplit_and_shadow_chunked(
+                    self._H_src)
+            else:
+                slices, sa, low, s, L = presplit_and_shadow(
+                    self.H, donate=can_drop)
             self._H_wide = (slices, sa, s, L)
             if self._H_low is None:
                 self._H_low = low

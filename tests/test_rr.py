@@ -184,3 +184,64 @@ def test_wide_matmul_accuracy():
     Cs = np.asarray(wide_matmul_sliced(presplit(jnp.asarray(A)),
                                        jnp.asarray(B)))
     assert np.abs(Cs - C_ref).max() / np.abs(C_ref).max() < 1e-13
+
+
+def test_presplit_chunked_matches_oneshot():
+    """presplit_and_shadow_chunked (the N=16384 HBM path: row-block
+    slicing from the host source) is bit-identical to the one-shot
+    program — per-row 2^e scaling makes slicing row-separable, including
+    a ragged tail chunk."""
+    import numpy as np
+    import jax.numpy as jnp
+    from chase_tpu.ops.wide import (presplit_and_shadow,
+                                    presplit_and_shadow_chunked)
+
+    rng = np.random.default_rng(1)
+    N, n = 101, 96
+    H = rng.standard_normal((N, n)) * np.exp(rng.standard_normal((N, 1)) * 4)
+    sl0, sa0, low0, s0, L0 = presplit_and_shadow(jnp.asarray(H))
+    sl1, sa1, low1, s1, L1 = presplit_and_shadow_chunked(H, row_chunk=32)
+    assert (s0, L0) == (s1, L1) and len(sl0) == len(sl1)
+    for a, b in zip(sl0, sl1):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(np.asarray(sa0), np.asarray(sa1))
+    np.testing.assert_array_equal(np.asarray(low0), np.asarray(low1))
+
+
+def test_engage_wide_chunked_threshold(monkeypatch):
+    """Operators above the 1 GB f64 threshold take the chunked host-source
+    slicing path (and still drop the device buffer); small ones keep the
+    one-shot donating program."""
+    import numpy as np
+    import chase_tpu.parallel.operator as op_mod
+    import chase_tpu.ops.wide as wide_mod
+    from chase_tpu.parallel.operator import DenseOperator
+    from chase_tpu.models import clement
+
+    calls = {"chunked": 0, "oneshot": 0}
+    real_chunked = wide_mod.presplit_and_shadow_chunked
+    real_oneshot = wide_mod.presplit_and_shadow
+
+    def spy_chunked(H, **kw):
+        calls["chunked"] += 1
+        return real_chunked(H, **kw)
+
+    def spy_oneshot(H, **kw):
+        calls["oneshot"] += 1
+        return real_oneshot(H, **kw)
+
+    monkeypatch.setattr(wide_mod, "presplit_and_shadow_chunked", spy_chunked)
+    monkeypatch.setattr(wide_mod, "presplit_and_shadow", spy_oneshot)
+    H = np.asarray(clement(128), np.float64)
+    op = DenseOperator(H)
+    # fake the size gate: pretend the operator crosses 1 GB
+    monkeypatch.setattr(op, "_N", 1 << 14)
+    try:
+        op.engage_wide()
+    finally:
+        op._N = 128
+    assert calls == {"chunked": 1, "oneshot": 0}
+    assert op._H_dev is None and op._H_wide is not None
+    op2 = DenseOperator(H)
+    op2.engage_wide()
+    assert calls == {"chunked": 1, "oneshot": 1}
