@@ -114,6 +114,9 @@ def eigsh(H, nev: int, nex: Optional[int] = None, *,
     """
     if nex is None:
         nex = max(nev // 4, 8)
+    if approx and v0 is None:
+        raise ValueError("approx=True (warm start) needs v0 (and ritzv0) "
+                         "from a previous solve")
     cfg = config or ChaseConfig()
     if tol is not None or approx:
         import dataclasses
@@ -494,6 +497,9 @@ def eigsh_pseudo(H, nev: int, nex: Optional[int] = None, *,
     from .solver_pseudo import solve_pseudo
     if nex is None:
         nex = max(nev // 4, 8)
+    if approx and v0 is None:
+        raise ValueError("approx=True (warm start) needs v0 (and ritzv0) "
+                         "from a previous solve")
     cfg = config or ChaseConfig()
     if tol is not None or approx:
         import dataclasses
