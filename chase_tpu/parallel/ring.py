@@ -36,6 +36,94 @@ __all__ = ["ring_hemm", "chebyshev_filter_ring", "chebyshev_filter_ring2d",
            "chebyshev_filter_refine_ring", "chebyshev_filter_refine_ring2d"]
 
 
+def _ring_dot_1d(h, v, *, axis, p, acc_dt, precision):
+    """Local rows of H @ V via the 1D software-pipelined ring (shared by
+    every 1D ring filter).  ``h``: (n_h, N) local stripe; ``v``: (N/p, k)
+    local chunk.  The permute for chunk s+1 is issued before the dot of
+    chunk s (overlap); a reduced-precision ``h`` against a wider ``v``
+    accumulates in ``acc_dt`` (mixed-precision shadows)."""
+    me = jax.lax.axis_index(axis)
+    n_loc = v.shape[0]
+
+    def step(s, carry):
+        acc, cur = carry
+        src = (me + s) % p
+        nxt = jax.lax.ppermute(
+            cur, axis, [(i, (i - 1) % p) for i in range(p)])
+        h_blk = jax.lax.dynamic_slice(
+            h, (jnp.int32(0), (src * n_loc).astype(jnp.int32)),
+            (h.shape[0], n_loc))
+        if h_blk.dtype != cur.dtype:
+            acc = acc + jnp.matmul(h_blk, cur.astype(h_blk.dtype),
+                                   precision=precision,
+                                   preferred_element_type=acc_dt)
+        else:
+            acc = acc + jnp.matmul(h_blk, cur, precision=precision)
+        return (acc, nxt)
+
+    acc = jnp.zeros((h.shape[0], v.shape[1]), acc_dt)
+    acc = jax.lax.pcast(acc, (axis,), to="varying")
+    acc, _ = jax.lax.fori_loop(0, p, step, (acc, v))
+    return acc
+
+
+def _ring2d_pair(pr, pc, acc_dt, precision):
+    """The two parity passes of the 2D ping-pong schedule, shared by every
+    2D ring filter.  Returns (ring_A, ring_B) closures over ``h``:
+
+      ring_A(h, w): parity A → H·w partial rows, psum_scatter 'c' → B
+      ring_B(h, w): parity B → Hᴴ·w partial cols, psum_scatter 'r' → A
+    """
+    def _mm(h_blk, w):
+        if h_blk.dtype != w.dtype:
+            return jnp.matmul(h_blk, w.astype(h_blk.dtype),
+                              precision=precision,
+                              preferred_element_type=acc_dt)
+        return jnp.matmul(h_blk, w, precision=precision)
+
+    def ring_A(h, w):
+        i = jax.lax.axis_index("r")
+        nch = w.shape[0]
+
+        def step(s, st):
+            acc, cur = st
+            nxt = jax.lax.ppermute(
+                cur, "r", [(t, (t - 1) % pr) for t in range(pr)])
+            sub = ((i + s) % pr) * nch
+            h_blk = jax.lax.dynamic_slice(
+                h, (jnp.int32(0), sub.astype(jnp.int32)),
+                (h.shape[0], nch))
+            return acc + _mm(h_blk, cur), nxt
+
+        acc = jnp.zeros((h.shape[0], w.shape[1]), acc_dt)
+        acc = jax.lax.pcast(acc, ("r", "c"), to="varying")
+        acc, _ = jax.lax.fori_loop(0, pr, step, (acc, w))
+        return jax.lax.psum_scatter(acc, "c", scatter_dimension=0,
+                                    tiled=True)
+
+    def ring_B(h, w):
+        j = jax.lax.axis_index("c")
+        nch = w.shape[0]
+
+        def step(s, st):
+            acc, cur = st
+            nxt = jax.lax.ppermute(
+                cur, "c", [(t, (t - 1) % pc) for t in range(pc)])
+            sub = ((j + s) % pc) * nch
+            h_blk = jax.lax.dynamic_slice(
+                h, (sub.astype(jnp.int32), jnp.int32(0)),
+                (nch, h.shape[1]))
+            return acc + _mm(h_blk.conj().T, cur), nxt
+
+        acc = jnp.zeros((h.shape[1], w.shape[1]), acc_dt)
+        acc = jax.lax.pcast(acc, ("r", "c"), to="varying")
+        acc, _ = jax.lax.fori_loop(0, pc, step, (acc, w))
+        return jax.lax.psum_scatter(acc, "r", scatter_dimension=0,
+                                    tiled=True)
+
+    return ring_A, ring_B
+
+
 @partial(jax.jit, static_argnames=("grid", "axis", "precision"))
 def ring_hemm(grid, H, V, *, axis: str = "r", precision="highest"):
     """W = H @ V with H in P(axis, None), V in P(axis), W out in P(axis).
@@ -133,54 +221,12 @@ def chebyshev_filter_ring2d(grid, H, X, degrees, lam1, lower, upper, deg_max,
                 for i in range(pr) for j in range(pc)]
     flip_b2a = [(m, (m % pr) * pc + (m // pr)) for m in range(pr * pc)]
 
-    def _mm(h_blk, v):
-        if h_blk.dtype != v.dtype:
-            return jnp.matmul(h_blk, v.astype(h_blk.dtype),
-                              precision=precision,
-                              preferred_element_type=v.dtype)
-        return jnp.matmul(h_blk, v, precision=precision)
-
     def local(h, x, degs):
-        nch = x.shape[0]                      # N/(r·c)
-        k = x.shape[1]
-        i = jax.lax.axis_index("r")
-        j = jax.lax.axis_index("c")
         x0 = x
         x = x.astype(carry)
-
-        def ring_A(v):
-            """parity A → partial W rows-block i, scattered over 'c' → B."""
-            def step(s, st):
-                acc, cur = st
-                nxt = jax.lax.ppermute(
-                    cur, "r", [(t, (t - 1) % pr) for t in range(pr)])
-                sub = ((i + s) % pr) * nch
-                h_blk = jax.lax.dynamic_slice(
-                    h, (jnp.int32(0), sub.astype(jnp.int32)),
-                    (h.shape[0], nch))
-                return acc + _mm(h_blk, cur), nxt
-            acc = jnp.zeros((h.shape[0], k), carry)
-            acc = jax.lax.pcast(acc, ("r", "c"), to="varying")
-            acc, _ = jax.lax.fori_loop(0, pr, step, (acc, v))
-            return jax.lax.psum_scatter(acc, "c", scatter_dimension=0,
-                                        tiled=True)
-
-        def ring_B(v):
-            """parity B → Hᴴ partial W cols-block j, scattered over 'r' → A."""
-            def step(s, st):
-                acc, cur = st
-                nxt = jax.lax.ppermute(
-                    cur, "c", [(t, (t - 1) % pc) for t in range(pc)])
-                sub = ((j + s) % pc) * nch
-                h_blk = jax.lax.dynamic_slice(
-                    h, (sub.astype(jnp.int32), jnp.int32(0)),
-                    (nch, h.shape[1]))
-                return acc + _mm(h_blk.conj().T, cur), nxt
-            acc = jnp.zeros((h.shape[1], k), carry)
-            acc = jax.lax.pcast(acc, ("r", "c"), to="varying")
-            acc, _ = jax.lax.fori_loop(0, pc, step, (acc, v))
-            return jax.lax.psum_scatter(acc, "r", scatter_dimension=0,
-                                        tiled=True)
+        ringA2, ringB2 = _ring2d_pair(pr, pc, carry, precision)
+        ring_A = lambda v: ringA2(h, v)    # noqa: E731
+        ring_B = lambda v: ringB2(h, v)    # noqa: E731
 
         def substep(t, Xp, Yc, sigma, ring, flip_perm):
             """One recurrence step Yc(P_in) → Z(P_out); frozen columns are
@@ -253,34 +299,12 @@ def chebyshev_filter_ring(grid, H, X, degrees, lam1, lower, upper, deg_max,
     deg_max = jnp.asarray(deg_max, jnp.int32)
 
     def local(h, x, degs):
-        n_loc = x.shape[0]
-        me = jax.lax.axis_index(axis)
         x0 = x
         x = x.astype(carry_dt)
 
-        def ring_dot(v):
-            def step(s, carry):
-                acc, cur = carry
-                src = (me + s) % p
-                nxt = jax.lax.ppermute(
-                    cur, axis, [(i, (i - 1) % p) for i in range(p)])
-                h_blk = jax.lax.dynamic_slice(
-                    h, (jnp.int32(0), (src * n_loc).astype(jnp.int32)),
-                    (h.shape[0], n_loc))
-                if h_blk.dtype != v.dtype:
-                    acc = acc + jnp.matmul(h_blk, cur.astype(h_blk.dtype),
-                                           precision=precision,
-                                           preferred_element_type=v.dtype)
-                else:
-                    acc = acc + jnp.matmul(h_blk, cur, precision=precision)
-                return (acc, nxt)
-            acc = jnp.zeros((h.shape[0], v.shape[1]), carry_dt)
-            acc = jax.lax.pcast(acc, (axis,), to="varying")
-            acc, _ = jax.lax.fori_loop(0, p, step, (acc, v))
-            return acc
-
         def hemm_shift(v):
-            return ring_dot(v) - c.astype(rt) * v
+            return _ring_dot_1d(h, v, axis=axis, p=p, acc_dt=carry_dt,
+                                precision=precision) - c.astype(rt) * v
 
         Y = (sigma1 / e) * hemm_shift(x)
         Y = jnp.where(degs[None, :] >= 1, Y, x)
@@ -304,7 +328,8 @@ def chebyshev_filter_ring(grid, H, X, degrees, lam1, lower, upper, deg_max,
     return fn(H, X, degrees)
 
 
-@partial(jax.jit, static_argnames=("grid", "axis", "precision"))
+@partial(jax.jit,
+         static_argnames=("grid", "axis", "precision", "interpret"))
 def chebyshev_filter_ring_pallas(grid, H, X, degrees, lam1, lower, upper,
                                  deg_max, *, axis: str = "r",
                                  precision="highest", interpret=None):
@@ -376,6 +401,7 @@ def chebyshev_filter_ring_pallas(grid, H, X, degrees, lam1, lower, upper,
     return fn(H, X, degrees)
 
 
+@partial(jax.jit, static_argnames=("grid", "axis", "precision"))
 def chebyshev_filter_refine_ring(grid, H, V, R, degrees, alpha1_e, alphas,
                                  betas, inj, p_final, cc, deg_max, *,
                                  axis: str = "r", precision="highest"):
@@ -406,29 +432,9 @@ def chebyshev_filter_refine_ring(grid, H, V, R, degrees, alpha1_e, alphas,
     deg_max = jnp.asarray(deg_max, jnp.int32)
 
     def local(h, v, r, degs, al, be, injt, pf):
-        n_loc = v.shape[0]
-        me = jax.lax.axis_index(axis)
-
         def ring_dot(w):
-            def step(s, carry):
-                acc, cur = carry
-                src = (me + s) % p
-                nxt = jax.lax.ppermute(
-                    cur, axis, [(i, (i - 1) % p) for i in range(p)])
-                h_blk = jax.lax.dynamic_slice(
-                    h, (jnp.int32(0), (src * n_loc).astype(jnp.int32)),
-                    (h.shape[0], n_loc))
-                if h_blk.dtype != w.dtype:
-                    acc = acc + jnp.matmul(h_blk, cur.astype(h_blk.dtype),
-                                           precision=precision,
-                                           preferred_element_type=carry_dt)
-                else:
-                    acc = acc + jnp.matmul(h_blk, cur, precision=precision)
-                return (acc, nxt)
-            acc = jnp.zeros((h.shape[0], w.shape[1]), carry_dt)
-            acc = jax.lax.pcast(acc, (axis,), to="varying")
-            acc, _ = jax.lax.fori_loop(0, p, step, (acc, w))
-            return acc
+            return _ring_dot_1d(h, w, axis=axis, p=p, acc_dt=carry_dt,
+                                precision=precision)
 
         rc = r.astype(carry_dt)
         W = a1 * rc
@@ -484,50 +490,10 @@ def chebyshev_filter_refine_ring2d(grid, H, V, R, degrees, alpha1_e, alphas,
                 for i in range(pr) for j in range(pc)]
     flip_b2a = [(m, (m % pr) * pc + (m // pr)) for m in range(pr * pc)]
 
-    def _mm(h_blk, w):
-        if h_blk.dtype != w.dtype:
-            return jnp.matmul(h_blk, w.astype(h_blk.dtype),
-                              precision=precision,
-                              preferred_element_type=carry)
-        return jnp.matmul(h_blk, w, precision=precision)
-
     def local(h, v, r, degs, al, be, injt, pf):
-        nch = v.shape[0]
-        k = v.shape[1]
-        i = jax.lax.axis_index("r")
-        j = jax.lax.axis_index("c")
-
-        def ring_A(w):
-            def step(s, st):
-                acc, cur = st
-                nxt = jax.lax.ppermute(
-                    cur, "r", [(t, (t - 1) % pr) for t in range(pr)])
-                sub = ((i + s) % pr) * nch
-                h_blk = jax.lax.dynamic_slice(
-                    h, (jnp.int32(0), sub.astype(jnp.int32)),
-                    (h.shape[0], nch))
-                return acc + _mm(h_blk, cur), nxt
-            acc = jnp.zeros((h.shape[0], k), carry)
-            acc = jax.lax.pcast(acc, ("r", "c"), to="varying")
-            acc, _ = jax.lax.fori_loop(0, pr, step, (acc, w))
-            return jax.lax.psum_scatter(acc, "c", scatter_dimension=0,
-                                        tiled=True)
-
-        def ring_B(w):
-            def step(s, st):
-                acc, cur = st
-                nxt = jax.lax.ppermute(
-                    cur, "c", [(t, (t - 1) % pc) for t in range(pc)])
-                sub = ((j + s) % pc) * nch
-                h_blk = jax.lax.dynamic_slice(
-                    h, (sub.astype(jnp.int32), jnp.int32(0)),
-                    (nch, h.shape[1]))
-                return acc + _mm(h_blk.conj().T, cur), nxt
-            acc = jnp.zeros((h.shape[1], k), carry)
-            acc = jax.lax.pcast(acc, ("r", "c"), to="varying")
-            acc, _ = jax.lax.fori_loop(0, pc, step, (acc, w))
-            return jax.lax.psum_scatter(acc, "r", scatter_dimension=0,
-                                        tiled=True)
+        ringA2, ringB2 = _ring2d_pair(pr, pc, carry, precision)
+        ring_A = lambda w: ringA2(h, w)    # noqa: E731
+        ring_B = lambda w: ringB2(h, w)    # noqa: E731
 
         rc_A = r.astype(carry)
         rc_B = jax.lax.ppermute(rc_A, ("r", "c"), flip_a2b)
@@ -594,25 +560,12 @@ def chebyshev_filter_h2_ring(grid, H, X, degrees, lam1, lower, upper,
     deg_max = jnp.asarray(deg_max, jnp.int32)
 
     def local(h, x, degs):
-        n_loc = x.shape[0]
-        me = jax.lax.axis_index(axis)
         x0 = x
         x = x.astype(h.dtype)
 
         def ring_dot(v):
-            def step(s, carry):
-                acc, cur = carry
-                src = (me + s) % p
-                nxt = jax.lax.ppermute(
-                    cur, axis, [(i, (i - 1) % p) for i in range(p)])
-                h_blk = jax.lax.dynamic_slice(
-                    h, (jnp.int32(0), (src * n_loc).astype(jnp.int32)),
-                    (h.shape[0], n_loc))
-                return acc + jnp.matmul(h_blk, cur, precision=precision), nxt
-            acc = jnp.zeros((h.shape[0], v.shape[1]), h.dtype)
-            acc = jax.lax.pcast(acc, (axis,), to="varying")
-            acc, _ = jax.lax.fori_loop(0, p, step, (acc, v))
-            return acc
+            return _ring_dot_1d(h, v, axis=axis, p=p, acc_dt=h.dtype,
+                                precision=precision)
 
         def h2_shift(v):
             return ring_dot(ring_dot(v)) - c * v
@@ -663,45 +616,14 @@ def chebyshev_filter_h2_ring2d(grid, H, X, degrees, lam1, lower, upper,
 
     def local(h, x, degs):
         nch = x.shape[0]
-        k = x.shape[1]
         i = jax.lax.axis_index("r")
         j = jax.lax.axis_index("c")
         x0 = x
         x = x.astype(h.dtype)
-
-        def ring_A(v):
-            def step(s, st):
-                acc, cur = st
-                nxt = jax.lax.ppermute(
-                    cur, "r", [(t, (t - 1) % pr) for t in range(pr)])
-                sub = ((i + s) % pr) * nch
-                h_blk = jax.lax.dynamic_slice(
-                    h, (jnp.int32(0), sub.astype(jnp.int32)),
-                    (h.shape[0], nch))
-                return acc + jnp.matmul(h_blk, cur, precision=precision), nxt
-            acc = jnp.zeros((h.shape[0], k), h.dtype)
-            acc = jax.lax.pcast(acc, ("r", "c"), to="varying")
-            acc, _ = jax.lax.fori_loop(0, pr, step, (acc, v))
-            return jax.lax.psum_scatter(acc, "c", scatter_dimension=0,
-                                        tiled=True)
-
-        def ring_B(v):
-            """Hᴴ·v for a parity-B block (the Hermitian-schedule step)."""
-            def step(s, st):
-                acc, cur = st
-                nxt = jax.lax.ppermute(
-                    cur, "c", [(t, (t - 1) % pc) for t in range(pc)])
-                sub = ((j + s) % pc) * nch
-                h_blk = jax.lax.dynamic_slice(
-                    h, (sub.astype(jnp.int32), jnp.int32(0)),
-                    (nch, h.shape[1]))
-                return acc + jnp.matmul(h_blk.conj().T, cur,
-                                        precision=precision), nxt
-            acc = jnp.zeros((h.shape[1], k), h.dtype)
-            acc = jax.lax.pcast(acc, ("r", "c"), to="varying")
-            acc, _ = jax.lax.fori_loop(0, pc, step, (acc, v))
-            return jax.lax.psum_scatter(acc, "r", scatter_dimension=0,
-                                        tiled=True)
+        ringA2, ringB2 = _ring2d_pair(pr, pc, h.dtype, precision)
+        ring_A = lambda v: ringA2(h, v)    # noqa: E731
+        # ring_B computes Hᴴ·v for a parity-B block (Hermitian-schedule step)
+        ring_B = lambda v: ringB2(h, v)    # noqa: E731
 
         half = (nch * pr * pc) // 2                  # N/2 (static)
 

@@ -84,12 +84,15 @@ def _warmup_pseudo(op, nev, nex, rcfg, max_workers):
                 jnp.int32(2), precision=precision)
         out.block_until_ready()
 
-    small_dense, _ = _solver.resolve_small_dense(
+    small_dense, qr_backend = _solver.resolve_small_dense(
         rcfg.small_dense_backend, not rcfg.is_double)
 
     def qr_job():
+        # the solve passes the QR backend here (solver_pseudo.py), NOT the
+        # eigh backend — under 'auto' off-CPU for f64 those differ
+        # (host eigh / device CholQR) and the warmed program must match
         out = qrops.orthonormalize_pseudo(V, nevex // 2, 10.0, rcfg,
-                                          op.grid, small_dense=small_dense)
+                                          op.grid, small_dense=qr_backend)
         out.block_until_ready()
 
     def rr_job():
