@@ -266,15 +266,23 @@ def warmup(H, nev: int, nex: Optional[int] = None, *, config=None,
             grid=op.grid, ring_mode=ring_mode)
         out.block_until_ready()
 
-    def qr_job(w_pad):
+    # The solve's QR routes by runtime condition estimate to THREE distinct
+    # static chains (CholQR1 / CholQR2 / shiftedCholQR2, ops/qr.py:476-481)
+    # — warming only one left the other two compiling cold in the first
+    # solve (measured: 2 cholqr programs = most of the round-2 "54 s tail")
+    qr_conds = (0.5 * rcfg.cholqr1_threshold,      # → CholQR1
+                2.0 * rcfg.cholqr1_threshold,      # → CholQR2
+                10.0 * rcfg.cholqr_shift_threshold)  # → shiftedCholQR2
+
+    def qr_job(w_pad, cond=10.0):
         locked = nevex - w_pad
         w_pad2, start = _solver._window_pad(nevex, locked, B)
         if rcfg.shrink_subspace and start > 0:
-            out = qrops.orthonormalize_window(V, start, w_pad2, locked, 10.0,
+            out = qrops.orthonormalize_window(V, start, w_pad2, locked, cond,
                                               rcfg, op.grid,
                                               small_dense=qr_backend)
         else:
-            out = qrops.orthonormalize(V, locked, 10.0, rcfg, op.grid,
+            out = qrops.orthonormalize(V, locked, cond, rcfg, op.grid,
                                        small_dense=qr_backend)
         out.block_until_ready()
 
@@ -331,6 +339,11 @@ def warmup(H, nev: int, nex: Optional[int] = None, *, config=None,
         Vd = op.place_block(jnp.eye(N, m, dtype=op.dtype))
         out = set_head_cols(V, Vd, jnp.asarray(np.arange(m) < 1))
         out.block_until_ready()
+        # the init-vector RNG program (solver.solve's random start) — at
+        # north-star shapes its cold compile is seconds on a remote relay
+        out = jax.random.normal(jax.random.key(rcfg.seed), (N, nevex),
+                                dtype=op.dtype)
+        out.block_until_ready()
 
     def fused_job(warm: bool):
         from .api import eigsh_fused
@@ -352,7 +365,9 @@ def warmup(H, nev: int, nex: Optional[int] = None, *, config=None,
                          lambda w=w: filter_job(w, True)))
         if refine_capable:
             jobs.append((f"refine:{w}", lambda w=w: refine_job(w)))
-        jobs.append((f"qr:{w}", lambda w=w: qr_job(w)))
+        for cond in qr_conds:
+            jobs.append((f"qr:{w}:c{cond:.0e}",
+                         lambda w=w, cond=cond: qr_job(w, cond)))
         jobs.append((f"rr:{w}", lambda w=w: rr_job(w)))
     jobs.append(("lanczos", lanczos_job))
     jobs.append(("aux", aux_jobs))
