@@ -87,12 +87,17 @@ def _warmup_pseudo(op, nev, nex, rcfg, max_workers):
     small_dense, qr_backend = _solver.resolve_small_dense(
         rcfg.small_dense_backend, not rcfg.is_double)
 
-    def qr_job():
+    def qr_job(cond):
         # the solve passes the QR backend here (solver_pseudo.py), NOT the
         # eigh backend — under 'auto' off-CPU for f64 those differ
-        # (host eigh / device CholQR) and the warmed program must match
-        out = qrops.orthonormalize_pseudo(V, nevex // 2, 10.0, rcfg,
+        # (host eigh / device CholQR) and the warmed program must match.
+        # locked=0 covers the initial QR; locked>0 adds only cheap
+        # gather/flip programs around the same CholQR chain.
+        out = qrops.orthonormalize_pseudo(V, nevex // 2, cond, rcfg,
                                           op.grid, small_dense=qr_backend)
+        out.block_until_ready()
+        out = qrops.orthonormalize_pseudo(V, 0, cond, rcfg, op.grid,
+                                          small_dense=qr_backend)
         out.block_until_ready()
 
     def rr_job():
@@ -119,7 +124,12 @@ def _warmup_pseudo(op, nev, nex, rcfg, max_workers):
         out.block_until_ready()
 
     jobs = [(f"h2-filter:{w}", lambda w=w: filter_job(w)) for w in widths]
-    jobs += [("pseudo-qr", qr_job), ("pencil-rr", rr_job),
+    # all three cond-driven CholQR chains (see the hermitian warmup)
+    qr_conds = (0.5 * rcfg.cholqr1_threshold, 2.0 * rcfg.cholqr1_threshold,
+                10.0 * rcfg.cholqr_shift_threshold)
+    jobs += [(f"pseudo-qr:c{c:.0e}", lambda c=c: qr_job(c))
+             for c in qr_conds]
+    jobs += [("pencil-rr", rr_job),
              ("s-lanczos", lanczos_job), ("aux", aux_job)]
     failed = 0
     with ThreadPoolExecutor(max_workers=max_workers) as ex:
