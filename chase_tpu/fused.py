@@ -432,12 +432,15 @@ def solve_fused(H, V0, *, nev, nex, tol, deg0, max_deg, deg_extra=2,
 
         # -- RR + residuals (masked full width) --
         Qm = jnp.where(active[None, :], V, jnp.zeros((), V.dtype))
-        # renormalize: upstream QR can leave eps_f32-level column-norm
-        # deficits on emulated-f64 backends, biasing Ritz values by λ·η
-        # (ops/rr._rr_project has the measurement)
-        qn = jnp.linalg.norm(Qm, axis=0).real.astype(rt)
-        Qm = Qm / jnp.where(qn > 0, qn, jnp.ones((), rt))[None, :].astype(
-            Qm.dtype)
+        if not is_sp:
+            # renormalize (64-bit only): upstream QR can leave
+            # eps_f32-level column-norm deficits on emulated-f64 backends,
+            # biasing Ritz values by λ·η.  SP skips it — the f32 norm
+            # reduction's own √N·eps rounding perturbs columns above the
+            # f32 floor (ops/rr._rr_project has both measurements).
+            qn = jnp.linalg.norm(Qm, axis=0).real.astype(rt)
+            Qm = Qm / jnp.where(qn > 0, qn,
+                                jnp.ones((), rt))[None, :].astype(Qm.dtype)
         W = jnp.matmul(H, Qm, precision=precision)
         A = jnp.matmul(Qm.conj().T, W, precision=precision)
         pad = 2 * jnp.linalg.norm(A).real.astype(rt) + 1

@@ -37,7 +37,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..types import real_dtype
+from ..types import real_dtype, is_double_base
 
 __all__ = ["rayleigh_ritz_residuals", "host_eigh_f64", "eigh_polished"]
 
@@ -134,19 +134,28 @@ def _pin_locked(A, active, rt):
 def _rr_project(H, V, locked, *, precision="highest"):
     """Device half 1: masked block, H·Q, pinned projected matrix.
 
-    The active columns are explicitly RENORMALIZED before projecting: a
-    column with ‖q‖² = 1 − η yields a Rayleigh quotient biased by λ·η —
-    measured on the sandbox accelerator, the emulated-f64 QR chain leaves
-    η ~ eps_f32 at N=8192 (an ill-scaled triangular-solve artifact), which
-    FROZE DP solves at |λ|·eps_f32 ≈ 1e-7·‖H‖ residuals (the round-2
-    "DP ladder size boundary").  Normalization is exact elementwise f64
-    work and makes RR immune to any upstream normalization sloppiness."""
+    For 64-bit problems the active columns are explicitly RENORMALIZED
+    before projecting: a column with ‖q‖² = 1 − η yields a Rayleigh
+    quotient biased by λ·η — measured on the sandbox accelerator, the
+    emulated-f64 QR chain leaves η ~ eps_f32 at N=8192 (an ill-scaled
+    triangular-solve artifact), which FROZE DP solves at
+    |λ|·eps_f32 ≈ 1e-7·‖H‖ residuals (the round-2 "DP ladder size
+    boundary").  Normalization is exact elementwise f64 work and makes RR
+    immune to any upstream normalization sloppiness.
+
+    32-bit problems SKIP it: there the norm reduction itself carries
+    ~√N·eps_f32 rounding, and dividing by it perturbs every column ABOVE
+    the f32 floor the solve is converging toward (measured: +3 iterations
+    at the N=30000 north star, BENCH_NOTES round 3), while the η it would
+    remove is at the floor already."""
     k = V.shape[1]
     rt = real_dtype(V.dtype)
     active = jnp.arange(k) >= locked
     Q = jnp.where(active[None, :], V, jnp.zeros((), V.dtype))
-    nrm = jnp.linalg.norm(Q, axis=0).real.astype(rt)
-    Q = Q / jnp.where(nrm > 0, nrm, jnp.ones((), rt))[None, :].astype(Q.dtype)
+    if is_double_base(V.dtype):
+        nrm = jnp.linalg.norm(Q, axis=0).real.astype(rt)
+        Q = Q / jnp.where(nrm > 0, nrm,
+                          jnp.ones((), rt))[None, :].astype(Q.dtype)
     W = jnp.matmul(H, Q, precision=precision)            # H·Q (one big HEMM)
     A = jnp.matmul(Q.conj().T, W, precision=precision)   # QᴴHQ, k×k
     A, big = _pin_locked(A, active, rt)
