@@ -122,6 +122,13 @@ def _warmup_pseudo(op, nev, nex, rcfg, max_workers):
         src = jnp.arange(K2)
         out = ps.k_conjugate_cols(V, src, jnp.zeros(K2, bool))
         out.block_until_ready()
+        # the init-vector RNG + lower-half damping programs
+        # (solver_pseudo's random start, chase_cpu.hpp:310-321)
+        from .ops.blocks import scale_lower_rows
+        out = scale_lower_rows(
+            jax.random.normal(jax.random.key(rcfg.seed), (N, K2),
+                              dtype=op.dtype), 0.001)
+        out.block_until_ready()
 
     jobs = [(f"h2-filter:{w}", lambda w=w: filter_job(w)) for w in widths]
     # all three cond-driven CholQR chains (see the hermitian warmup)
