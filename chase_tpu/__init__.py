@@ -11,7 +11,7 @@ jax.sharding/GSPMD instead of MPI/NCCL/ScaLAPACK.
 
 from .api import (eigsh, eigsh_fused, eigsh_pseudo,  # noqa: F401
                   eigsh_pseudo_fused, eigsh_sequence,
-                  estimate_spectral_bounds)
+                  estimate_spectral_bounds, embed_complex_operator)
 from .config import ChaseConfig  # noqa: F401
 from .solver import solve, SolveResult  # noqa: F401
 from .parallel import DenseOperator, make_grid, Grid2D  # noqa: F401

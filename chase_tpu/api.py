@@ -27,7 +27,39 @@ from .solver import solve, SolveResult
 
 __all__ = ["eigsh", "eigsh_fused", "eigsh_pseudo",
            "eigsh_pseudo_fused", "eigsh_sequence", "EigshResult",
-           "estimate_spectral_bounds"]
+           "estimate_spectral_bounds", "embed_complex_operator"]
+
+
+def embed_complex_operator(H, *, grid=None,
+                           pseudo: bool = False) -> DenseOperator:
+    """Pre-embed a complex (pseudo-)Hermitian matrix for REPEATED
+    real-pair solves against the same operator.
+
+    ``eigsh``/``eigsh_pseudo`` called with a raw complex H re-embed and
+    re-place the (2N, 2N) real matrix on every call (measured: a "warm"
+    repeat at N=8192 spends most of its wall on the embedding + 1 GB
+    placement — BENCH_NOTES round 3).  This helper builds the embedded
+    real DenseOperator ONCE; passing it to eigsh/eigsh_fused (or
+    eigsh_pseudo/eigsh_pseudo_fused with ``pseudo=True``) with the
+    ordinary COMPLEX nev/nex reuses the device-resident J — the complex
+    analogue of the real DenseOperator serving pattern, and the input
+    ``chase_tpu.warmup`` expects for complex problems.
+    """
+    from .ops.realpair import embed_real, embed_real_pseudo
+    H = np.asarray(H)
+    if not np.issubdtype(H.dtype, np.complexfloating):
+        raise ValueError(f"embed_complex_operator is for complex matrices, "
+                         f"got {H.dtype} — pass real H to eigsh directly")
+    if pseudo:
+        Jp, P, d = embed_real_pseudo(H)
+        op = DenseOperator(Jp, grid=grid, pseudo_hermitian=True)
+        op.rp_perm, op.rp_d = P, d
+    else:
+        op = DenseOperator(embed_real(H), grid=grid)
+        op.rp_perm = op.rp_d = None
+    op.rp_n = H.shape[0]
+    op.rp_dtype = H.dtype
+    return op
 
 
 def _fused_small_dense(rcfg, grid: "Optional[Grid2D]" = None) -> str:
@@ -153,6 +185,10 @@ def eigsh(H, nev: int, nex: Optional[int] = None, *,
             res.ritzv_full = (-res.ritzv_full)[full[:len(res.ritzv_full)]]
         return res
 
+    if getattr(H, "rp_n", None):     # pre-embedded complex operator
+        return _eigsh_real_pair(None, nev, nex, cfg=cfg, v0=v0,
+                                ritzv0=ritzv0, grid=grid,
+                                collect_perf=collect_perf, key=key, op=H)
     if not isinstance(H, DenseOperator) and _use_real_pair(H, cfg):
         return _eigsh_real_pair(H, nev, nex, cfg=cfg, v0=v0, ritzv0=ritzv0,
                                 grid=grid, collect_perf=collect_perf,
@@ -182,24 +218,38 @@ def _use_real_pair(H, cfg) -> bool:
 
 def _eigsh_real_pair(H, nev, nex, *, cfg, v0=None, ritzv0=None, grid=None,
                      collect_perf=False, key=None,
-                     fused: bool = False) -> SolveResult:
+                     fused: bool = False, op=None) -> SolveResult:
     """Complex Hermitian solve via the real symplectic embedding
     (ops/realpair.py): the doubled real problem runs the full real solver
     stack (host driver or the fused one-dispatch program); the pair
-    structure collapses back to complex eigenpairs."""
+    structure collapses back to complex eigenpairs.  ``op``: a pre-built
+    embedded operator from :func:`embed_complex_operator` (skips the
+    per-call embedding + placement)."""
     from .ops.realpair import embed_real, embed_block, extract_pairs
     from .logger import get_logger
-    H = np.asarray(H)
-    N = H.shape[0]
-    get_logger().info(
-        f"complex {H.dtype} problem → real-pair embedding (2N={2*N}); "
-        f"set complex_backend='native' to force complex dtypes", "interface")
-    J = embed_real(H)
+    if op is None:
+        H = np.asarray(H)
+        N = H.shape[0]
+        get_logger().info(
+            f"complex {H.dtype} problem → real-pair embedding (2N={2*N}); "
+            f"set complex_backend='native' to force complex dtypes",
+            "interface")
+        op = DenseOperator(embed_real(H), grid=grid)
+    else:
+        if op.rp_perm is not None:
+            raise ValueError("this operator was embedded with pseudo=True — "
+                             "solve it with eigsh_pseudo/eigsh_pseudo_fused")
+        N = op.rp_n
     v0r = None if v0 is None else embed_block(np.asarray(v0))
-    op = DenseOperator(J, grid=grid)
     if fused:
-        res = eigsh_fused(op, 2 * nev, 2 * nex, config=cfg, v0=v0r,
-                          collect_perf=collect_perf, key=key)
+        # clear the embedding marker around the inner call: eigsh_fused
+        # would otherwise re-dispatch here forever
+        rp_n, op.rp_n = getattr(op, "rp_n", None), None
+        try:
+            res = eigsh_fused(op, 2 * nev, 2 * nex, config=cfg, v0=v0r,
+                              collect_perf=collect_perf, key=key)
+        finally:
+            op.rp_n = rp_n
     else:
         r0 = None if ritzv0 is None else np.repeat(np.asarray(ritzv0), 2)
         perf = PerfData() if collect_perf else None
@@ -224,7 +274,7 @@ def _eigsh_real_pair(H, nev, nex, *, cfg, v0=None, ritzv0=None, grid=None,
 
 def _eigsh_pseudo_real_pair(H, nev, nex, *, cfg, v0=None, ritzv0=None,
                             grid=None, collect_perf=False, key=None,
-                            fused: bool = False) -> SolveResult:
+                            fused: bool = False, op=None) -> SolveResult:
     """Complex pseudo-Hermitian (BSE) solve via the permuted symplectic
     embedding (ops/realpair.embed_real_pseudo): J' is a REAL BSE-form
     matrix of size 2N with every eigenvalue of H doubled, so the whole
@@ -236,12 +286,22 @@ def _eigsh_pseudo_real_pair(H, nev, nex, *, cfg, v0=None, ritzv0=None,
                                extract_pairs)
     from .solver_pseudo import solve_pseudo
     from .logger import get_logger
-    H = np.asarray(H)
-    N = H.shape[0]
-    get_logger().info(
-        f"complex {H.dtype} BSE problem → real-pair embedding (2N={2*N}); "
-        f"set complex_backend='native' to force complex dtypes", "interface")
-    Jp, P, d = embed_real_pseudo(H)
+    if op is None:
+        H = np.asarray(H)
+        N = H.shape[0]
+        get_logger().info(
+            f"complex {H.dtype} BSE problem → real-pair embedding "
+            f"(2N={2*N}); set complex_backend='native' to force complex "
+            f"dtypes", "interface")
+        Jp, P, d = embed_real_pseudo(H)
+        op = DenseOperator(Jp, grid=grid, pseudo_hermitian=True)
+        op.rp_perm, op.rp_d = P, d
+    else:
+        if op.rp_perm is None:
+            raise ValueError("this operator was embedded without "
+                             "pseudo=True — solve it with eigsh/eigsh_fused")
+        N = op.rp_n
+        P, d = op.rp_perm, op.rp_d
     invP = np.argsort(P)
     v0r = None
     if v0 is not None:
@@ -266,10 +326,16 @@ def _eigsh_pseudo_real_pair(H, nev, nex, *, cfg, v0=None, ritzv0=None,
             raise ValueError(
                 f"pseudo-Hermitian v0 must have nev+nex={k_half} or "
                 f"2(nev+nex)={k_full} columns, got {v0.shape[1]}")
-    op = DenseOperator(Jp, grid=grid, pseudo_hermitian=True)
     if fused:
-        res = eigsh_pseudo_fused(op, 2 * nev, 2 * nex, config=cfg, v0=v0r,
-                                 collect_perf=collect_perf, key=key)
+        # clear the embedding marker around the inner call (see
+        # _eigsh_real_pair's fused branch)
+        rp_n, op.rp_n = getattr(op, "rp_n", None), None
+        try:
+            res = eigsh_pseudo_fused(op, 2 * nev, 2 * nex, config=cfg,
+                                     v0=v0r, collect_perf=collect_perf,
+                                     key=key)
+        finally:
+            op.rp_n = rp_n
     else:
         r0 = None if ritzv0 is None else np.repeat(np.asarray(ritzv0), 2)
         perf = PerfData() if collect_perf else None
@@ -346,6 +412,10 @@ def eigsh_fused(H, nev: int, nex: Optional[int] = None, *,
     if tol is not None:
         import dataclasses as _dc
         cfg = _dc.replace(cfg, tol=tol)
+    if getattr(H, "rp_n", None):     # pre-embedded complex operator
+        return _eigsh_real_pair(None, nev, nex, cfg=cfg, v0=v0, grid=grid,
+                                collect_perf=collect_perf, key=key,
+                                fused=True, op=H)
     if not isinstance(H, DenseOperator) and _use_real_pair(H, cfg):
         return _eigsh_real_pair(H, nev, nex, cfg=cfg, v0=v0, grid=grid,
                                 collect_perf=collect_perf, key=key,
@@ -421,6 +491,10 @@ def eigsh_pseudo_fused(H, nev: int, nex: Optional[int] = None, *,
     if tol is not None:
         import dataclasses as _dc
         cfg = _dc.replace(cfg, tol=tol)
+    if getattr(H, "rp_n", None):     # pre-embedded complex BSE operator
+        return _eigsh_pseudo_real_pair(None, nev, nex, cfg=cfg, v0=v0,
+                                       grid=grid, collect_perf=collect_perf,
+                                       key=key, fused=True, op=H)
     if not isinstance(H, DenseOperator) and _use_real_pair(H, cfg):
         return _eigsh_pseudo_real_pair(H, nev, nex, cfg=cfg, v0=v0,
                                        grid=grid, collect_perf=collect_perf,
@@ -509,6 +583,11 @@ def eigsh_pseudo(H, nev: int, nex: Optional[int] = None, *,
         if approx:
             updates["approx"] = True
         cfg = dataclasses.replace(cfg, **updates)
+    if getattr(H, "rp_n", None):     # pre-embedded complex BSE operator
+        return _eigsh_pseudo_real_pair(None, nev, nex, cfg=cfg, v0=v0,
+                                       ritzv0=ritzv0, grid=grid,
+                                       collect_perf=collect_perf, key=key,
+                                       op=H)
     if not isinstance(H, DenseOperator) and _use_real_pair(H, cfg):
         return _eigsh_pseudo_real_pair(H, nev, nex, cfg=cfg, v0=v0,
                                        ritzv0=ritzv0, grid=grid,

@@ -265,3 +265,44 @@ def test_wide_f64_on_ignored_for_non_f64():
                                             complex_backend="native"))
     assert rc.converged
     np.testing.assert_allclose(rc.ritzv, lam[:8], atol=1e-7)
+
+
+def test_embed_complex_operator_reuse():
+    """Pre-embedded operator (serving reuse): two solves against the same
+    embedded op match the raw-H real-pair path, and the wrong-API guards
+    fire."""
+    N, nev, nex = 64, 6, 8
+    H, lam = _complex_hermitian(N, seed=11, dtype=np.complex64)
+    cfg = ChaseConfig(complex_backend="real_pair")
+    op = chase_tpu.embed_complex_operator(H)
+    for _ in range(2):                      # repeated solves, one embedding
+        res = chase_tpu.eigsh(op, nev, nex, tol=1e-5, config=cfg)
+        assert res.converged
+        np.testing.assert_allclose(res.ritzv, lam[:nev], atol=2e-5)
+        V = np.asarray(res.V)[:, :nev]
+        assert V.dtype == np.complex64
+        R = H @ V - V * res.ritzv[None, :].astype(np.complex64)
+        assert np.linalg.norm(R, axis=0).max() < 5e-4
+    # fused path reuses the same op
+    resf = chase_tpu.eigsh_fused(op, nev, nex, tol=1e-5, config=cfg)
+    np.testing.assert_allclose(resf.ritzv, lam[:nev], atol=2e-5)
+    # wrong API → clear error
+    with pytest.raises(ValueError, match="embedded without"):
+        chase_tpu.eigsh_pseudo(op, nev, nex)
+    with pytest.raises(ValueError, match="complex matrices"):
+        chase_tpu.embed_complex_operator(np.eye(8, dtype=np.float64))
+
+
+def test_embed_complex_operator_pseudo_reuse():
+    from chase_tpu.models import random_pseudo_hermitian
+    N, nev, nex = 64, 4, 6
+    H = np.asarray(random_pseudo_hermitian(N, dtype=np.complex64, seed=9))
+    pos = np.sort(np.linalg.eigvals(H).real)
+    pos = pos[pos > 0][:nev]
+    op = chase_tpu.embed_complex_operator(H, pseudo=True)
+    for _ in range(2):
+        res = chase_tpu.eigsh_pseudo(op, nev, nex, tol=1e-4)
+        assert res.converged
+        np.testing.assert_allclose(np.asarray(res.ritzv), pos, atol=1e-3)
+    with pytest.raises(ValueError, match="embedded with pseudo"):
+        chase_tpu.eigsh(op, nev, nex)
