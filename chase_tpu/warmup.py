@@ -187,10 +187,23 @@ def warmup(H, nev: int, nex: Optional[int] = None, *, config=None,
     Returns a dict: {"programs": n_jobs, "failed": n_failed, "widths": [...]}.
     """
     cfg = config or ChaseConfig()
-    op = H if isinstance(H, DenseOperator) else DenseOperator(H, grid=grid)
-    rcfg = cfg.resolve(op.dtype)
     if nex is None:
         nex = max(1, int(0.4 * nev))
+    if not isinstance(H, DenseOperator):
+        from .api import _use_real_pair, embed_complex_operator
+        if _use_real_pair(H, cfg):
+            # the solve would route this complex problem through the
+            # real-pair embedding — warming the native complex programs
+            # would compile a set the solve never runs.  Warm the embedded
+            # REAL problem instead (same shapes/shardings → the executable
+            # cache serves the solve's own embedding).  For a complex BSE
+            # problem pass embed_complex_operator(H, pseudo=True) yourself
+            # (a raw matrix does not carry pseudo-ness).
+            op = embed_complex_operator(H, grid=grid)
+            return warmup(op, 2 * nev, 2 * nex, config=config, grid=grid,
+                          max_workers=max_workers, fused=fused)
+    op = H if isinstance(H, DenseOperator) else DenseOperator(H, grid=grid)
+    rcfg = cfg.resolve(op.dtype)
     nevex = nev + nex
     N = op.N
     log = get_logger()
