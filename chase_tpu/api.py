@@ -505,8 +505,10 @@ def eigsh_pseudo_fused(H, nev: int, nex: Optional[int] = None, *,
     tol = rcfg.tol
     if rcfg.bf16_filter:
         from .logger import get_logger
-        get_logger().warn("bf16_filter is not supported for pseudo-Hermitian "
-                          "solves (no bf16 rung in the H² filter) — ignoring")
+        get_logger().warn("bf16_filter is not supported by the FUSED "
+                          "pseudo-Hermitian driver (no in-graph H² rung "
+                          "switch yet) — ignoring; the host driver "
+                          "(eigsh_pseudo) supports it")
     if key is None:
         key = jax.random.key(rcfg.seed)
     K2 = 2 * (nev + nex)

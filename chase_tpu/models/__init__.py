@@ -2,5 +2,5 @@
 
 from .generators import (  # noqa: F401
     clement, clement_eigenvalues, random_hermitian, random_pseudo_hermitian,
-    hermitian_sequence,
+    structured_pseudo_hermitian, hermitian_sequence,
 )

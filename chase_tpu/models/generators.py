@@ -13,7 +13,8 @@ from __future__ import annotations
 import numpy as np
 
 __all__ = ["clement", "random_hermitian", "random_pseudo_hermitian",
-           "hermitian_sequence", "clement_eigenvalues"]
+           "structured_pseudo_hermitian", "hermitian_sequence",
+           "clement_eigenvalues"]
 
 
 def clement(N: int, dtype=np.float64) -> np.ndarray:
@@ -95,6 +96,52 @@ def random_pseudo_hermitian(N: int, dtype=np.complex128, seed: int = 0,
     H[n:, :n] = -np.conj(B)
     H[n:, n:] = -np.conj(A)
     return H.astype(dtype)
+
+
+def structured_pseudo_hermitian(N: int, dtype=np.float64, seed: int = 0,
+                                gap: float = 1.0, coupling: float = 0.5,
+                                spread: float = 2.0):
+    """BSE-structured pseudo-Hermitian matrix with an EXACT known spectrum
+    (the scale-benchmark analogue of the Clement matrix: at N where a direct
+    eigendecomposition is impractical, correctness is still checkable).
+
+        H = [[A, B], [-B, -A]],   A = Q diag(a) Qᵀ,  B = Q diag(b) Qᵀ
+
+    with one shared orthogonal eigenbasis Q, so (A−B)(A+B) = Q diag(a²−b²) Qᵀ
+    and H's spectrum is EXACTLY ±√(a²−b²) (the standard BSE product-form
+    reduction; the reference checks its BSE fixtures against a stored direct
+    spectrum the same way, tests/chase_serial_solve_pseudo_bse_test.cpp:56-80).
+    ``a = gap + spread·(i+u_i)/n`` keeps M = S·H positive definite
+    (beyond-Tamm-Dancoff stable) as long as |b| < a, which
+    ``b = coupling·gap·u`` with coupling < 1 guarantees.
+
+    Real dtypes only (the on-accelerator benchmark path; complex coverage
+    uses :func:`random_pseudo_hermitian` + the real-pair embedding).
+
+    Returns (H, lam) — lam the exact positive eigenvalues, ascending.
+    """
+    if N % 2:
+        raise ValueError("pseudo-Hermitian test matrices need even N")
+    if np.issubdtype(np.dtype(dtype), np.complexfloating):
+        raise ValueError("structured_pseudo_hermitian is real-only")
+    if not 0 <= coupling < 1:
+        raise ValueError("need 0 <= coupling < 1 for a stable (HPD S·H) BSE")
+    n = N // 2
+    rng = np.random.default_rng(seed)
+    Q, _ = np.linalg.qr(rng.standard_normal((n, n)))
+    a = gap + spread * (np.arange(n) + rng.random(n)) / n
+    b = coupling * gap * (2.0 * rng.random(n) - 1.0)
+    A = (Q * a) @ Q.T
+    A = (A + A.T) / 2
+    B = (Q * b) @ Q.T
+    B = (B + B.T) / 2
+    H = np.zeros((N, N), np.float64)
+    H[:n, :n] = A
+    H[:n, n:] = B
+    H[n:, :n] = -B
+    H[n:, n:] = -A
+    lam = np.sort(np.sqrt(a * a - b * b))
+    return H.astype(dtype), lam
 
 
 def hermitian_sequence(N: int, count: int, dtype=np.complex128, seed: int = 0,

@@ -100,7 +100,10 @@ def chebyshev_filter(H, X, degrees, lam1, lower, upper, deg_max, *,
 
     deg_max = jnp.asarray(deg_max, jnp.int32)
     _, Y, _ = jax.lax.fori_loop(2, deg_max + 1, body, (Xc, Y, sigma1))
-    return Y.astype(out_dtype)
+    # degree-0 (locked/padding) columns bit-exact: a reduced carry (the
+    # f64→f32 mixed-precision rung) must not round-trip untouched
+    # problem-dtype columns through the carry dtype
+    return jnp.where(degrees[None, :] >= 1, Y.astype(out_dtype), X)
 
 
 # -- deviation-form refinement filter (the DP-tolerance ladder) -------------

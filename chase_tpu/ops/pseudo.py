@@ -76,7 +76,23 @@ def k_conjugate_cols(V, src_idx, write_mask):
 
 
 def _h2_shift(H, X, c, precision):
-    """(H² − c·I) @ X via two matmuls (HEMM_H2 with γ = −αc folded)."""
+    """(H² − c·I) @ X via two matmuls (HEMM_H2 with γ = −αc folded).
+
+    When H is stored in a narrower dtype than the carry X (the bf16 storage
+    rung for f32 BSE problems, or the f32 mixed-precision shadow of a DP
+    problem — P10 on the pseudo path), both matmuls take reduced-precision
+    inputs but accumulate in X's dtype on the MXU
+    (``preferred_element_type``), exactly like ops.filter._hemm_shift.  The
+    intermediate H·X is rounded back to H's dtype for the second product;
+    the step error is O(eps_low·‖H‖²·‖X‖) — the same RELATIVE scale vs the
+    H²-spectrum bound b_sup as the Hermitian rung's eps_low·‖H‖ vs upperb.
+    """
+    if H.dtype != X.dtype:
+        W = jnp.matmul(H, X.astype(H.dtype), precision=precision,
+                       preferred_element_type=X.dtype)
+        HX = jnp.matmul(H, W.astype(H.dtype), precision=precision,
+                        preferred_element_type=X.dtype)
+        return HX - c * X
     return jnp.matmul(H, jnp.matmul(H, X, precision=precision),
                       precision=precision) - c * X
 
@@ -88,10 +104,15 @@ def chebyshev_filter_h2(H, X, degrees, lam1, lower, upper, deg_max, *,
 
     ``lam1/lower/upper`` are H²-spectrum quantities (μ₁, μ_nev+nex, b_sup).
     No shift of H: the interval shift is folded into the matmul epilogue.
+    H may be a reduced-precision shadow (mixed precision / bf16 rung): the
+    recurrence carry follows ``filter_carry_dtype`` with reduced-input
+    matmuls accumulating in the carry dtype (see :func:`_h2_shift`).
     """
+    from ..types import filter_carry_dtype
     out_dtype = X.dtype
-    rt = real_dtype(H.dtype)
-    Xc = X.astype(H.dtype)
+    carry_dt = filter_carry_dtype(H.dtype, X.dtype)
+    rt = real_dtype(carry_dt)
+    Xc = X.astype(carry_dt)
 
     lam1 = jnp.asarray(lam1, rt)
     lo = jnp.minimum(jnp.asarray(lower, rt), jnp.asarray(upper, rt))
@@ -116,7 +137,9 @@ def chebyshev_filter_h2(H, X, degrees, lam1, lower, upper, deg_max, *,
 
     deg_max = jnp.asarray(deg_max, jnp.int32)
     _, Y, _ = jax.lax.fori_loop(2, deg_max + 1, body, (Xc, Y, sigma1))
-    return Y.astype(out_dtype)
+    # degree-0 (locked/padding) columns bit-exact: a reduced carry must not
+    # round-trip untouched problem-dtype columns through the carry dtype
+    return jnp.where(degrees[None, :] >= 1, Y.astype(out_dtype), X)
 
 
 @partial(jax.jit, static_argnames=("m", "precision", "want_basis"))

@@ -543,13 +543,16 @@ def chebyshev_filter_h2_ring(grid, H, X, degrees, lam1, lower, upper,
     software-pipelined ring; the interval shift is folded into the epilogue
     exactly like ops.pseudo.chebyshev_filter_h2 (no shift of H).  The
     filter itself involves no S-metric work, so the ring needs no
-    half-split awareness.  H in P(axis, None), X in P(axis)."""
-    from ..types import real_dtype as _rdt
+    half-split awareness.  H in P(axis, None), X in P(axis).  H may be a
+    reduced-precision shadow (mixed precision / bf16 rung): the carry
+    follows ``filter_carry_dtype`` like the Hermitian ring."""
+    from ..types import filter_carry_dtype, real_dtype as _rdt
 
     mesh = grid.mesh
     p = mesh.shape[axis]
     out_dtype = X.dtype
-    rt = _rdt(H.dtype)
+    carry_dt = filter_carry_dtype(H.dtype, X.dtype)
+    rt = _rdt(carry_dt)
 
     lam1 = jnp.asarray(lam1, rt)
     lo = jnp.minimum(jnp.asarray(lower, rt), jnp.asarray(upper, rt))
@@ -561,10 +564,10 @@ def chebyshev_filter_h2_ring(grid, H, X, degrees, lam1, lower, upper,
 
     def local(h, x, degs):
         x0 = x
-        x = x.astype(h.dtype)
+        x = x.astype(carry_dt)
 
         def ring_dot(v):
-            return _ring_dot_1d(h, v, axis=axis, p=p, acc_dt=h.dtype,
+            return _ring_dot_1d(h, v, axis=axis, p=p, acc_dt=carry_dt,
                                 precision=precision)
 
         def h2_shift(v):
@@ -603,8 +606,9 @@ def chebyshev_filter_h2_ring2d(grid, H, X, degrees, lam1, lower, upper,
     pr = mesh.shape["r"]
     pc = mesh.shape["c"]
     out_dtype = X.dtype
-    from ..types import real_dtype as _rdt
-    rt = _rdt(H.dtype)
+    from ..types import filter_carry_dtype, real_dtype as _rdt
+    carry_dt = filter_carry_dtype(H.dtype, X.dtype)
+    rt = _rdt(carry_dt)
 
     lam1 = jnp.asarray(lam1, rt)
     lo = jnp.minimum(jnp.asarray(lower, rt), jnp.asarray(upper, rt))
@@ -619,8 +623,8 @@ def chebyshev_filter_h2_ring2d(grid, H, X, degrees, lam1, lower, upper,
         i = jax.lax.axis_index("r")
         j = jax.lax.axis_index("c")
         x0 = x
-        x = x.astype(h.dtype)
-        ringA2, ringB2 = _ring2d_pair(pr, pc, h.dtype, precision)
+        x = x.astype(carry_dt)
+        ringA2, ringB2 = _ring2d_pair(pr, pc, carry_dt, precision)
         ring_A = lambda v: ringA2(h, v)    # noqa: E731
         # ring_B computes Hᴴ·v for a parity-B block (Hermitian-schedule step)
         ring_B = lambda v: ringB2(h, v)    # noqa: E731

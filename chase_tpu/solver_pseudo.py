@@ -24,7 +24,7 @@ import numpy as np
 from .config import ChaseConfig
 from .logger import get_logger
 from .perf import PerfData
-from .types import is_double_base
+from .types import is_complex_dtype, is_double_base
 from .parallel.operator import DenseOperator
 from .solver import SolveResult, _col_block
 from .ops.blocks import (permute_cols, slice_cols, update_cols,
@@ -179,9 +179,6 @@ def solve_pseudo(op: DenseOperator, nev: int, nex: int,
         raise ValueError(f"nev+nex = {nevex} exceeds N/2 = {N // 2}")
     precision = rcfg.matmul_precision
     is_sp = not is_double_base(op.dtype)
-    if rcfg.bf16_filter:
-        log.warn("bf16_filter is not supported for pseudo-Hermitian solves "
-                 "(no bf16 rung in the H² filter) — ignoring the flag")
     from .solver import resolve_small_dense
     small_dense, qr_backend = resolve_small_dense(
         rcfg.small_dense_backend, is_sp)
@@ -387,6 +384,26 @@ def solve_pseudo(op: DenseOperator, nev: int, nex: int,
         offset = locked - start
         deg_win = np.zeros(w_pad, np.int32)
         deg_win[offset:] = degrees[act]
+        # Mixed-precision ladder (P10) on the BSE path: while the active
+        # block is far from converged the H² recurrence takes a reduced-
+        # precision H.  f32 problems: the bf16 storage rung — bf16 matmul
+        # inputs, f32 MXU accumulation, carry stays f32
+        # (ops/pseudo._h2_shift).  64-bit problems: the f32/c64 shadow
+        # (whole recurrence in the reduced dtype) — the reference's DP→SP
+        # filter switch (chase_cpu.hpp:384-447) applied to HEMM_H2.
+        # Gates mirror solver.py: residuals are H-space (‖Hv−λv‖), so the
+        # bf16 relative gate scales by |λ|_max ≈ √b_sup.
+        min_resid = (float(np.min(resid[locked:nev])) if locked < nev
+                     else 0.0)
+        spec_scale = float(np.sqrt(max(b_sup, 0.0)))
+        use_bf16 = (rcfg.bf16_filter and is_sp and locked < nev
+                    and not is_complex_dtype(op.dtype)
+                    and min_resid > rcfg.bf16_filter_threshold * spec_scale)
+        use_low = (not use_bf16 and rcfg.mixed_precision and not is_sp
+                   and locked < nev
+                   and min_resid > rcfg.mixed_precision_threshold)
+        H_f = op.H_low if (use_bf16 or use_low) else op.H
+        f_precision = "default" if use_bf16 else precision
         X = slice_cols(V, jnp.int32(start), w_pad)
         if ring_mode is not None:
             # H² filter as the ring collective matmul (P11 on the BSE
@@ -396,21 +413,23 @@ def solve_pseudo(op: DenseOperator, nev: int, nex: int,
                                         chebyshev_filter_h2_ring2d)
             ring_fn = (chebyshev_filter_h2_ring if ring_mode == "1d"
                        else chebyshev_filter_h2_ring2d)
-            X = ring_fn(op.grid, op.H, X, jnp.asarray(deg_win),
+            X = ring_fn(op.grid, H_f, X, jnp.asarray(deg_win),
                         np.asarray(lambda_1, op.real_dtype),
                         np.asarray(lower, op.real_dtype),
                         np.asarray(b_sup, op.real_dtype),
-                        jnp.int32(int(deg_win.max())), precision=precision)
+                        jnp.int32(int(deg_win.max())),
+                        precision=f_precision)
         else:
             X = ps.chebyshev_filter_h2(
-                op.H, X, jnp.asarray(deg_win),
+                H_f, X, jnp.asarray(deg_win),
                 np.asarray(lambda_1, op.real_dtype),
                 np.asarray(lower, op.real_dtype),
                 np.asarray(b_sup, op.real_dtype),
-                jnp.int32(int(deg_win.max())), precision=precision)
+                jnp.int32(int(deg_win.max())), precision=f_precision)
         V = update_cols(V, X, jnp.int32(start))
         if perf is not None:
-            perf.add_filtered_vecs(2 * int(np.sum(degrees[act])))
+            perf.add_filtered_vecs(2 * int(np.sum(degrees[act])),
+                                   low=use_bf16 or use_low)
             perf.add_iter_blocksize(u)
         t0 = toc("Filter", t0, V)
 

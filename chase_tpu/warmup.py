@@ -68,20 +68,30 @@ def _warmup_pseudo(op, nev, nex, rcfg, max_workers):
     ring_mode = (_solver._ring_mode(op.grid, N)
                  if rcfg.ring_filter is not False else None)
 
-    def filter_job(w_pad):
+    is_sp = not rcfg.is_double
+    is_cplx = np.issubdtype(np.dtype(op.dtype), np.complexfloating)
+    # mirror solver_pseudo's mixed-precision ladder: the bf16 storage rung
+    # (f32 problems) or the f32/c64 shadow (64-bit problems) compiles a
+    # second filter program per width
+    low_rung = (rcfg.bf16_filter and is_sp and not is_cplx) or \
+        (rcfg.mixed_precision and not is_sp)
+
+    def filter_job(w_pad, low=False):
         deg_win = np.full(w_pad, 2, np.int32)
         X = slice_cols(V, jnp.int32(0), w_pad)
+        H_f = op.H_low if low else op.H
+        f_precision = "default" if (low and is_sp) else precision
         if ring_mode is not None:
             from .parallel.ring import (chebyshev_filter_h2_ring,
                                         chebyshev_filter_h2_ring2d)
             fn = (chebyshev_filter_h2_ring if ring_mode == "1d"
                   else chebyshev_filter_h2_ring2d)
-            out = fn(op.grid, op.H, X, jnp.asarray(deg_win), 0.5, 1.0,
-                     4.0 * N * N, jnp.int32(2), precision=precision)
+            out = fn(op.grid, H_f, X, jnp.asarray(deg_win), 0.5, 1.0,
+                     4.0 * N * N, jnp.int32(2), precision=f_precision)
         else:
             out = ps.chebyshev_filter_h2(
-                op.H, X, jnp.asarray(deg_win), 0.5, 1.0, 4.0 * N * N,
-                jnp.int32(2), precision=precision)
+                H_f, X, jnp.asarray(deg_win), 0.5, 1.0, 4.0 * N * N,
+                jnp.int32(2), precision=f_precision)
         out.block_until_ready()
 
     small_dense, qr_backend = _solver.resolve_small_dense(
@@ -131,6 +141,9 @@ def _warmup_pseudo(op, nev, nex, rcfg, max_workers):
         out.block_until_ready()
 
     jobs = [(f"h2-filter:{w}", lambda w=w: filter_job(w)) for w in widths]
+    if low_rung:
+        jobs += [(f"h2-filter-low:{w}", lambda w=w: filter_job(w, low=True))
+                 for w in widths]
     # all three cond-driven CholQR chains (see the hermitian warmup)
     qr_conds = (0.5 * rcfg.cholqr1_threshold, 2.0 * rcfg.cholqr1_threshold,
                 10.0 * rcfg.cholqr_shift_threshold)

@@ -198,3 +198,94 @@ def test_pseudo_solver_host_small_dense_e2e():
     exact = np.linalg.eigvals(np.asarray(H, np.float64))
     pos = np.sort(exact.real[exact.real > 0])[:6]
     np.testing.assert_allclose(res.ritzv, pos, atol=1e-6)
+
+
+def test_filter_h2_bf16_rung_matches_f32():
+    """The bf16 storage rung of the H² filter (bf16 matmul inputs, f32
+    carry/accumulation — ops/pseudo._h2_shift) applies the same polynomial
+    to bf16-input accuracy.  Reference baseline: the same bf16-rounded
+    operator run through the all-f32 path, isolating the reduced-input
+    arithmetic from the operator rounding itself."""
+    N = 128
+    H32 = np.asarray(random_pseudo_hermitian(N, dtype=np.float64, seed=7),
+                     np.float32)
+    Hbf = jnp.asarray(H32, jnp.bfloat16)
+    Hrt = jnp.asarray(np.asarray(Hbf, np.float32))     # bf16-rounded, f32
+    rng = np.random.default_rng(0)
+    X = np.asarray(rng.standard_normal((N, 6)), np.float32)
+    deg = jnp.asarray(np.array([0, 1, 4, 8, 8, 8], np.int32))
+    ev2 = np.sort(np.linalg.eigvals(H32.astype(np.float64)).real ** 2)
+    args = (deg, float(ev2[0]), float(ev2[N // 3]),
+            float(ev2[-1] * 1.01), jnp.int32(8))
+    Yref = np.asarray(chebyshev_filter_h2(Hrt, jnp.asarray(X), *args))
+    Ybf = np.asarray(chebyshev_filter_h2(Hbf, jnp.asarray(X), *args))
+    assert Ybf.dtype == np.float32                     # carry stays f32
+    # degree-0 column untouched bit-exactly
+    np.testing.assert_array_equal(Ybf[:, 0], X[:, 0])
+    err = np.linalg.norm(Ybf - Yref) / np.linalg.norm(Yref)
+    assert err < 0.05, err
+
+
+def test_bse_solve_bf16_filter():
+    """f32 BSE solve with the bf16 storage rung (P10 on the pseudo path)
+    reaches the same SP tolerance; the rung runs only the far-from-converged
+    iterations (perf counts low-precision filter FLOPs)."""
+    N, nev, nex = 200, 10, 8
+    H = random_pseudo_hermitian(N, dtype=np.float32, seed=5)
+    pos = _positive_spectrum(H, nev)
+    tol = E2E_TOL[np.dtype(np.float32)]
+    cfg = chase_tpu.ChaseConfig(bf16_filter=True)
+    res = chase_tpu.eigsh_pseudo(H, nev, nex, tol=tol, config=cfg,
+                                 collect_perf=True)
+    assert res.converged
+    scale = max(1.0, float(pos[-1]))
+    np.testing.assert_allclose(res.ritzv, pos, atol=tol * scale * 100)
+    V = np.asarray(res.V)[:, :nev]
+    R = H @ V - V * res.ritzv[None, :].astype(V.dtype)
+    assert np.linalg.norm(R, axis=0).max() < tol * scale * 100
+    assert res.perf.filtered_vecs_low > 0
+
+
+def test_bse_solve_mixed_precision_dp():
+    """f64 BSE with the f32 H² shadow (the reference's DP→SP filter switch,
+    chase_cpu.hpp:384-447, applied to HEMM_H2) still converges to DP
+    tolerance — the shadow disengages once residuals cross
+    mixed_precision_threshold."""
+    N, nev, nex = 200, 10, 8
+    H = random_pseudo_hermitian(N, dtype=np.float64, seed=5)
+    pos = _positive_spectrum(H, nev)
+    cfg = chase_tpu.ChaseConfig(mixed_precision=True)
+    res = chase_tpu.eigsh_pseudo(H, nev, nex, tol=1e-9, config=cfg,
+                                 collect_perf=True)
+    assert res.converged
+    np.testing.assert_allclose(res.ritzv, pos, atol=1e-6)
+    V = np.asarray(res.V)[:, :nev]
+    R = H @ V - V * res.ritzv[None, :]
+    assert np.linalg.norm(R, axis=0).max() < 1e-7
+    assert res.perf.filtered_vecs_low > 0
+
+
+def test_structured_pseudo_generator_exact_spectrum():
+    """structured_pseudo_hermitian's closed-form spectrum matches a direct
+    eigendecomposition (the property the scale benchmarks rely on)."""
+    from chase_tpu.models import structured_pseudo_hermitian
+    H, lam = structured_pseudo_hermitian(120, seed=3)
+    S = np.diag(np.concatenate([np.ones(60), -np.ones(60)]))
+    np.testing.assert_allclose(S @ H @ S, H.T, atol=1e-12)  # pseudo-Herm
+    ev = np.linalg.eigvals(H)
+    assert np.abs(ev.imag).max() < 1e-10
+    pos = np.sort(ev.real[ev.real > 0])
+    np.testing.assert_allclose(pos, lam, atol=1e-10)
+    # M = S·H positive definite (stable BSE)
+    assert np.linalg.eigvalsh((S @ H + H.T @ S) / 2).min() > 0
+
+
+def test_bse_solve_structured_exact():
+    """e2e on the exact-spectrum BSE generator (what the scale benchmark
+    checks against on-chip)."""
+    from chase_tpu.models import structured_pseudo_hermitian
+    N, nev, nex = 240, 12, 8
+    H, lam = structured_pseudo_hermitian(N, dtype=np.float64, seed=11)
+    res = chase_tpu.eigsh_pseudo(H, nev, nex, tol=1e-9)
+    assert res.converged
+    np.testing.assert_allclose(res.ritzv, lam[:nev], atol=1e-7)

@@ -551,3 +551,60 @@ def test_pallas_ring_backend_dispatch(monkeypatch):
     res2 = chase_tpu.eigsh(np.asarray(clement(512), np.float32), 10, 10,
                            tol=1e-3, config=cfg, grid=grid2d)
     assert res2.converged and len(calls) == 0
+
+
+@pytest.mark.parametrize("shape", [(8, 1), (4, 2)], ids=["1d", "2d"])
+def test_h2_ring_bf16_rung_matches_flat(shape):
+    """The H² rings with a bf16 H shadow (reduced matmul inputs, f32 carry
+    via filter_carry_dtype) match the flat bf16 H² filter to f32-reduction-
+    order tolerance, and keep degree-0 columns bit-exact."""
+    import chase_tpu
+    from chase_tpu.ops import pseudo as ps
+    from chase_tpu.models import random_pseudo_hermitian
+    from chase_tpu.parallel.ring import (chebyshev_filter_h2_ring,
+                                         chebyshev_filter_h2_ring2d)
+
+    N, w = 128, 10
+    H = np.asarray(random_pseudo_hermitian(N, dtype=np.float64, seed=0),
+                   np.float32)
+    rng = np.random.default_rng(1)
+    X = np.asarray(np.linalg.qr(rng.standard_normal((N, w)))[0], np.float32)
+    degrees = np.asarray([0, 0, 4, 4, 6, 6, 8, 8, 10, 10], np.int32)
+    lam1, lo, up = 0.5, 2.0, 30.0
+    Hbf = jnp.asarray(H, jnp.bfloat16)
+
+    Y_flat = ps.chebyshev_filter_h2(
+        Hbf, jnp.asarray(X), jnp.asarray(degrees),
+        lam1, lo, up, jnp.int32(10), precision="default")
+
+    grid = chase_tpu.make_grid(jax.devices(), shape=shape)
+    Hs = jax.device_put(Hbf, grid.sharding("r", "c"))
+    ring_fn = (chebyshev_filter_h2_ring if shape[1] == 1
+               else chebyshev_filter_h2_ring2d)
+    Y_ring = ring_fn(grid, Hs, jnp.asarray(X), jnp.asarray(degrees),
+                     lam1, lo, up, jnp.int32(10), precision="default")
+    assert np.asarray(Y_ring).dtype == np.float32     # carry stayed f32
+    # the ring rounds the circulating chunk to bf16 per BLOCK while the
+    # flat path rounds whole intermediates — eps_bf16-scale differences
+    np.testing.assert_allclose(np.asarray(Y_ring), np.asarray(Y_flat),
+                               rtol=0, atol=1e-4 * np.abs(Y_flat).max())
+    np.testing.assert_array_equal(np.asarray(Y_ring)[:, :2], X[:, :2])
+
+
+def test_pseudo_solver_ring_bf16_e2e():
+    """Sharded f32 BSE solve with the bf16 H² rung riding the ring filter
+    (ring x pseudo x P10 composition) matches the direct spectrum."""
+    import chase_tpu
+    from chase_tpu.models import random_pseudo_hermitian
+
+    grid = chase_tpu.make_grid(jax.devices(), shape=(4, 2))
+    N, nev, nex = 128, 6, 6
+    H = np.asarray(random_pseudo_hermitian(N, dtype=np.float32, seed=2))
+    cfg = chase_tpu.ChaseConfig(bf16_filter=True)
+    res = chase_tpu.eigsh_pseudo(H, nev, nex, tol=1e-4, config=cfg,
+                                 grid=grid, collect_perf=True)
+    assert res.converged
+    full = np.sort(np.linalg.eigvals(H.astype(np.float64)).real)
+    pos = full[full > 0][:nev]
+    np.testing.assert_allclose(res.ritzv, pos, atol=1e-3)
+    assert res.perf.filtered_vecs_low > 0
