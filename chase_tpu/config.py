@@ -46,7 +46,16 @@ class ChaseConfig:
     max_deg: Optional[int] = None        # degree cap (36 DP / 18 SP)
     deg_extra: int = 2                   # configuration.hpp:176
     optimization: bool = True            # per-vector degree optimization ('S' mode)
-    mixed_precision: bool = False        # SP filter inside DP solve (P10)
+    # SP filter inside a DP solve (P10).  None (default) = AUTO: engage for
+    # 64-bit problems on backends WITHOUT an f64 matmul unit (everything but
+    # CPU) — there the "full-precision" filter is emulated-f64 (slow
+    # compiles, N-growing error, BENCH_NOTES round 3) while the deviation-
+    # form refinement ladder (refine_filter) is validated to the f64 floor,
+    # so the ladder is the safe default, like the reference's
+    # QR_DOUBLE_PRECISION default-ON (CMakeLists.txt:52).  True/False force;
+    # env CHASE_MIXED_PRECISION=0/1 overrides.  SP problems are never
+    # auto-engaged (the bf16 rung stays opt-in via bf16_filter).
+    mixed_precision: Optional[bool] = None
     mixed_precision_threshold: float = 1e-3  # chase_cpu.hpp:395 resid cutoff
     # bf16 storage rung for f32 problems: while the active block's residual
     # exceeds bf16_filter_threshold * upperb (i.e. relative to the spectral
@@ -156,13 +165,18 @@ class ChaseConfig:
     # faster to XLA-compile than the emulated-f64 dot at N=8192 (measured,
     # BENCH_NOTES round 3).  "on" forces it for every off-CPU f64 solve;
     # "off" keeps the backend's emulated-f64 dot.
-    # Auto engages for wide_f64_min_n <= N <= wide_f64_max_n: below the
-    # window the emulated dot compiles fine; above it the L bf16 slice
-    # copies (~L*N^2*2 bytes, L~11-14) no longer fit a 16 GB chip next to
-    # H itself — "on" overrides both bounds.
+    # Auto engages for wide_f64_min_n <= N and while the sliced operator
+    # state fits device memory: below the window the emulated dot compiles
+    # fine; above it the L bf16 slice copies + f32 shadow
+    # ((2L+4)·N²/grid_size bytes, L~11-14) no longer fit next to the
+    # multivectors.  wide_f64_max_n=None (default) derives the upper bound
+    # from the accelerator's reported per-device memory and the grid size
+    # (solver.wide_fits — a grid-sharded slice stack scales the bound by
+    # √devices, so multi-chip DP at N=30000+ can engage); an int forces an
+    # explicit cap; "on" overrides both bounds.
     wide_f64: str = "auto"
     wide_f64_min_n: int = 8192
-    wide_f64_max_n: int = 16500
+    wide_f64_max_n: Optional[int] = None
     # Complex Hermitian problems on accelerators: "real_pair" solves the
     # real symplectic embedding J = [[Hr,-Hi],[Hi,Hr]] with purely real
     # device arithmetic (ops/realpair.py) — required on backends without
@@ -193,6 +207,13 @@ class ChaseConfig:
         bf16_filter = self.bf16_filter
         if os.environ.get("CHASE_BF16_FILTER"):
             bf16_filter = bool(int(os.environ["CHASE_BF16_FILTER"]))
+        mixed_precision = self.mixed_precision
+        if os.environ.get("CHASE_MIXED_PRECISION"):
+            mixed_precision = bool(int(os.environ["CHASE_MIXED_PRECISION"]))
+        if mixed_precision is None:
+            # auto: the DP ladder whenever the backend emulates f64
+            import jax as _jax
+            mixed_precision = is_dp and _jax.default_backend() != "cpu"
         refine_filter = self.refine_filter
         if os.environ.get("CHASE_REFINE_FILTER"):
             refine_filter = bool(int(os.environ["CHASE_REFINE_FILTER"]))
@@ -215,6 +236,7 @@ class ChaseConfig:
             cholqr_shift_threshold=float(chol_upper),
             save_residuals=save_residuals,
             bf16_filter=bf16_filter,
+            mixed_precision=mixed_precision,
             refine_filter=refine_filter,
             qr_check_ortho=qr_check_ortho,
             eigh_polish=eigh_polish,
@@ -237,6 +259,7 @@ class ResolvedConfig:
     cholqr_shift_threshold: float
     save_residuals: Optional[str] = None
     bf16_filter: bool = False
+    mixed_precision: bool = False        # resolved (None = auto in the base)
     refine_filter: bool = True
     qr_check_ortho: bool = False
     eigh_polish: Optional[int] = None    # None = precision default (DP 2 / SP 0)

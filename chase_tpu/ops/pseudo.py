@@ -32,7 +32,8 @@ from ..types import real_dtype
 __all__ = [
     "flip_lower_half", "apply_s", "chebyshev_filter_h2", "k_conjugate_cols",
     "lanczos_scan_pseudo", "rayleigh_ritz_residuals_pseudo",
-    "flip_locked_cols", "residuals_pseudo",
+    "flip_locked_cols", "residuals_pseudo", "chebyshev_filter_refine_h2",
+    "h2_residual", "h2_residual_wide",
 ]
 
 
@@ -142,6 +143,97 @@ def chebyshev_filter_h2(H, X, degrees, lam1, lower, upper, deg_max, *,
     return jnp.where(degrees[None, :] >= 1, Y.astype(out_dtype), X)
 
 
+# -- deviation-form refinement filter on H² (the DP-tolerance BSE ladder) ---
+#
+# Same algebra as ops/filter.chebyshev_filter_refine, applied to G = H²: for
+# any scalar μ_j the deviation w_t = p_t(Gs)v_j − p_t(μs_j)v_j obeys the
+# three-term recurrence of p_t plus an additive injection proportional to
+# the H²-RESIDUAL r2_j = (G − μ_j)v_j.  Choosing μ_j = θ_j² (the pencil-RR
+# Ritz value squared) factors r2_j = (H + θ_j)(H − θ_j)v_j = (H + θ_j)·r_j,
+# i.e. ONE extra f64-accurate HEMM on the (small) H-residual vectors the
+# pencil RR already produces.  Every intermediate of the w recurrence is
+# then O(|p|·‖e_j‖), so it runs on the fast MXU dtypes while the solve
+# contracts to the f64 floor — the reference instead hands Solve_pseudo's
+# filter back to DP below resid 1e-3 (algorithm.inc:1834-2220 at the DP
+# tolerance of configuration.hpp:53-62), which on a TPU is the emulated-f64
+# path.  Coefficient tables come from ops.filter.refine_tables with the
+# H²-space quantities (μ = θ², λ₁ = μ₁, [lower, b_sup]): the σ-recurrence
+# is identical — only the operator application differs (_h2_shift).
+
+
+@partial(jax.jit, static_argnames=("precision",))
+def chebyshev_filter_refine_h2(H, V, R2, degrees, alpha1_e, alphas, betas,
+                               inj, p_final, cc, deg_max, *,
+                               precision="highest"):
+    """Deviation-form Chebyshev filter on H²: y_j = p_final_j·v_j + w_j with
+    the w recurrence in the fast dtype of ``H``.
+
+    Args:
+      H: (N, N) pseudo-Hermitian operator in the FAST dtype (f32/bf16
+         shadow of the problem).
+      V: (N, w) current (post-pencil-RR) Ritz block, PROBLEM dtype.
+      R2: (N, w) H²-residual vectors (H² − θ²_j)v_j, problem dtype
+         (:func:`h2_residual` / :func:`h2_residual_wide`).
+      degrees: (w,) int32 per-column H² degrees; 0 = untouched.
+      alpha1_e, alphas, betas, inj, p_final: ops.filter.refine_tables
+         output for (θ², degrees, μ₁, lower, b_sup).
+      cc: H²-interval center (host float).
+      deg_max: traced int scalar — loop trip count.
+
+    Returns: (N, w) filtered block, problem dtype.
+    """
+    from ..types import filter_carry_dtype
+    carry = filter_carry_dtype(H.dtype, V.dtype)
+    rt = real_dtype(carry)
+    Rc = R2.astype(carry)
+    cc = jnp.asarray(cc, rt)
+    alphas = jnp.asarray(alphas, rt)
+    betas = jnp.asarray(betas, rt)
+    inj = jnp.asarray(inj, rt)
+
+    W = jnp.asarray(alpha1_e, rt) * Rc                      # w_1 = (σ1/e)·r2
+    Wp = jnp.zeros_like(Rc)                                 # w_0 = 0
+
+    def body(t, st):
+        Wp, Wc = st
+        Z = (alphas[t] * _h2_shift(H, Wc, cc, precision)
+             + betas[t] * Wp + inj[t][None, :] * Rc)
+        Z = jnp.where(degrees[None, :] >= t, Z, Wc)
+        return (Wc, Z)
+
+    deg_max = jnp.asarray(deg_max, jnp.int32)
+    _, W = jax.lax.fori_loop(2, deg_max + 1, body, (Wp, W))
+
+    rtv = real_dtype(V.dtype)
+    Y = jnp.asarray(p_final, rtv)[None, :] * V + W.astype(V.dtype)
+    return jnp.where(degrees[None, :] >= 1, Y, V)
+
+
+@partial(jax.jit, static_argnames=("precision",))
+def h2_residual(H, R, theta, *, precision="highest"):
+    """H²-residual vectors from the pencil RR's H-residuals:
+    r2_j = (H + θ_j)·r_j = H·r_j + θ_j·r_j (no large-term cancellation —
+    both addends are O(‖H‖·‖r‖)).  Must run f64-accurately: error here
+    enters the deviation recurrence directly and caps the ladder's floor."""
+    W = jnp.matmul(H, R, precision=precision)
+    return W + theta[None, :].astype(R.dtype) * R
+
+
+@partial(jax.jit, static_argnames=("s", "L"))
+def _h2_residual_wide_impl(a_slices, sa, R, theta, *, s, L):
+    from .wide import _wide_matmul_presliced
+    W = _wide_matmul_presliced(a_slices, sa, R, s=s, L=L, cut=L - 1)
+    return W + theta[None, :].astype(R.dtype) * R
+
+
+def h2_residual_wide(H_wide, R, theta):
+    """:func:`h2_residual` with the HEMM on the exact-bf16 slice GEMM
+    (ops/wide) — f64 BSE problems on accelerators without f64 matmul
+    hardware (the pseudo arm of the wide-f64 policy)."""
+    a_slices, sa, s, L = H_wide
+    return _h2_residual_wide_impl(a_slices, sa, R, theta, s=s, L=L)
+
+
 @partial(jax.jit, static_argnames=("m", "precision", "want_basis"))
 def lanczos_scan_pseudo(H, V0, *, m, precision="highest", want_basis=True):
     """Batched Lanczos of the pseudo-Hermitian H in the M = S·H inner
@@ -239,16 +331,25 @@ def _prr_project(H, V, locked, *, precision="highest"):
     return Q, W, A, B
 
 
-@partial(jax.jit, static_argnames=("precision",))
-def _prr_finish(Q, W, V, theta, X, locked, *, precision="highest"):
-    """Device half 2: rotate, residuals, roll, merge."""
+@partial(jax.jit, static_argnames=("precision", "want_vectors", "wide"))
+def _prr_finish(Q, W, V, theta, X, locked, *, precision="highest",
+                want_vectors=False, wide=False):
+    """Device half 2: rotate, residuals, roll, merge.  ``wide`` routes the
+    rotations through the exact-bf16-slice GEMM; ``want_vectors`` also
+    returns the H-residual vectors (rolled like everything else) — they
+    seed the H² deviation-form refinement filter."""
     K2 = V.shape[1]
     rt = real_dtype(V.dtype)
     cols = jnp.arange(K2)
     u = K2 // 2 - locked   # number of kept (positive) Ritz pairs
 
-    Vrot = jnp.matmul(Q, X, precision=precision)
-    Wrot = jnp.matmul(W, X, precision=precision)          # = H·Vrot
+    if wide:
+        from .wide import wide_matmul
+        Vrot = wide_matmul(Q, X)
+        Wrot = wide_matmul(W, X)                          # = H·Vrot
+    else:
+        Vrot = jnp.matmul(Q, X, precision=precision)
+        Wrot = jnp.matmul(W, X, precision=precision)      # = H·Vrot
     R = Wrot - Vrot * theta[None, :].astype(V.dtype)
     resid = jnp.linalg.norm(R, axis=0).real.astype(rt)
 
@@ -258,11 +359,40 @@ def _prr_finish(Q, W, V, theta, X, locked, *, precision="highest"):
     resid = jnp.roll(resid, locked)
     write = (cols >= locked) & (cols < locked + u)
     V_out = jnp.where(write[None, :], Vrot, V)
+    if want_vectors:
+        return V_out, theta, resid, jnp.roll(R, locked, axis=1)
     return V_out, theta, resid
 
 
-@partial(jax.jit, static_argnames=("precision", "polish"))
-def _prr_device(H, V, locked, *, precision="highest", polish=0):
+@partial(jax.jit, static_argnames=("s", "L"))
+def _prr_project_wide(a_slices, sa, V, locked, *, s, L):
+    """_prr_project with every N-contraction f64 matmul on the exact-bf16
+    slice path (ops/wide): the pseudo arm of the wide-f64 policy.  The
+    active columns are renormalized first (wide mode is f64-only, where the
+    Hermitian RR renormalizes too — see ops/rr._rr_project)."""
+    from .wide import _wide_matmul_presliced, wide_matmul
+    K2 = V.shape[1]
+    rt = real_dtype(V.dtype)
+    cols = jnp.arange(K2)
+    active = (cols >= locked) & (cols < K2 - locked)
+
+    Q = jnp.where(active[None, :], V, jnp.zeros((), V.dtype))
+    nrm = jnp.linalg.norm(Q, axis=0).real.astype(rt)
+    Q = Q / jnp.where(nrm > 0, nrm, jnp.ones((), rt))[None, :].astype(Q.dtype)
+    W = _wide_matmul_presliced(a_slices, sa, Q, s=s, L=L, cut=L - 1)  # H·Q
+    T = apply_s(W)                                       # S·H·Q
+    A = wide_matmul(Q.T, T)                              # QᵀSHQ (HPD on active)
+    pad_p = jnp.where(active, jnp.zeros((), rt), jnp.ones((), rt))
+    A = A + jnp.diag(pad_p).astype(A.dtype)
+    SQ = apply_s(Q)
+    B = wide_matmul(Q.T, SQ)                             # QᵀSQ
+    B = B - jnp.diag(pad_p).astype(B.dtype)              # pad −1
+    return Q, W, A, B
+
+
+@partial(jax.jit, static_argnames=("precision", "polish", "want_vectors"))
+def _prr_device(H, V, locked, *, precision="highest", polish=0,
+                want_vectors=False):
     K2 = V.shape[1]
     rt = real_dtype(V.dtype)
     Q, W, A, B = _prr_project(H, V, locked, precision=precision)
@@ -288,13 +418,14 @@ def _prr_device(H, V, locked, *, precision="highest", polish=0):
                                         transpose_a=True, conjugate_a=True)
     nrm = jnp.linalg.norm(X, axis=0).real.astype(rt)
     X = X / jnp.where(nrm > 0, nrm, jnp.ones((), rt))[None, :].astype(X.dtype)
-    V_out, theta, resid = _prr_finish(Q, W, V, theta, X, locked,
-                                      precision=precision)
-    return V_out, theta, resid, ok
+    out = _prr_finish(Q, W, V, theta, X, locked, precision=precision,
+                      want_vectors=want_vectors)
+    return (*out, ok)
 
 
 def rayleigh_ritz_residuals_pseudo(H, V, locked, *, precision="highest",
-                                   small_dense="device", polish=0):
+                                   small_dense="device", polish=0,
+                                   want_vectors=False, H_wide=None):
     """Pseudo-Hermitian Rayleigh–Ritz (v2, Hermitianized pencil) fused with
     residuals, static full width.
 
@@ -308,24 +439,41 @@ def rayleigh_ritz_residuals_pseudo(H, V, locked, *, precision="highest",
     between two jitted halves — same split-sync rationale as
     ops/rr.rayleigh_ritz_residuals.
 
+    ``H_wide``: pre-sliced operator (DenseOperator.H_wide) — the big f64
+    HEMMs run on the exact-bf16 slice path (implies the host pencil
+    factorization); H may be None then.  ``want_vectors``: also return the
+    H-residual vectors R (rolled layout) for the H² refinement ladder.
+
     Returns:
       V_out: V with columns [locked, locked+u) replaced by the positive
              Ritz vectors (ascending θ).
       theta: (2·nevex,) — positions [locked, locked+u) hold the positive
              Ritz values ascending.
       resid: same layout; ‖H v − θ v‖₂.
+      [R:    (N, 2·nevex) H-residual vectors, same layout —
+             ``want_vectors=True`` only.]
       ok:    False when the pencil Cholesky broke down.
     """
-    if small_dense != "host":
-        return _prr_device(H, V, locked, precision=precision, polish=polish)
-
     rt = real_dtype(V.dtype)
+    if H_wide is not None:
+        a_slices, sa, s, L = H_wide
+        Q, W, A, B = _prr_project_wide(a_slices, sa, V, locked, s=s, L=L)
+        theta, X, ok = host_pencil_factor(A, B, rt)
+        out = _prr_finish(
+            Q, W, V, jnp.asarray(theta), jnp.asarray(X), locked,
+            precision=precision, want_vectors=want_vectors, wide=True)
+        return (*out, jnp.bool_(ok))
+
+    if small_dense != "host":
+        return _prr_device(H, V, locked, precision=precision, polish=polish,
+                           want_vectors=want_vectors)
+
     Q, W, A, B = _prr_project(H, V, locked, precision=precision)
     theta, X, ok = host_pencil_factor(A, B, rt)
-    V_out, theta_d, resid = _prr_finish(
+    out = _prr_finish(
         Q, W, V, jnp.asarray(theta), jnp.asarray(X), locked,
-        precision=precision)
-    return V_out, theta_d, resid, jnp.bool_(ok)
+        precision=precision, want_vectors=want_vectors)
+    return (*out, jnp.bool_(ok))
 
 
 def rayleigh_ritz_pseudo_geev(H, Q, *, precision="highest"):

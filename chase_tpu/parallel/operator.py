@@ -174,6 +174,17 @@ class DenseOperator:
             else:
                 slices, sa, low, s, L = presplit_and_shadow(
                     self.H, donate=can_drop)
+            if self.grid is not None:
+                # pin the slice stack to the grid explicitly: the wide DP
+                # state then scales per-device as (2L+4)·N²/G — the bound
+                # solver.wide_fits assumes (N=30000 DP on a multi-chip
+                # grid); slicing is elementwise so GSPMD usually keeps the
+                # input sharding, but the policy must not rely on it
+                msh = matrix_sharding(self.grid)
+                rsh = self.grid.sharding("r", None)     # (N, 1) row scale
+                slices = tuple(jax.device_put(s_, msh) for s_ in slices)
+                sa = jax.device_put(sa, rsh)
+                low = jax.device_put(low, msh)
             self._H_wide = (slices, sa, s, L)
             if self._H_low is None:
                 self._H_low = low

@@ -33,7 +33,9 @@ from jax import shard_map
 
 __all__ = ["ring_hemm", "chebyshev_filter_ring", "chebyshev_filter_ring2d",
            "chebyshev_filter_ring_pallas",
-           "chebyshev_filter_refine_ring", "chebyshev_filter_refine_ring2d"]
+           "chebyshev_filter_refine_ring", "chebyshev_filter_refine_ring2d",
+           "chebyshev_filter_refine_h2_ring",
+           "chebyshev_filter_refine_h2_ring2d"]
 
 
 def _ring_dot_1d(h, v, *, axis, p, acc_dt, precision):
@@ -668,3 +670,142 @@ def chebyshev_filter_h2_ring2d(grid, H, X, degrees, lam1, lower, upper,
                    in_specs=(P("r", "c"), P(("c", "r"), None), P()),
                    out_specs=P(("c", "r"), None))
     return fn(H, X, degrees)
+
+
+@partial(jax.jit, static_argnames=("grid", "axis", "precision"))
+def chebyshev_filter_refine_h2_ring(grid, H, V, R2, degrees, alpha1_e,
+                                    alphas, betas, inj, p_final, cc,
+                                    deg_max, *, axis: str = "r",
+                                    precision="highest"):
+    """Deviation-form H² refinement filter with the 1D ring HEMM — the BSE
+    DP ladder on grids (P10 × P11 for the pseudo path).
+
+    Same injection algebra as ops.pseudo.chebyshev_filter_refine_h2 (the w
+    recurrence in H's fast dtype, seeded by the f64 H²-residual vectors
+    R2), with each H² application expressed as two software-pipelined ring
+    passes.  H in P(axis, None) reduced-dtype shadow; V, R2 in P(axis);
+    tables replicated.
+    """
+    from ..types import filter_carry_dtype, real_dtype as _rdt
+
+    mesh = grid.mesh
+    p = mesh.shape[axis]
+    out_dtype = V.dtype
+    carry_dt = filter_carry_dtype(H.dtype, V.dtype)
+    rt = _rdt(carry_dt)
+    rtv = _rdt(out_dtype)
+
+    a1 = jnp.asarray(alpha1_e, rt)
+    al = jnp.asarray(alphas, rt)
+    be = jnp.asarray(betas, rt)
+    injt = jnp.asarray(inj, rt)
+    pf = jnp.asarray(p_final, rtv)
+    ccv = jnp.asarray(cc, rt)
+    deg_max = jnp.asarray(deg_max, jnp.int32)
+
+    def local(h, v, r, degs, al, be, injt, pf):
+        def ring_dot(w):
+            return _ring_dot_1d(h, w, axis=axis, p=p, acc_dt=carry_dt,
+                                precision=precision)
+
+        def h2_shift(w):
+            return ring_dot(ring_dot(w)) - ccv * w
+
+        rc = r.astype(carry_dt)
+        W = a1 * rc
+
+        def body(t, st):
+            Wp, Wc = st
+            Z = (al[t] * h2_shift(Wc) + be[t] * Wp
+                 + injt[t][None, :] * rc)
+            Z = jnp.where(degs[None, :] >= t, Z, Wc)
+            return (Wc, Z)
+
+        _, W = jax.lax.fori_loop(2, deg_max + 1, body,
+                                 (jnp.zeros_like(rc), W))
+        Y = pf[None, :] * v + W.astype(out_dtype)
+        return jnp.where(degs[None, :] >= 1, Y, v)
+
+    fn = shard_map(local, mesh=mesh,
+                   in_specs=(P(axis, None), P(axis, None), P(axis, None),
+                             P(), P(), P(), P(), P()),
+                   out_specs=P(axis, None))
+    return fn(H, V, R2, degrees, al, be, injt, pf)
+
+
+@partial(jax.jit, static_argnames=("grid", "precision"))
+def chebyshev_filter_refine_h2_ring2d(grid, H, V, R2, degrees, alpha1_e,
+                                      alphas, betas, inj, p_final, cc,
+                                      deg_max, *, precision="highest"):
+    """Deviation-form H² refinement filter as the 2D ping-pong ring.
+
+    One H² application is a full parity round-trip (ring_A then the
+    S-flip-corrected ring_B, like chebyshev_filter_h2_ring2d), so every
+    recurrence step starts and ends in parity A — injection, masks and the
+    final combine all live in parity A with no extra flips.  Requires N
+    divisible by r·c.
+    """
+    from ..types import filter_carry_dtype, real_dtype as _rdt
+
+    mesh = grid.mesh
+    pr = mesh.shape["r"]
+    pc = mesh.shape["c"]
+    out_dtype = V.dtype
+    carry_dt = filter_carry_dtype(H.dtype, V.dtype)
+    rt = _rdt(carry_dt)
+    rtv = _rdt(out_dtype)
+
+    a1 = jnp.asarray(alpha1_e, rt)
+    al = jnp.asarray(alphas, rt)
+    be = jnp.asarray(betas, rt)
+    injt = jnp.asarray(inj, rt)
+    pf = jnp.asarray(p_final, rtv)
+    ccv = jnp.asarray(cc, rt)
+    deg_max = jnp.asarray(deg_max, jnp.int32)
+
+    def local(h, v, r, degs, al, be, injt, pf):
+        nch = v.shape[0]
+        i = jax.lax.axis_index("r")
+        j = jax.lax.axis_index("c")
+        ringA2, ringB2 = _ring2d_pair(pr, pc, carry_dt, precision)
+        ring_A = lambda w: ringA2(h, w)    # noqa: E731
+        ring_B = lambda w: ringB2(h, w)    # noqa: E731
+
+        half = (nch * pr * pc) // 2                  # N/2 (static)
+
+        def s_flip_B(w):
+            chunk = i * pc + j
+            grows = chunk * nch + jnp.arange(nch)
+            return jnp.where((grows >= half)[:, None], -w, w)
+
+        def s_flip_A(w):
+            chunk = j * pr + i
+            grows = chunk * nch + jnp.arange(nch)
+            return jnp.where((grows >= half)[:, None], -w, w)
+
+        def h2_shift(w):
+            # Hᴴ = S·H·S (pseudo-Hermiticity): H²w = S·Hᴴ·S·(Hw)
+            w1 = ring_A(w)                    # H·w      (A→B)
+            w2 = ring_B(s_flip_B(w1))         # Hᴴ·S·Hw  (B→A)
+            return s_flip_A(w2) - ccv * w
+
+        rc = r.astype(carry_dt)
+        W = a1 * rc
+
+        def body(t, st):
+            Wp, Wc = st
+            Z = (al[t] * h2_shift(Wc) + be[t] * Wp
+                 + injt[t][None, :] * rc)
+            Z = jnp.where(degs[None, :] >= t, Z, Wc)
+            return (Wc, Z)
+
+        _, W = jax.lax.fori_loop(2, deg_max + 1, body,
+                                 (jnp.zeros_like(rc), W))
+        Y = pf[None, :] * v + W.astype(out_dtype)
+        return jnp.where(degs[None, :] >= 1, Y, v)
+
+    fn = shard_map(local, mesh=mesh,
+                   in_specs=(P("r", "c"), P(("c", "r"), None),
+                             P(("c", "r"), None), P(), P(), P(), P(), P()),
+                   out_specs=P(("c", "r"), None))
+    return fn(H, V, R2, degrees, al, be, injt, pf)

@@ -67,6 +67,46 @@ def resolve_small_dense(rcfg_backend: str, is_sp: bool):
     return ("host" if (off_cpu and not is_sp) else "device"), "device"
 
 
+def _device_memory_bytes() -> float:
+    """Per-device accelerator memory (bytes_limit when the runtime reports
+    it; 16 GB — the v5e HBM — otherwise)."""
+    try:
+        stats = jax.devices()[0].memory_stats()
+        if stats and stats.get("bytes_limit"):
+            return float(stats["bytes_limit"])
+    except Exception:
+        pass
+    return 16e9
+
+
+def wide_fits(N: int, grid=None, max_n=None) -> bool:
+    """Memory-derived wide-f64 upper bound: the resident sliced operator
+    state is L bf16 slices + the f32 shadow ≈ (2L+4)·N²/G bytes per device
+    (G = grid devices; the f64 buffer itself is dropped — engage_wide).
+    Eligible while that stays under half the per-device memory, leaving
+    the other half for multivectors, the RR/QR temporaries and the
+    programs — consistent with the measured single-chip envelope on a
+    16 GB v5e (N=16384 ran cleanly at ≈7 GB of sliced state with the
+    multivectors well under 1 GB, BENCH_NOTES round 3).  ``max_n``:
+    explicit user cap (config.wide_f64_max_n) that replaces the derived
+    bound.
+
+    The reference's DP path has no such cliff (vendor f64 BLAS at any N,
+    Impl/chase_cpu/chase_cpu.hpp:449-508); here the grid scaling removes
+    it — N=30000 f64 fits a 4-chip grid's sliced state.
+    """
+    if max_n is not None:
+        return N <= int(max_n)
+    from .ops.wide import wide_params
+    try:
+        _, L, _ = wide_params(N)
+    except ValueError:        # contraction too long for exact slicing
+        return False
+    G = 1 if grid is None else grid.nprocs
+    need = (2 * L + 4) * float(N) * N / G
+    return need <= 0.5 * _device_memory_bytes()
+
+
 def resolve_wide(rcfg, op, is_sp: bool, small_dense: str, qr_backend: str):
     """Shared wide-f64 GEMM policy (exact-bf16-slice RR/QR HEMMs, ops/wide)
     for solve() and warmup.warmup() — one definition so the warmed programs
@@ -75,15 +115,16 @@ def resolve_wide(rcfg, op, is_sp: bool, small_dense: str, qr_backend: str):
     Only real-f64 operators are eligible: the wide kernels have no
     complex/f32 variants, so wide_f64='on' on a non-f64 solve is ignored
     (with a log line) rather than crashing mid-solve in engage_wide.
-    'auto' additionally requires an off-CPU backend and
-    wide_f64_min_n <= N <= wide_f64_max_n.
+    'auto' additionally requires an off-CPU backend, N >= wide_f64_min_n,
+    and the sliced operator state fitting device memory (wide_fits).
     """
     eligible = not is_sp and not is_complex_dtype(op.dtype)
     use_wide = eligible and (
         rcfg.wide_f64 == "on"
         or (rcfg.wide_f64 == "auto"
             and jax.default_backend() != "cpu"
-            and rcfg.wide_f64_min_n <= op.N <= rcfg.wide_f64_max_n))
+            and rcfg.wide_f64_min_n <= op.N
+            and wide_fits(op.N, op.grid, rcfg.wide_f64_max_n)))
     if rcfg.wide_f64 == "on" and not eligible:
         get_logger().info(
             f"wide_f64='on' ignored: operator dtype {np.dtype(op.dtype)} "

@@ -179,9 +179,26 @@ def solve_pseudo(op: DenseOperator, nev: int, nex: int,
         raise ValueError(f"nev+nex = {nevex} exceeds N/2 = {N // 2}")
     precision = rcfg.matmul_precision
     is_sp = not is_double_base(op.dtype)
-    from .solver import resolve_small_dense
+    from .solver import resolve_small_dense, resolve_wide
     small_dense, qr_backend = resolve_small_dense(
         rcfg.small_dense_backend, is_sp)
+    # exact-bf16-slice GEMM for the f64 pencil-RR/QR HEMMs (ops/wide) on
+    # emulated-f64 backends — the pseudo arm of the wide-f64 policy
+    use_wide, small_dense, qr_backend = resolve_wide(
+        rcfg, op, is_sp, small_dense, qr_backend)
+    # Deviation-form H² refinement eligibility (the BSE DP ladder): DP
+    # problems with mixed_precision keep the H² recurrence in f32 forever
+    # (the injection carries the f64 information); f32 problems with the
+    # bf16 rung keep it in bf16.  Needs pencil-RR residual vectors, so it
+    # engages from iteration 1.
+    refine_capable = rcfg.refine_filter and (
+        (not is_sp and rcfg.mixed_precision)
+        or (is_sp and rcfg.bf16_filter and not is_complex_dtype(op.dtype)))
+    if use_wide:
+        log.info(f"wide-f64 GEMM engaged for the pseudo RR/QR (N={op.N}); "
+                 f"disable with wide_f64='off'", "linalg")
+        op.engage_wide(drop=refine_capable)
+    R_prev = None              # (N, K2) pencil-RR H-residual vectors
     tol = rcfg.tol
     timing = perf is not None
     if perf is not None:
@@ -200,7 +217,10 @@ def solve_pseudo(op: DenseOperator, nev: int, nex: int,
 
     if rcfg.sym_check:
         from .ops.checks import check_pseudo_hermitian
-        if not check_pseudo_hermitian(op.H, precision=precision):
+        # wide mode: probe the f32 shadow — the check needs f32 fidelity
+        # only, and touching op.H would re-upload the dropped f64 buffer
+        H_probe = op.H_low if use_wide else op.H
+        if not check_pseudo_hermitian(H_probe, precision=precision):
             log.warn("input matrix failed the randomized pseudo-hermiticity "
                      "probe (checkPseudoHermicityEasy analogue)")
 
@@ -214,7 +234,8 @@ def solve_pseudo(op: DenseOperator, nev: int, nex: int,
         V = op.place_block(jax.random.normal(key, (N, K2), dtype=op.dtype))
         V = scale_lower_rows(V, 0.001)
     if not approx:
-        V = orthonormalize(V, 0, 1.0, rcfg, op.grid)
+        V = orthonormalize(V, 0, 1.0, rcfg, op.grid,
+                           small_dense=qr_backend)
     t0 = toc("InitVecs", t0, V)
 
     deg0 = min(rcfg.deg + rcfg.deg % 2, rcfg.max_deg)
@@ -243,8 +264,12 @@ def solve_pseudo(op: DenseOperator, nev: int, nex: int,
                               dtype=op.dtype), 0.001))
     else:
         probes = V[:, :numvec]
+    # wide mode: spectral-bound estimation runs on the f32 shadow (bounds
+    # need ~1e-7 relative fidelity; see solver.py's wide Lanczos rationale)
+    H_lz = op.H_low if use_wide else op.H
     alphas, betas, basis = ps.lanczos_scan_pseudo(
-        op.H, probes, m=m, precision=precision, want_basis=True)
+        H_lz, probes.astype(H_lz.dtype), m=m, precision=precision,
+        want_basis=True)
     a_np = np.asarray(alphas, np.float64)
     b_np = np.asarray(betas, np.float64)
     t0 = toc("Lanczos", t0, alphas)
@@ -375,6 +400,8 @@ def solve_pseudo(op: DenseOperator, nev: int, nex: int,
                 full_perm = np.arange(K2)
                 full_perm[act] = locked + perm
                 V = permute_cols(V, jnp.asarray(full_perm))
+                if R_prev is not None:
+                    R_prev = permute_cols(R_prev, jnp.asarray(full_perm))
 
         # -- filter on H² over the positive-candidate window --
         B = _col_block(rcfg.col_block, nevex)
@@ -402,10 +429,54 @@ def solve_pseudo(op: DenseOperator, nev: int, nex: int,
         use_low = (not use_bf16 and rcfg.mixed_precision and not is_sp
                    and locked < nev
                    and min_resid > rcfg.mixed_precision_threshold)
-        H_f = op.H_low if (use_bf16 or use_low) else op.H
-        f_precision = "default" if use_bf16 else precision
+        use_refine = refine_capable and R_prev is not None
+        if use_refine:
+            # deviation-form H² ladder: fast-dtype recurrence seeded by the
+            # f64 H²-residuals — no threshold, never hands back to f64 H
+            # (the emulated-f64 endgame the Hermitian path eliminated)
+            use_low = use_bf16 = False
+            H_f = op.H_low
+            f_precision = "default" if is_sp else precision
+        else:
+            H_f = op.H_low if (use_bf16 or use_low) else op.H
+            f_precision = "default" if use_bf16 else precision
         X = slice_cols(V, jnp.int32(start), w_pad)
-        if ring_mode is not None:
+        if use_refine:
+            from .ops import filter as filt
+            ritz_win = np.zeros(w_pad, np.float64)
+            ritz_win[offset:] = ritzv[act]
+            # H²-space tables: expansion points μ = θ², interval
+            # [lower, b_sup], amplification point μ₁ = lambda_1
+            a1e, al, be, inj, pf = filt.refine_tables(
+                ritz_win ** 2, deg_win, lambda_1, lower, b_sup,
+                rcfg.max_deg)
+            theta_win = jnp.asarray(ritz_win, op.real_dtype)
+            Rw = slice_cols(R_prev, jnp.int32(start), w_pad)
+            # ONE f64-accurate HEMM turns the pencil-RR H-residuals into
+            # H²-residuals: r2 = (H + θ)·r
+            if use_wide:
+                R2w = ps.h2_residual_wide(op.H_wide, Rw, theta_win)
+            else:
+                R2w = ps.h2_residual(op.H, Rw, theta_win,
+                                     precision=precision)
+            cc_h2 = (b_sup + lower) / 2.0
+            if ring_mode is not None:
+                from .parallel.ring import (
+                    chebyshev_filter_refine_h2_ring,
+                    chebyshev_filter_refine_h2_ring2d)
+                ring_fn = (chebyshev_filter_refine_h2_ring
+                           if ring_mode == "1d"
+                           else chebyshev_filter_refine_h2_ring2d)
+                X = ring_fn(op.grid, H_f, X, R2w, jnp.asarray(deg_win),
+                            a1e, al, be, inj, pf, cc_h2,
+                            jnp.int32(int(deg_win.max())),
+                            precision=f_precision)
+            else:
+                X = ps.chebyshev_filter_refine_h2(
+                    H_f, X, R2w, jnp.asarray(deg_win), a1e, al, be, inj,
+                    pf, cc_h2, jnp.int32(int(deg_win.max())),
+                    precision=f_precision)
+        elif ring_mode is not None:
             # H² filter as the ring collective matmul (P11 on the BSE
             # path): 1D software-pipelined ring or the 2D ping-pong with
             # S-flip-corrected Hᴴ steps (Hᴴ = S·H·S)
@@ -429,7 +500,7 @@ def solve_pseudo(op: DenseOperator, nev: int, nex: int,
         V = update_cols(V, X, jnp.int32(start))
         if perf is not None:
             perf.add_filtered_vecs(2 * int(np.sum(degrees[act])),
-                                   low=use_bf16 or use_low)
+                                   low=use_refine or use_bf16 or use_low)
             perf.add_iter_blocksize(u)
         t0 = toc("Filter", t0, V)
 
@@ -464,9 +535,18 @@ def solve_pseudo(op: DenseOperator, nev: int, nex: int,
         t0 = toc("Qr", t0, V)
 
         # -- pseudo RR + residuals (fused) --
-        V, th_dev, rs_dev, ok = ps.rayleigh_ritz_residuals_pseudo(
-            op.H, V, jnp.int32(locked), precision=precision,
-            small_dense=small_dense, polish=rcfg.polish_passes(pseudo=True))
+        # wide mode: the pencil projection runs on the slices; touching
+        # op.H would re-upload the buffer engage_wide dropped
+        H_wide_arg = op.H_wide if use_wide else None
+        H_rr = None if use_wide else op.H
+        rr_out = ps.rayleigh_ritz_residuals_pseudo(
+            H_rr, V, jnp.int32(locked), precision=precision,
+            small_dense=small_dense, polish=rcfg.polish_passes(pseudo=True),
+            want_vectors=refine_capable, H_wide=H_wide_arg)
+        if refine_capable:
+            V, th_dev, rs_dev, R_prev, ok = rr_out
+        else:
+            V, th_dev, rs_dev, ok = rr_out
         if not bool(ok):
             log.warn("pseudo-RR Cholesky of QᴴSHQ failed — subspace drifted; "
                      "results this iteration may be poor", "linalg")
@@ -516,6 +596,8 @@ def solve_pseudo(op: DenseOperator, nev: int, nex: int,
                 full_perm = np.arange(K2)
                 full_perm[act] = locked + perm
                 V = permute_cols(V, jnp.asarray(full_perm))
+                if R_prev is not None:
+                    R_prev = permute_cols(R_prev, jnp.asarray(full_perm))
             # mirror the newly locked pairs into the right-end locked region
             src_idx = np.arange(K2)
             wmask = np.zeros(K2, bool)

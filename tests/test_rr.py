@@ -143,6 +143,56 @@ def test_solver_wide_f64_path():
     assert np.linalg.norm(R, axis=0).max() < 1e-8
 
 
+def test_wide_fits_memory_bound():
+    """solver.wide_fits: memory-derived upper bound — single-device
+    eligibility ends near the measured N≈16500 16 GB envelope and scales
+    ~√G with grid size (VERDICT round 3 missing #5: the hardcoded cap
+    silently disabled multi-chip DP at N=30000)."""
+    import chase_tpu
+    from chase_tpu.solver import wide_fits
+
+    class FakeGrid:
+        def __init__(self, n):
+            self.nprocs = n
+
+    # the CPU backend reports no bytes_limit → 16 GB default applies
+    assert wide_fits(16384, None)
+    assert not wide_fits(20000, None)
+    assert not wide_fits(30000, None)
+    # the same N=30000 state sharded over 4+ devices fits
+    assert wide_fits(30000, FakeGrid(4))
+    assert not wide_fits(115000, FakeGrid(64))  # 8.7 GB/device — too big
+    assert wide_fits(115000, FakeGrid(128))     # the reference QR-bench N
+    # explicit user cap replaces the derived bound
+    assert wide_fits(30000, None, max_n=40000)
+    assert not wide_fits(30000, FakeGrid(8), max_n=20000)
+    # default config carries no cap (derived policy is the default)
+    assert chase_tpu.ChaseConfig().wide_f64_max_n is None
+
+
+def test_solver_wide_f64_sharded():
+    """wide_f64='on' on an 8-device grid: the slice stack is grid-sharded
+    and the wide RR/QR GEMMs run under GSPMD — the multi-chip DP path."""
+    import numpy as np
+    import jax
+    import chase_tpu
+    from chase_tpu.models import clement, clement_eigenvalues
+    from chase_tpu.parallel.operator import DenseOperator
+
+    N, nev, nex = 192, 10, 10
+    grid = chase_tpu.make_grid(jax.devices(), shape=(2, 4))
+    H = clement(N).astype(np.float64)
+    op = DenseOperator(H, grid=grid)
+    cfg = chase_tpu.ChaseConfig(wide_f64="on", mixed_precision=True)
+    res = chase_tpu.eigsh(op, nev, nex, tol=1e-10, config=cfg)
+    assert res.converged
+    np.testing.assert_allclose(res.ritzv, clement_eigenvalues(N)[:nev],
+                               atol=1e-8)
+    # slice stack actually sharded over the mesh (not replicated)
+    slices, sa, s, L = op._H_wide
+    assert not slices[0].sharding.is_fully_replicated
+
+
 def test_engage_wide_drops_f64_and_rematerializes():
     """operator.engage_wide releases the device f64 buffer after the one
     donating slice+shadow program (the N=16384 HBM fix, BENCH_NOTES round
