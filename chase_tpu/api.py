@@ -503,12 +503,6 @@ def eigsh_pseudo_fused(H, nev: int, nex: Optional[int] = None, *,
         H, grid=grid, pseudo_hermitian=True)
     rcfg = cfg.resolve(op.dtype)
     tol = rcfg.tol
-    if rcfg.bf16_filter:
-        from .logger import get_logger
-        get_logger().warn("bf16_filter is not supported by the FUSED "
-                          "pseudo-Hermitian driver (no in-graph H² rung "
-                          "switch yet) — ignoring; the host driver "
-                          "(eigsh_pseudo) supports it")
     if key is None:
         key = jax.random.key(rcfg.seed)
     K2 = 2 * (nev + nex)
@@ -533,7 +527,11 @@ def eigsh_pseudo_fused(H, nev: int, nex: Optional[int] = None, *,
         precision=rcfg.matmul_precision,
         small_dense=_fused_small_dense(rcfg, op.grid),
         inject_dos=not warm, probes=probes,
-        eigh_polish=rcfg.polish_passes(pseudo=True))
+        eigh_polish=rcfg.polish_passes(pseudo=True),
+        bf16_filter=rcfg.bf16_filter,
+        bf16_threshold=rcfg.bf16_filter_threshold,
+        refine_filter=(rcfg.refine_filter and rcfg.mixed_precision
+                       and rcfg.is_double))
     ritzv = np.asarray(out["ritzv"], np.float64)
     resid = np.asarray(out["resid"], np.float64)
     locked = int(out["locked"])

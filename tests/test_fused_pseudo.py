@@ -85,3 +85,55 @@ def test_fused_pseudo_tiny_block():
     exact = np.linalg.eigvals(H)
     pos = np.sort(exact.real[exact.real > 0])[:2]
     np.testing.assert_allclose(res.ritzv, pos, atol=1e-5)
+
+
+def test_fused_pseudo_refine_ladder_dp():
+    """Fused BSE DP 1e-10 solve with the in-graph H² refinement ladder:
+    filter FLOPs stay in f32 (deviation recurrence seeded by f64
+    H²-residuals) while true residuals reach the DP tolerance — mirrors
+    test_fused.test_fused_refine_ladder_dp for the BSE serving path
+    (VERDICT round 3 item 4; reference runtime-tolerance serving parity,
+    chase_c_interface.h:159-175)."""
+    N, nev, nex = 192, 16, 12
+    H = random_pseudo_hermitian(N, dtype=np.float64, seed=29)
+    cfg = chase_tpu.ChaseConfig(mixed_precision=True)
+    res = chase_tpu.eigsh_pseudo_fused(H, nev, nex, tol=1e-10, config=cfg)
+    assert res.converged
+    V = np.asarray(res.V)[:, :nev]
+    R = H @ V - V * res.ritzv[None, :]
+    assert np.linalg.norm(R, axis=0).max() < 5e-9
+    np.testing.assert_allclose(res.ritzv, _pos(H, nev), atol=1e-8)
+    # parity: same tolerance WITHOUT the ladder (pure f64 H² filter)
+    res_f64 = chase_tpu.eigsh_pseudo_fused(H, nev, nex, tol=1e-10,
+                                           config=chase_tpu.ChaseConfig())
+    assert abs(res.iterations - res_f64.iterations) <= 2
+
+
+def test_fused_pseudo_ladder_cluster_tail_regression():
+    """Regression: cluster-aware degree factors must NOT inflate the nex
+    tail's degrees (the host computes them over examined columns only).
+    A 2.5× tail inflation tipped this exact problem from 4-iteration
+    convergence into f32 overflow (gap modes outside the DoS `lower`
+    overestimate amplified by the extra degree)."""
+    N, nev, nex = 200, 16, 10
+    H = random_pseudo_hermitian(N, dtype=np.float64, seed=7)
+    cfg = chase_tpu.ChaseConfig(mixed_precision=True)
+    res = chase_tpu.eigsh_pseudo_fused(H, nev, nex, tol=1e-10, config=cfg)
+    assert res.converged and res.iterations <= 8
+    V = np.asarray(res.V)[:, :nev]
+    R = H @ V - V * res.ritzv[None, :]
+    assert np.linalg.norm(R, axis=0).max() < 5e-9
+
+
+def test_fused_pseudo_bf16_rung():
+    """Fused BSE f32 solve with the bf16 storage rung for the H² HEMMs."""
+    N, nev, nex = 160, 10, 8
+    H = random_pseudo_hermitian(N, dtype=np.float64, seed=31)
+    Hf = H.astype(np.float32)
+    cfg = chase_tpu.ChaseConfig(bf16_filter=True)
+    res = chase_tpu.eigsh_pseudo_fused(Hf, nev, nex, tol=1e-4, config=cfg)
+    assert res.converged
+    np.testing.assert_allclose(res.ritzv, _pos(H, nev), atol=1e-2)
+    V = np.asarray(res.V)[:, :nev]
+    R = Hf @ V - V * res.ritzv[None, :].astype(V.dtype)
+    assert np.linalg.norm(R, axis=0).max() < 1e-2
