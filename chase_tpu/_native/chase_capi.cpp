@@ -59,20 +59,49 @@ def capi_init(ptrH, ptrV, ptrR, N, nev, nex, ldh, dt, rdt, pseudo, dist):
     else:
         _iface.init(N, nev, nex, H, V, R, distributed=bool(dist))
     _state.update(ptrV=ptrV, ptrR=ptrR, dt=dt, rdt=rdt, N=N, nev=nev,
-                  nex=nex, pseudo=pseudo)
+                  nex=nex, pseudo=pseudo, mloc=None)
     return 0
 
 def capi_init_dist(ptrH, ptrV, ptrR, N, nev, nex, m, n, ldh, dt, rdt,
                    pseudo, dim0, dim1, major, mb, nb, irsrc=0, icsrc=0):
     # Reference p*chase_init_* pass each rank's LOCAL (m, n) block
-    # (chase_c_interface.h:126-157); this library is driven by ONE process
-    # that owns the full matrix and distributes over the in-process device
-    # mesh, so the local block must be the whole matrix.
+    # (chase_c_interface.h:126-157).  Two modes:
+    #   * single process owning the full matrix (m == n == N): the
+    #     dim0 x dim1 grid is the in-process DEVICE mesh;
+    #   * one jax.distributed process per MPI rank (local (m, n) block):
+    #     requires the coordinator env (JAX_COORDINATOR_ADDRESS +
+    #     JAX_NUM_PROCESSES + JAX_PROCESS_ID, typically exported from the
+    #     MPI launcher) — the blocks assemble into one global sharded
+    #     array and the solve runs SPMD across all callers.
     if m != N or n != N:
-        raise ValueError(
-            f"local block ({m}, {n}) != ({N}, {N}): chase_tpu's C ABI is "
-            f"single-process (the dim0 x dim1 grid is the DEVICE mesh); "
-            f"pass the full matrix")
+        from chase_tpu.parallel import multihost
+        multihost.ensure_initialized()
+        import jax
+        if jax.process_count() != dim0 * dim1:
+            raise ValueError(
+                f"local block ({m}, {n}) != ({N}, {N}) needs one "
+                f"jax.distributed process per rank: grid {dim0}x{dim1} "
+                f"vs process_count {jax.process_count()} — export "
+                f"JAX_COORDINATOR_ADDRESS/JAX_NUM_PROCESSES/"
+                f"JAX_PROCESS_ID (or pass the full matrix from one "
+                f"process)")
+        if mb > 0:
+            raise ValueError("per-rank block-cyclic init is not supported "
+                             "(use the block-block p*chase_init_)")
+        Hl = _view(ptrH, m, n, ldh, dt).copy()
+        cols = 2 * (nev + nex) if pseudo else (nev + nex)
+        Vl = _view(ptrV, m, cols, m, dt).copy() if ptrV else None
+        R = None
+        if ptrR:
+            rdt_ = np.dtype(rdt)
+            buf = (ctypes.c_char * (cols * rdt_.itemsize)).from_address(ptrR)
+            R = np.frombuffer(buf, dtype=rdt_).copy().astype('float64')
+        _iface.init_dist_local(N, nev, nex, m, n, Hl, Vl, R,
+                               grid_shape=(dim0, dim1), grid_major=major,
+                               pseudo=bool(pseudo))
+        _state.update(ptrV=ptrV, ptrR=ptrR, dt=dt, rdt=rdt, N=N, nev=nev,
+                      nex=nex, pseudo=pseudo, mloc=m)
+        return 0
     H = _view(ptrH, N, N, ldh, dt)
     cols = 2 * (nev + nex) if pseudo else (nev + nex)
     V = _view(ptrV, N, cols, N, dt).copy() if ptrV else None
@@ -96,7 +125,7 @@ def capi_init_dist(ptrH, ptrV, ptrR, N, nev, nex, m, n, ldh, dt, rdt,
     if pseudo:
         _iface._require().ritzv0 = R
     _state.update(ptrV=ptrV, ptrR=ptrR, dt=dt, rdt=rdt, N=N, nev=nev,
-                  nex=nex, pseudo=pseudo)
+                  nex=nex, pseudo=pseudo, mloc=None)
     return 0
 
 def capi_solve(deg, tol, mode, opt, qr):
@@ -106,10 +135,13 @@ def capi_solve(deg, tol, mode, opt, qr):
 def capi_get(ptrV, ld, ptrR):
     evals, evecs = _iface.get_eigenpairs()
     N, nev = _state['N'], _state['nev']
+    # per-rank mode: the caller's buffer holds ITS (mloc, nev) row block
+    rows = _state.get('mloc') or N
     ptrV = ptrV or _state['ptrV']
     ptrR = ptrR or _state['ptrR']
     if ptrV:
-        _view(ptrV, N, nev, ld if ld > 0 else N, _state['dt'])[:] = evecs
+        _view(ptrV, rows, nev, ld if ld > 0 else rows,
+              _state['dt'])[:] = evecs
     if ptrR:
         rdt = np.dtype(_state['rdt'])
         buf = (ctypes.c_char * (nev * rdt.itemsize)).from_address(ptrR)

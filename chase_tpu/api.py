@@ -113,7 +113,7 @@ def _write_resid_history(path: str, out, iters: int):
 
 def _unpad(res: SolveResult, op: DenseOperator) -> SolveResult:
     if op.N_orig != op.N:
-        res.V = res.V[:op.N_orig]
+        res.V = op.unpad_block(res.V)
     return res
 
 
@@ -343,6 +343,7 @@ def _eigsh_pseudo_real_pair(H, nev, nex, *, cfg, v0=None, ritzv0=None,
             perf.matrix_type = 1
         res = solve_pseudo(op, 2 * nev, 2 * nex, config=cfg, V0=v0r,
                            ritzv0=r0, perf=perf, key=key)
+        res = _unpad(res, op)
     # undo the sign similarity + signature permutation, then collapse
     # the doubled pairs
     X2 = (d[:, None] * np.asarray(res.V))[invP]
@@ -545,12 +546,13 @@ def eigsh_pseudo_fused(H, nev: int, nex: Optional[int] = None, *,
     eh = np.asarray(out["early_history"])[:iters]
     early = [float(x) for x in eh[eh >= 0]]
 
-    return SolveResult(
+    res = SolveResult(
         ritzv=ritzv[:nev], V=out["V"], resid=resid[:nev],
         iterations=iters, locked=locked,
         converged=bool(locked >= nev),
         upperb=float(out["upperb"]), lowerb=float(out["lowerb"]),
         perf=perf, ritzv_full=ritzv, early_locked=early)
+    return _unpad(res, op)
 
 
 def eigsh_pseudo(H, nev: int, nex: Optional[int] = None, *,
@@ -597,8 +599,9 @@ def eigsh_pseudo(H, nev: int, nex: Optional[int] = None, *,
     perf = PerfData() if collect_perf else None
     if perf is not None:
         perf.matrix_type = 1
-    return solve_pseudo(op, nev, nex, config=cfg, V0=v0, ritzv0=ritzv0,
-                        perf=perf, key=key)
+    res = solve_pseudo(op, nev, nex, config=cfg, V0=v0, ritzv0=ritzv0,
+                       perf=perf, key=key)
+    return _unpad(res, op)
 
 
 def eigsh_sequence(matrices, nev: int, nex: Optional[int] = None, *,

@@ -31,8 +31,8 @@ from .api import eigsh, eigsh_pseudo
 from .config import ChaseConfig
 from .parallel.mesh import Grid2D, make_grid
 
-__all__ = ["init", "init_pseudo", "init_blockcyclic", "solve",
-           "get_eigenpairs", "finalize",
+__all__ = ["init", "init_pseudo", "init_blockcyclic", "init_dist_local",
+           "solve", "get_eigenpairs", "finalize",
            "set_tol", "set_deg", "set_opt", "set_maxiter", "set_lanczos",
            "has_gpu", "has_distribution", "has_pseudo"]
 
@@ -42,11 +42,13 @@ class _Session:
     N: int
     nev: int
     nex: int
-    H: np.ndarray
+    H: np.ndarray                       # (or a global sharded jax.Array
+    # in the multi-process per-rank mode — see init_dist_local)
     V0: Optional[np.ndarray]
     ritzv0: Optional[np.ndarray] = None
     pseudo: bool = False
     grid: Optional[Grid2D] = None
+    mp_local_rows: Optional[int] = None   # per-rank mode: this rank's m
     layout = None                       # (Pseudo)BlockCyclicLayout or None
     H_owned = None                      # layout-permuted H, memoized (the
     # permutation is two full N×N gathers on the single-core host — pay it
@@ -107,6 +109,95 @@ def init(N: int, nev: int, nex: int, H, V=None, ritzv=None, *,
                         ritzv0=None if ritzv is None else
                         np.asarray(ritzv, np.float64).copy(),
                         grid=grid)
+    return 0
+
+
+def init_dist_local(N: int, nev: int, nex: int, m: int, n: int, H_local,
+                    V=None, ritzv=None, *, grid_shape, grid_major: str = "R",
+                    pseudo: bool = False):
+    """Per-rank p*chase_init_ (chase_c_interface.h:126-157): each calling
+    PROCESS passes its LOCAL (m, n) block of the (dim0, dim1) block-block
+    distribution, exactly like an MPI rank of the reference.
+
+    TPU realization: every caller is one ``jax.distributed`` process; the
+    local blocks assemble into ONE global sharded array with
+    ``jax.make_array_from_single_device_arrays`` (no process ever holds
+    the full matrix), and the whole SPMD solver stack runs on the global
+    mesh.  V, when given, is this rank's (m, cols) row block of the
+    column-communicator multivector (DistMultiVector1D semantics:
+    identical blocks on every rank of a grid row).
+
+    Requirements (clear errors otherwise): a running jax.distributed
+    runtime with process_count == dim0·dim1, ONE local device per process,
+    process rank r at grid coordinate (r // dim1, r % dim1) for 'R' major
+    ((r % dim0, r // dim0) for 'C'), and dim0·dim1 | N (the mesh tile
+    cannot pad a multi-process global array).
+    """
+    global _session
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    d0, d1 = int(grid_shape[0]), int(grid_shape[1])
+    nproc = jax.process_count()
+    if nproc != d0 * d1:
+        raise ValueError(
+            f"per-rank init: grid dims {d0}x{d1} need {d0 * d1} "
+            f"jax.distributed processes, runtime has {nproc} (start one "
+            f"process per rank; see chase_tpu.parallel.multihost)")
+    if len(jax.local_devices()) != 1:
+        raise ValueError(
+            f"per-rank init maps each process to ONE device; this process "
+            f"has {len(jax.local_devices())} local devices")
+    if N % d0 or N % d1 or N % (d0 * d1):
+        raise ValueError(
+            f"per-rank init needs dim0·dim1 | N (no padding across "
+            f"processes): N={N}, grid {d0}x{d1}")
+    if m != N // d0 or n != N // d1:
+        raise ValueError(
+            f"local block ({m}, {n}) != (N/dim0, N/dim1) = "
+            f"({N // d0}, {N // d1}) — uneven block splits are not "
+            f"supported; pad N to a multiple of the grid")
+    H_local = np.asarray(H_local)
+    if H_local.shape != (m, n):
+        raise ValueError(f"H_local shape {H_local.shape} != ({m}, {n})")
+    if np.dtype(H_local.dtype).itemsize >= 8 \
+            and np.dtype(H_local.dtype).kind in "fc" \
+            and not jax.config.jax_enable_x64:
+        # the global shards are built HERE, before DenseOperator's own x64
+        # guard runs — without this a 64-bit local block silently downcasts
+        # to 32 bits (measured: a C caller's f64 solve floored at 5e-5)
+        from .logger import get_logger
+        get_logger().info("enabling jax x64 for a 64-bit local block")
+        jax.config.update("jax_enable_x64", True)
+
+    # mesh whose (i, j) coordinate holds the device of MPI-rank-order
+    # process r: r = i·dim1 + j for 'R' major, r = j·dim0 + i for 'C'
+    devs = sorted(jax.devices(), key=lambda d: d.process_index)
+    arr = np.array(devs, dtype=object)
+    if str(grid_major).upper().startswith("C"):
+        arr = arr.reshape(d1, d0).T
+    else:
+        arr = arr.reshape(d0, d1)
+    grid = Grid2D(Mesh(arr, ("r", "c")))
+    ld = jax.local_devices()[0]
+    H_g = jax.make_array_from_single_device_arrays(
+        (N, N), grid.sharding("r", "c"),
+        [jax.device_put(jnp.asarray(H_local), ld)])
+    V_g = None
+    if V is not None:
+        V = np.asarray(V)
+        cols = 2 * (nev + nex) if pseudo else (nev + nex)
+        if V.shape != (m, cols):
+            raise ValueError(f"V local block shape {V.shape} != "
+                             f"({m}, {cols})")
+        V_g = jax.make_array_from_single_device_arrays(
+            (N, cols), grid.sharding("r", None),
+            [jax.device_put(jnp.asarray(V), ld)])
+    _session = _Session(N=N, nev=nev, nex=nex, H=H_g, V0=V_g,
+                        ritzv0=None if ritzv is None else
+                        np.asarray(ritzv, np.float64).copy(),
+                        pseudo=pseudo, grid=grid, mp_local_rows=m)
     return 0
 
 
@@ -246,8 +337,12 @@ def solve(deg: Optional[int] = None, tol: Optional[float] = None,
     kwargs = {}
     if mode == "A":
         if s.result is not None:
-            # result.V already lives in the layout's ownership order
-            kwargs = {"v0": np.asarray(s.result.V),
+            # result.V already lives in the layout's ownership order; in
+            # the multi-process per-rank mode it is a global sharded array
+            # (np.asarray would touch non-addressable shards)
+            v0_prev = s.result.V if s.mp_local_rows is not None \
+                else np.asarray(s.result.V)
+            kwargs = {"v0": v0_prev,
                       "ritzv0": s.result.ritzv_full, "approx": True}
         elif s.V0 is not None and s.ritzv0 is not None \
                 and np.any(s.ritzv0):
@@ -270,10 +365,22 @@ def solve(deg: Optional[int] = None, tol: Optional[float] = None,
 
 
 def get_eigenpairs():
-    """*chase_get_eigenpairs_: (evals (nev,), evecs (N, nev))."""
+    """*chase_get_eigenpairs_: (evals (nev,), evecs (N, nev)).
+
+    In the multi-process per-rank mode (init_dist_local) every process
+    gets the replicated eigenvalues and ITS OWN (m, nev) eigenvector row
+    block — the reference's p*chase_get_eigenpairs_ semantics (rank-local
+    LEigsV).  All processes must call this collectively (one SPMD reshard
+    pins V to the canonical row distribution)."""
+    import jax
     s = _require()
     if s.result is None:
         raise RuntimeError("no solve() yet")
+    if s.mp_local_rows is not None:
+        V_g = jax.jit(lambda x: x,
+                      out_shardings=s.grid.sharding("r", None))(s.result.V)
+        Vloc = np.asarray(V_g.addressable_shards[0].data)[:, :s.nev]
+        return s.result.ritzv.copy(), Vloc.copy()
     V = np.asarray(s.result.V)[:, :s.nev]
     if s.layout is not None:
         V = np.asarray(s.layout.restore_rows(V))

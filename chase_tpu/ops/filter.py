@@ -156,15 +156,20 @@ def refine_tables(ritzv_act, degrees_act, lam1, lower, upper, max_deg):
     p_cur = sigma1 * lams                      # p_1(λs) = σ1·λs
     p_final = np.where(degrees_act >= 1, p_cur, 1.0)
     sigma = sigma1
-    for t in range(2, max_deg + 1):
-        sigma_new = 1.0 / (2.0 / sigma1 - sigma)
-        alphas[t] = 2.0 * sigma_new / e
-        betas[t] = -sigma * sigma_new
-        inj[t] = (2.0 * sigma_new / e) * p_cur
-        p_new = 2.0 * sigma_new * lams * p_cur - sigma * sigma_new * p_prev
-        p_prev, p_cur = p_cur, p_new
-        sigma = sigma_new
-        p_final = np.where(degrees_act >= t, p_new, p_final)
+    # p_t keeps growing to max_deg for EVERY column (only steps t ≤ deg_j
+    # are ever applied); deep-outside λ at high t can overflow f64 to inf —
+    # those rows are degree-masked in the recurrence, so silence the noise
+    with np.errstate(over="ignore", invalid="ignore"):
+        for t in range(2, max_deg + 1):
+            sigma_new = 1.0 / (2.0 / sigma1 - sigma)
+            alphas[t] = 2.0 * sigma_new / e
+            betas[t] = -sigma * sigma_new
+            inj[t] = (2.0 * sigma_new / e) * p_cur
+            p_new = 2.0 * sigma_new * lams * p_cur \
+                - sigma * sigma_new * p_prev
+            p_prev, p_cur = p_cur, p_new
+            sigma = sigma_new
+            p_final = np.where(degrees_act >= t, p_new, p_final)
     return sigma1 / e, alphas, betas, inj, p_final
 
 

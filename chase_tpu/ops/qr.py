@@ -45,6 +45,22 @@ def _trsm_right(L, V):
         L, V, left_side=False, lower=True, transpose_a=True, conjugate_a=True)
 
 
+def _chol_usable(L) -> bool:
+    """Guard for the host-factorized CholQR chains: a shift-regularized
+    MARGINALLY-PD Gram (cond ≳ 1e14) factors without LAPACK error, but
+    applying its explicit triangular inverse explodes the basis silently
+    — measured on the BSE ladder's iteration-1 block (f32-filtered columns
+    numerically dependent, Gram eig_min ~1e-19·‖G‖): col norms reached
+    1e18 within two iterations and the solve quietly degraded to 4.5e-8
+    at tol 1e-10.  The device path NaN-signals this case; here the diag
+    ratio of L (a cond(G) lower bound) triggers the same TSQR fallback."""
+    import numpy as _np
+    dL = _np.abs(_np.diagonal(L))
+    if not _np.isfinite(L).all() or dL.min() <= 0:
+        return False
+    return (dL.max() / dL.min()) ** 2 < 1e14
+
+
 @partial(jax.jit, static_argnames=("passes", "shifted", "precision", "upcast"))
 def cholqr(V, *, passes=2, shifted=False, precision="highest", upcast=None):
     """``passes`` rounds of Cholesky QR; optional diagonal shift on round 0.
@@ -132,6 +148,8 @@ def cholqr_hostchol(V, *, passes=2, shifted=False, precision="highest",
             L = np.linalg.cholesky(Gw)
         except np.linalg.LinAlgError:
             return V.astype(in_dtype), False
+        if not _chol_usable(L):
+            return V.astype(in_dtype), False
         Linv = sla.solve_triangular(L, np.eye(L.shape[0], dtype=wide),
                                     lower=True)
         V = _apply_right_jit(V, jnp.asarray(Linv.conj().T.astype(G.dtype)),
@@ -174,6 +192,8 @@ def cholqr_wide(V, *, passes=2, shifted=False, precision="highest",
         try:
             L = np.linalg.cholesky(G)
         except np.linalg.LinAlgError:
+            return V.astype(in_dtype), False
+        if not _chol_usable(L):
             return V.astype(in_dtype), False
         Linv = sla.solve_triangular(L, np.eye(L.shape[0]), lower=True)
         V = wide_matmul(V, jnp.asarray(Linv.T.copy()))

@@ -24,17 +24,13 @@ import jax
 
 from .mesh import Grid2D, make_grid
 
-__all__ = ["init_grid", "is_multihost", "process_info"]
+__all__ = ["init_grid", "ensure_initialized", "is_multihost",
+           "process_info"]
 
 
-def init_grid(shape: Optional[tuple[int, int]] = None,
-              coordinator: Optional[str] = None) -> Grid2D:
-    """Initialize the distributed runtime (if needed) and build the grid.
-
-    On Cloud TPU pods `jax.distributed.initialize()` discovers everything
-    from the metadata server; other clusters pass ``coordinator`` plus the
-    JAX_NUM_PROCESSES/JAX_PROCESS_ID envs.
-    """
+def ensure_initialized(coordinator: Optional[str] = None) -> None:
+    """Initialize the distributed runtime when the environment calls for
+    it (idempotent).  Must run before any XLA backend touch."""
     if _needs_distributed() or coordinator:
         # Decide from ENV ONLY: probing jax.process_count() here would
         # initialize the XLA backend and make distributed.initialize
@@ -57,6 +53,17 @@ def init_grid(shape: Optional[tuple[int, int]] = None,
             msg = str(e).lower()
             if "already" not in msg and "only be called once" not in msg:
                 raise
+
+
+def init_grid(shape: Optional[tuple[int, int]] = None,
+              coordinator: Optional[str] = None) -> Grid2D:
+    """Initialize the distributed runtime (if needed) and build the grid.
+
+    On Cloud TPU pods `jax.distributed.initialize()` discovers everything
+    from the metadata server; other clusters pass ``coordinator`` plus the
+    JAX_NUM_PROCESSES/JAX_PROCESS_ID envs.
+    """
+    ensure_initialized(coordinator)
     return make_grid(shape=shape)
 
 

@@ -56,35 +56,65 @@ class DenseOperator:
         self._owns_dev = not isinstance(H, jax.Array)
 
         N = self.N_orig
+        self._pad_half = None   # (n_orig_half, padded_half) for pseudo pads
         if grid is not None:
-            import math
             shape = grid.shape
             r, c = shape.get("r", 1), shape.get("c", 1)
-            # Hermitian: pad to a multiple of r·c, not lcm(r, c) — the 2D
-            # ping-pong ring filter (parallel/ring.chebyshev_filter_ring2d)
-            # needs r·c | N, and lcm-padding would silently disengage it
-            # (e.g. a 4×2 grid with N=1028 pads to 1028 under lcm=4).  The
-            # extra rows are < r·c — negligible.  Pseudo keeps the minimal
-            # lcm tile (it cannot pad at all; see the raise below).
-            tile = math.lcm(r, c) if pseudo_hermitian else r * c
-            N_pad = -(-N // tile) * tile
-            if N_pad != N:
-                if pseudo_hermitian:
-                    raise ValueError(
-                        f"pseudo-Hermitian N={N} must be divisible by the "
-                        f"mesh tile {tile} (padding would break the S-metric "
-                        f"half split); pad the BSE blocks to a divisible "
-                        f"size instead")
-                H = jnp.asarray(H)
-                # Gershgorin upper bound: pad eigenvalues above the spectrum
-                gersh = jnp.max(jnp.sum(jnp.abs(H), axis=1).real
-                                + jnp.diagonal(H).real
-                                - jnp.abs(jnp.diagonal(H)).real)
-                pad_val = gersh.astype(H.dtype)
-                Hp = jnp.zeros((N_pad, N_pad), H.dtype)
-                Hp = Hp.at[:N, :N].set(H)
-                idx = jnp.arange(N, N_pad)
-                H = Hp.at[idx, idx].set(pad_val)
+            # Pad to a multiple of r·c, not lcm(r, c) — the 2D ping-pong
+            # ring filters (parallel/ring.chebyshev_filter_ring2d and the
+            # H² variants) need r·c | N, and lcm-padding would silently
+            # disengage them (e.g. a 4×2 grid with N=1028 pads to 1028
+            # under lcm=4).  The extra rows are O(r·c) — negligible.
+            tile = r * c
+            if pseudo_hermitian:
+                # S-preserving pad: each half pads independently so the
+                # metric S = diag(I, −I) keeps its half split.  Padding
+                # each half to a multiple of tile makes N_pad = 2·h a
+                # multiple of 2·tile (ring-eligible) — the any-N analogue
+                # of the reference's block-cyclic BSE layout
+                # (linalg/distMatrix/distMatrix.hpp:2867).
+                if N % 2:
+                    raise ValueError("pseudo-Hermitian problems need even N")
+                n_half = N // 2
+                h_pad = -(-n_half // tile) * tile
+                if h_pad != n_half:
+                    H = jnp.asarray(H)
+                    # decoupled phantom pairs at ±g, g = the Gershgorin
+                    # magnitude bound: μ = g² lands at the TOP of the H²
+                    # interval (damped like any unwanted pair, mirrored by
+                    # K-conjugation), never in the smallest-positive set
+                    gersh = jnp.max(jnp.sum(jnp.abs(H), axis=1).real)
+                    g = gersh.astype(H.dtype)
+                    Np = 2 * h_pad
+                    Hp = jnp.zeros((Np, Np), H.dtype)
+                    Hp = Hp.at[:n_half, :n_half].set(H[:n_half, :n_half])
+                    Hp = Hp.at[:n_half, h_pad:h_pad + n_half].set(
+                        H[:n_half, n_half:])
+                    Hp = Hp.at[h_pad:h_pad + n_half, :n_half].set(
+                        H[n_half:, :n_half])
+                    Hp = Hp.at[h_pad:h_pad + n_half,
+                               h_pad:h_pad + n_half].set(
+                        H[n_half:, n_half:])
+                    iu = jnp.arange(n_half, h_pad)
+                    Hp = Hp.at[iu, iu].set(g)                # +g upper pads
+                    il = jnp.arange(h_pad + n_half, Np)
+                    Hp = Hp.at[il, il].set(-g)               # −g K-mirrors
+                    H = Hp
+                    self._pad_half = (n_half, h_pad)
+            else:
+                N_pad = -(-N // tile) * tile
+                if N_pad != N:
+                    H = jnp.asarray(H)
+                    # Gershgorin upper bound: pad eigenvalues above the
+                    # spectrum
+                    gersh = jnp.max(jnp.sum(jnp.abs(H), axis=1).real
+                                    + jnp.diagonal(H).real
+                                    - jnp.abs(jnp.diagonal(H)).real)
+                    pad_val = gersh.astype(H.dtype)
+                    Hp = jnp.zeros((N_pad, N_pad), H.dtype)
+                    Hp = Hp.at[:N, :N].set(H)
+                    idx = jnp.arange(N, N_pad)
+                    H = Hp.at[idx, idx].set(pad_val)
 
         sh = matrix_sharding(grid)
         self._H_dev = jax.device_put(jnp.asarray(H), sh) if sh is not None \
@@ -198,10 +228,29 @@ class DenseOperator:
 
     def place_block(self, V):
         """Pin a multivector on the grid with the canonical V sharding
-        (zero-padding rows to the operator's padded size if needed)."""
+        (zero-padding rows to the operator's padded size if needed; a
+        pseudo pad scatters each half to its padded position so the
+        S-metric half split is preserved)."""
         V = jnp.asarray(V)
         if V.shape[0] < self.N:
             Vp = jnp.zeros((self.N, V.shape[1]), V.dtype)
-            V = Vp.at[:V.shape[0], :].set(V)
+            if self._pad_half is not None:
+                n_half, h_pad = self._pad_half
+                Vp = Vp.at[:n_half, :].set(V[:n_half])
+                Vp = Vp.at[h_pad:h_pad + n_half, :].set(V[n_half:])
+                V = Vp
+            else:
+                V = Vp.at[:V.shape[0], :].set(V)
         sh = colvec_sharding(self.grid)
         return jax.device_put(V, sh) if sh is not None else V
+
+    def unpad_block(self, V):
+        """Undo :meth:`place_block`'s row padding on a result multivector
+        (identity when the operator was not padded)."""
+        if self.N == self.N_orig:
+            return V
+        if self._pad_half is not None:
+            n_half, h_pad = self._pad_half
+            return jnp.concatenate(
+                [V[:n_half], V[h_pad:h_pad + n_half]], axis=0)
+        return V[:self.N_orig]

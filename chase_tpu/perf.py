@@ -121,8 +121,94 @@ class PerfData:
         if t["All"] > 0:
             lines.append(f" | GFLOPS(all) = {gflops_all / t['All']:.4e}")
         if t["Filter"] > 0:
-            lines.append(f" | GFLOPS(filter) = {gflops_filter / t['Filter']:.4e}")
+            eff = gflops_filter / t["Filter"]
+            lines.append(f" | GFLOPS(filter) = {eff:.4e}")
+            mfu = self.filter_mfu(N, dtype)
+            if mfu is not None:
+                frac, rung, peak_g = mfu
+                lines.append(
+                    f" | Filter fraction-of-peak = {100 * frac:.1f}% of the "
+                    f"{rung} peak ({peak_g / 1e3:.0f} TFLOP/s)")
         return "\n".join(lines)
+
+    def filter_mfu(self, N: int, dtype):
+        """(fraction, rung_name, peak_gflops) of the filter phase against
+        the accelerator's matmul peak for the rung MOST of the filter ran
+        in — the reference prints GFLOPS (performance.hpp:352-451); on TPU
+        the actionable number is the fraction of the MXU roofline, so
+        effective-rate regressions self-surface in every perf table.
+        None when the device peak is unknown (CPU) or no peak applies
+        (emulated f64)."""
+        t = self.timings.get("Filter", 0.0)
+        if t <= 0 or self.filtered_vecs == 0:
+            return None
+        low_frac = self.filtered_vecs_low / self.filtered_vecs
+        rung = filter_rung(dtype, low=low_frac >= 0.5)
+        peak = device_matmul_peak(rung)
+        if peak is None:
+            return None
+        eff = self.get_filter_flops(N, dtype) / t      # GFLOP/s
+        return eff / (peak / 1e9), rung, peak / 1e9
+
+
+# -- device peak model (the roofline the MFU columns are measured against) --
+#
+# bf16 MXU peaks per chip from the public TPU specs; the f32 rungs are the
+# bf16 peak divided by the pass count of the precision mode (highest =
+# bf16x6, high = bf16x3 — measured on the v5e at 29/63/174 TF/s vs the
+# 197 TF/s spec, BENCH_r03).  Emulated f64 has no hardware peak (None);
+# wide-f64's model peak is bf16/npairs (ops/wide pair-product count).
+
+_BF16_PEAK_BY_KIND = (
+    ("v5 lite", 197e12), ("v5litepod", 197e12), ("v5e", 197e12),
+    ("v6 lite", 918e12), ("v6e", 918e12),
+    ("v5p", 459e12), ("v5", 459e12),
+    ("v4", 275e12), ("v3", 123e12), ("v2", 45e12),
+)
+
+_RUNG_DIVISOR = {"bf16": 1.0, "f32-highest": 6.0, "f32-high": 3.0}
+
+
+def device_bf16_peak():
+    """Per-chip bf16 MXU peak (FLOP/s) of the current default device, or
+    None off-TPU / for unknown kinds."""
+    import jax
+    try:
+        kind = jax.devices()[0].device_kind.lower()
+    except Exception:
+        return None
+    for key, peak in _BF16_PEAK_BY_KIND:
+        if key in kind:
+            return peak
+    return None
+
+
+def device_matmul_peak(rung):
+    """Peak FLOP/s for a named precision rung ('bf16' | 'f32-highest' |
+    'f32-high' | 'wide-f64:<npairs>'), or None when no hardware peak
+    applies (emulated f64, unknown device)."""
+    if rung is None:
+        return None
+    base = device_bf16_peak()
+    if base is None:
+        return None
+    if rung.startswith("wide-f64:"):
+        return base / float(rung.split(":", 1)[1])
+    div = _RUNG_DIVISOR.get(rung)
+    return None if div is None else base / div
+
+
+def filter_rung(dtype, low: bool):
+    """Which MXU rung the filter HEMM ran in: f32 problems run 'f32-highest'
+    (bf16x6) full precision and 'bf16' on the low rung; f64 problems run
+    'f32-highest' on the low rung (the shadow/ladder) and have NO hardware
+    rung at full precision (emulated f64 → None)."""
+    from .types import real_dtype as _rdt
+    import numpy as _np
+    rdt = _rdt(dtype)
+    if rdt == _np.dtype(_np.float32):
+        return "bf16" if low else "f32-highest"
+    return "f32-highest" if low else None
 
 
 class profiler_trace:

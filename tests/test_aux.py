@@ -259,6 +259,43 @@ def test_mixed_precision_auto_default_policy(monkeypatch):
         mixed_precision=True).resolve(np.float64).mixed_precision is False
 
 
+def test_perf_fraction_of_peak(monkeypatch):
+    """perf.filter_mfu: effective filter rate as a fraction of the MXU
+    roofline for the rung the filter ran in (VERDICT round 3 weak #7 —
+    the ≥70%-of-peak north star must self-surface in the perf table)."""
+    import chase_tpu.perf as perf
+    from chase_tpu.perf import PerfData, filter_rung, device_matmul_peak
+
+    # CPU: no hardware peak → filter_mfu None, report still prints
+    p = PerfData()
+    for ph in ("All", "Lanczos", "Filter", "Qr", "Rr", "Resids_Locking"):
+        p.add_time(ph, 0.1)
+    p.add_iter_blocksize(32)
+    p.add_filtered_vecs(100, low=True)
+    assert p.filter_mfu(256, np.float64) is None
+    assert "GFLOPS(filter)" in p.report(256, 25, 4, np.float64)
+
+    # pretend we are on a v5e: 197 TF/s bf16 peak, rung division
+    monkeypatch.setattr(perf, "device_bf16_peak", lambda: 197e12)
+    assert device_matmul_peak("bf16") == 197e12
+    assert abs(device_matmul_peak("f32-highest") - 197e12 / 6) < 1
+    assert abs(device_matmul_peak("f32-high") - 197e12 / 3) < 1
+    assert abs(device_matmul_peak("wide-f64:66") - 197e12 / 66) < 1
+    assert device_matmul_peak(None) is None
+    # rung selection: f32 problems bf16(low)/f32-highest(full); f64
+    # problems f32-highest(low)/None(emulated full)
+    assert filter_rung(np.float32, True) == "bf16"
+    assert filter_rung(np.float32, False) == "f32-highest"
+    assert filter_rung(np.float64, True) == "f32-highest"
+    assert filter_rung(np.complex128, False) is None
+    frac, rung, peak_g = p.filter_mfu(4096, np.float64)
+    assert rung == "f32-highest" and frac > 0
+    # fraction arithmetic: eff GFLOP/s over the rung peak
+    eff = p.get_filter_flops(4096, np.float64) / 0.1
+    assert abs(frac - eff / (197e12 / 6 / 1e9)) < 1e-12
+    assert "fraction-of-peak" in p.report(4096, 25, 4, np.float64)
+
+
 def test_eigh_polished_pin_cut_active_gap_floor():
     """With locked slots pinned to a huge diagonal value, the polish's
     cluster gap floor must come from the ACTIVE spectrum (pin_cut), not the

