@@ -34,7 +34,8 @@ import jax.numpy as jnp
 from ..types import filter_carry_dtype, real_dtype
 
 __all__ = ["chebyshev_filter", "filter_carry_init", "filter_steps",
-           "chebyshev_filter_refine", "refine_tables"]
+           "chebyshev_filter_refine", "refine_tables", "refine_steps",
+           "refine_combine"]
 
 
 def _hemm_shift(H, X, c, precision):
@@ -214,6 +215,36 @@ def chebyshev_filter_refine(H, V, R, degrees, alpha1_e, alphas, betas, inj,
     # combine in the PROBLEM precision: exact scalar scaling + small update
     rtv = real_dtype(V.dtype)
     Y = jnp.asarray(p_final, rtv)[None, :] * V + W.astype(V.dtype)
+    return jnp.where(degrees[None, :] >= 1, Y, V)
+
+
+# -- segmented-refine building blocks (window shrink for the DP ladder) ----
+
+@partial(jax.jit, static_argnames=("precision",))
+def refine_steps(H, Wp, Wc, Rc, degrees, alphas, betas, inj, cc, t0, t1, *,
+                 precision="highest"):
+    """Deviation-recurrence steps t in [t0, t1) on a (possibly shrunk)
+    window — the refine analogue of :func:`filter_steps`.  All table
+    arrays arrive pre-cast to the carry dtype and pre-sliced to the
+    window's columns."""
+    def body(t, st):
+        Wp, Wc = st
+        Z = (alphas[t] * _hemm_shift(H, Wc, cc, precision)
+             + betas[t] * Wp + inj[t][None, :] * Rc)
+        Z = jnp.where(degrees[None, :] >= t, Z, Wc)
+        return (Wc, Z)
+
+    return jax.lax.fori_loop(jnp.asarray(t0, jnp.int32),
+                             jnp.asarray(t1, jnp.int32), body, (Wp, Wc))
+
+
+@jax.jit
+def refine_combine(V, W, p_final, degrees):
+    """y_j = p_final_j·v_j + w_j in the problem precision (deg-0 columns
+    untouched) — the refine filter's epilogue, split out so the segmented
+    path can write retired buckets back early."""
+    rtv = real_dtype(V.dtype)
+    Y = p_final[None, :].astype(rtv) * V + W.astype(V.dtype)
     return jnp.where(degrees[None, :] >= 1, Y, V)
 
 

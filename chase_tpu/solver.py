@@ -170,6 +170,27 @@ def _window_pad(nevex: int, locked: int, B: int):
     return w_pad, nevex - w_pad
 
 
+def _shrink_plan(deg_win, B, w_pad):
+    """Bucket-retirement plan over a degree-ascending window: list of
+    (complete_through_step, retired_left_offset) pairs, ending with
+    (deg_max, w_pad).  Shared by the direct and refine segmented filters
+    — the shrunken widths reuse the same B buckets, so no new XLA
+    programs compile."""
+    plan = []
+    deg_max = int(deg_win.max())
+    for p in range(B, w_pad, B):
+        if deg_win[p - 1] < deg_win[p]:
+            step = int(deg_win[p - 1])
+            if step < 1:
+                continue
+            if plan and step == plan[-1][0]:
+                plan[-1][1] = p
+            elif not plan or step > plan[-1][0]:
+                plan.append([step, p])
+    plan.append([deg_max, w_pad])
+    return plan
+
+
 def _filter_windowed(H_f, V, degrees_act, locked, nevex, B, lam, lo, up,
                      rdt, precision):
     """Degree-retiring segmented filter (P12 true FLOP savings).
@@ -186,20 +207,7 @@ def _filter_windowed(H_f, V, degrees_act, locked, nevex, B, lam, lo, up,
     offset = locked - start
     deg_win = np.zeros(w_pad, np.int32)
     deg_win[offset:] = degrees_act
-    deg_max = int(deg_win.max())
-
-    # shrink plan: (complete_through_step, new_left_offset_in_window)
-    plan = []
-    for p in range(B, w_pad, B):
-        if deg_win[p - 1] < deg_win[p]:
-            step = int(deg_win[p - 1])
-            if step < 1:
-                continue
-            if plan and step == plan[-1][0]:
-                plan[-1][1] = p
-            elif not plan or step > plan[-1][0]:
-                plan.append([step, p])
-    plan.append([deg_max, w_pad])
+    plan = _shrink_plan(deg_win, B, w_pad)
 
     from .types import filter_carry_dtype as _fcd, real_dtype as _rdt
     carry = _fcd(H_f.dtype, V.dtype)
@@ -212,10 +220,12 @@ def _filter_windowed(H_f, V, degrees_act, locked, nevex, B, lam, lo, up,
     sigma1 = e / (lam - c)
 
     X = _slice_cols(V, jnp.int32(start), w_pad)
+    X0 = X
     dwin = jnp.asarray(deg_win)
     Xp, Yc, sigma = filt.filter_carry_init(H_f, X.astype(carry), dwin,
                                            c, e, sigma1,
                                            precision=precision)
+    executed = w_pad                      # init step runs the full window
     t_done = 1
     start0 = start             # V-column of the initial window's left edge
     for (t_end, plan_off) in plan:
@@ -224,9 +234,13 @@ def _filter_windowed(H_f, V, degrees_act, locked, nevex, B, lam, lo, up,
                 H_f, Xp, Yc, dwin, sigma, sigma1, c, e,
                 jnp.int32(t_done + 1), jnp.int32(t_end + 1),
                 precision=precision)
+            executed += w_pad * (t_end - t_done)
             t_done = t_end
-        # write back the current window (retired columns are final there)
-        V = _update_cols(V, Yc, jnp.int32(start))
+        # write back the current window (retired columns are final there);
+        # degree-0 (locked pad) columns bit-exact from the ORIGINAL slice —
+        # a reduced carry (DP classic-low rung) must not round-trip them
+        Yw = jnp.where(dwin[None, :] >= 1, Yc.astype(V.dtype), X0)
+        V = _update_cols(V, Yw, jnp.int32(start))
         # plan offsets are positions in the INITIAL window; convert to the
         # absolute V-column boundary, then shrink relative to the CURRENT
         # window (the window's right edge is pinned at nevex)
@@ -239,10 +253,11 @@ def _filter_windowed(H_f, V, degrees_act, locked, nevex, B, lam, lo, up,
             if off2 > 0:
                 Xp = _slice_cols(Xp, jnp.int32(off2), new_w_pad)
                 Yc = _slice_cols(Yc, jnp.int32(off2), new_w_pad)
+                X0 = _slice_cols(X0, jnp.int32(off2), new_w_pad)
                 deg_win = deg_win[off2:]
                 dwin = jnp.asarray(deg_win)
                 start, w_pad = new_start, new_w_pad
-    return V
+    return V, executed
 
 
 def _filter_refine_windowed(H_f, V, R, ritzv_act, degrees_act, locked, nevex,
@@ -280,11 +295,59 @@ def _filter_refine_windowed(H_f, V, R, ritzv_act, degrees_act, locked, nevex,
         Y = ring_fn(grid, H_f, X, Rw, jnp.asarray(deg_win), alpha1_e,
                     alphas, betas, inj, p_final, cc, jnp.int32(deg_max),
                     precision=precision)
-    else:
-        Y = filt.chebyshev_filter_refine(
-            H_f, X, Rw, jnp.asarray(deg_win), alpha1_e, alphas, betas, inj,
-            p_final, cc, jnp.int32(deg_max), precision=precision)
-    return _update_cols(V, Y, jnp.int32(start))
+        return _update_cols(V, Y, jnp.int32(start)), w_pad * deg_max
+
+    # segmented deviation recurrence: same bucket-retirement plan as
+    # _filter_windowed — retired buckets are combined + written back and
+    # the window shrinks, so a DP ladder iteration no longer executes
+    # every column to deg_max (measured 73% window efficiency before)
+    from .types import filter_carry_dtype as _fcd, real_dtype as _rdtf
+    carry = _fcd(H_f.dtype, V.dtype)
+    crt = _rdtf(carry)
+    plan = _shrink_plan(deg_win, B, w_pad)
+    dwin = jnp.asarray(deg_win)
+    al_d = jnp.asarray(alphas, crt)
+    be_d = jnp.asarray(betas, crt)
+    inj_np = inj
+    inj_d = jnp.asarray(inj_np, crt)
+    pf_np = p_final
+    pf_d = jnp.asarray(pf_np)
+    cc_d = jnp.asarray(cc, crt)
+    Rc = Rw.astype(carry)
+    Wc = jnp.asarray(alpha1_e, crt) * Rc
+    Wp = jnp.zeros_like(Rc)
+    executed = 0
+    t_done = 1
+    start0 = start
+    for (t_end, plan_off) in plan:
+        if t_end > t_done:
+            Wp, Wc = filt.refine_steps(
+                H_f, Wp, Wc, Rc, dwin, al_d, be_d, inj_d, cc_d,
+                jnp.int32(t_done + 1), jnp.int32(t_end + 1),
+                precision=precision)
+            executed += w_pad * (t_end - t_done)
+            t_done = t_end
+        Y = filt.refine_combine(X, Wc, pf_d, dwin)
+        V = _update_cols(V, Y, jnp.int32(start))
+        retire_to = start0 + plan_off
+        if retire_to < nevex:
+            new_w = nevex - retire_to
+            new_w_pad = min(-(-new_w // B) * B, w_pad)
+            new_start = nevex - new_w_pad
+            off2 = new_start - start
+            if off2 > 0:
+                X = _slice_cols(X, jnp.int32(off2), new_w_pad)
+                Rc = _slice_cols(Rc, jnp.int32(off2), new_w_pad)
+                Wp = _slice_cols(Wp, jnp.int32(off2), new_w_pad)
+                Wc = _slice_cols(Wc, jnp.int32(off2), new_w_pad)
+                deg_win = deg_win[off2:]
+                dwin = jnp.asarray(deg_win)
+                inj_np = inj_np[:, off2:]
+                inj_d = jnp.asarray(inj_np, crt)
+                pf_np = pf_np[off2:]
+                pf_d = jnp.asarray(pf_np)
+                start, w_pad = new_start, new_w_pad
+    return V, executed
 
 
 # --------------------------------------------------------------------------
@@ -682,7 +745,7 @@ def solve(op: DenseOperator, nev: int, nex: int,
             H_f = op.H
         ring_mode = ring_mode_cfg
         if use_refine:
-            V = _filter_refine_windowed(
+            V, f_executed = _filter_refine_windowed(
                 H_f, V, R_prev, ritzv[act], degrees[act], locked, nevex, B,
                 lam_filter, lowerb, upperb, rcfg.max_deg, f_precision,
                 grid=op.grid, ring_mode=ring_mode)
@@ -712,13 +775,15 @@ def solve(op: DenseOperator, nev: int, nex: int,
                 op.grid, H_f, Xw, jnp.asarray(deg_win), lam_filter,
                 lowerb, upperb, int(deg_win.max()), precision=f_precision)
             V = _update_cols(V, Yw, jnp.int32(start_f))
+            f_executed = w_pad_f * int(deg_win.max())
         else:
-            V = _filter_windowed(H_f, V, degrees[act], locked, nevex, B,
-                                 lam_filter, lowerb, upperb, op.real_dtype,
-                                 f_precision)
+            V, f_executed = _filter_windowed(
+                H_f, V, degrees[act], locked, nevex, B, lam_filter, lowerb,
+                upperb, op.real_dtype, f_precision)
         if perf is not None:
             perf.add_filtered_vecs(int(np.sum(degrees[act])),
-                                   low=use_refine or use_bf16 or use_low)
+                                   low=use_refine or use_bf16 or use_low,
+                                   executed=f_executed)
             perf.add_iter_blocksize(unconverged)
         t0 = toc("Filter", t0, V)
 

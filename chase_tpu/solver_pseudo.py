@@ -471,11 +471,61 @@ def solve_pseudo(op: DenseOperator, nev: int, nex: int,
                             a1e, al, be, inj, pf, cc_h2,
                             jnp.int32(int(deg_win.max())),
                             precision=f_precision)
+                V = update_cols(V, X, jnp.int32(start))
+                f_executed = w_pad * int(deg_win.max())
             else:
-                X = ps.chebyshev_filter_refine_h2(
-                    H_f, X, R2w, jnp.asarray(deg_win), a1e, al, be, inj,
-                    pf, cc_h2, jnp.int32(int(deg_win.max())),
-                    precision=f_precision)
+                # segmented deviation recurrence on H² (bucket shrink,
+                # mirrors solver._filter_refine_windowed)
+                from .types import filter_carry_dtype as _fcd,                     real_dtype as _rdtf
+                from .solver import _shrink_plan
+                carry = _fcd(H_f.dtype, V.dtype)
+                crt = _rdtf(carry)
+                plan = _shrink_plan(deg_win, B, w_pad)
+                dwin = jnp.asarray(deg_win)
+                al_d = jnp.asarray(al, crt)
+                be_d = jnp.asarray(be, crt)
+                inj_np, pf_np = inj, pf
+                inj_d = jnp.asarray(inj_np, crt)
+                pf_d = jnp.asarray(pf_np)
+                cc_d = jnp.asarray(cc_h2, crt)
+                Rc = R2w.astype(carry)
+                Wc = jnp.asarray(a1e, crt) * Rc
+                Wp = jnp.zeros_like(Rc)
+                f_executed = 0
+                t_done = 1
+                start0 = start
+                w_cur = w_pad
+                while True:
+                    t_end, plan_off = plan.pop(0)
+                    if t_end > t_done:
+                        Wp, Wc = ps.refine_h2_steps(
+                            H_f, Wp, Wc, Rc, dwin, al_d, be_d, inj_d,
+                            cc_d, jnp.int32(t_done + 1),
+                            jnp.int32(t_end + 1), precision=f_precision)
+                        f_executed += w_cur * (t_end - t_done)
+                        t_done = t_end
+                    Y = filt.refine_combine(X, Wc, pf_d, dwin)
+                    V = update_cols(V, Y, jnp.int32(start))
+                    if not plan:
+                        break
+                    retire_to = start0 + plan_off
+                    if retire_to < locked + u:
+                        new_w = locked + u - retire_to
+                        new_w_pad = min(-(-new_w // B) * B, w_cur)
+                        new_start = locked + u - new_w_pad
+                        off2 = new_start - start
+                        if off2 > 0:
+                            X = slice_cols(X, jnp.int32(off2), new_w_pad)
+                            Rc = slice_cols(Rc, jnp.int32(off2), new_w_pad)
+                            Wp = slice_cols(Wp, jnp.int32(off2), new_w_pad)
+                            Wc = slice_cols(Wc, jnp.int32(off2), new_w_pad)
+                            deg_win = deg_win[off2:]
+                            dwin = jnp.asarray(deg_win)
+                            inj_np = inj_np[:, off2:]
+                            inj_d = jnp.asarray(inj_np, crt)
+                            pf_np = pf_np[off2:]
+                            pf_d = jnp.asarray(pf_np)
+                            start, w_cur = new_start, new_w_pad
         elif ring_mode is not None:
             # H² filter as the ring collective matmul (P11 on the BSE
             # path): 1D software-pipelined ring or the 2D ping-pong with
@@ -490,17 +540,63 @@ def solve_pseudo(op: DenseOperator, nev: int, nex: int,
                         np.asarray(b_sup, op.real_dtype),
                         jnp.int32(int(deg_win.max())),
                         precision=f_precision)
+            V = update_cols(V, X, jnp.int32(start))
+            f_executed = w_pad * int(deg_win.max())
         else:
-            X = ps.chebyshev_filter_h2(
-                H_f, X, jnp.asarray(deg_win),
-                np.asarray(lambda_1, op.real_dtype),
-                np.asarray(lower, op.real_dtype),
-                np.asarray(b_sup, op.real_dtype),
-                jnp.int32(int(deg_win.max())), precision=f_precision)
-        V = update_cols(V, X, jnp.int32(start))
+            # segmented H² recurrence (bucket shrink, _filter_windowed's
+            # plan on the pseudo window; degree-0 pad columns restored
+            # bit-exactly at every write-back)
+            from .types import filter_carry_dtype as _fcd,                 real_dtype as _rdtf
+            from .solver import _shrink_plan
+            carry = _fcd(H_f.dtype, V.dtype)
+            crt = _rdtf(carry)
+            plan = _shrink_plan(deg_win, B, w_pad)
+            lo_ = min(float(lower), float(b_sup))
+            up_ = max(float(lower), float(b_sup))
+            c_s = np.asarray((up_ + lo_) / 2, crt)
+            e_s = np.asarray((up_ - lo_) / 2, crt)
+            sig1 = np.asarray(e_s / (np.asarray(lambda_1, crt) - c_s), crt)
+            dwin = jnp.asarray(deg_win)
+            X0 = X
+            Xp, Yc, sigma = ps.h2_carry_init(H_f, X.astype(carry), dwin,
+                                             c_s, e_s, sig1,
+                                             precision=f_precision)
+            f_executed = w_pad
+            t_done = 1
+            start0 = start
+            w_cur = w_pad
+            while True:
+                t_end, plan_off = plan.pop(0)
+                if t_end > t_done:
+                    Xp, Yc, sigma = ps.h2_steps(
+                        H_f, Xp, Yc, dwin, sigma, sig1, c_s, e_s,
+                        jnp.int32(t_done + 1), jnp.int32(t_end + 1),
+                        precision=f_precision)
+                    f_executed += w_cur * (t_end - t_done)
+                    t_done = t_end
+                Yw = jnp.where(dwin[None, :] >= 1, Yc.astype(V.dtype),
+                               X0)
+                V = update_cols(V, Yw, jnp.int32(start))
+                if not plan:
+                    break
+                retire_to = start0 + plan_off
+                if retire_to < locked + u:
+                    new_w = locked + u - retire_to
+                    new_w_pad = min(-(-new_w // B) * B, w_cur)
+                    new_start = locked + u - new_w_pad
+                    off2 = new_start - start
+                    if off2 > 0:
+                        X0 = slice_cols(X0, jnp.int32(off2), new_w_pad)
+                        Xp = slice_cols(Xp, jnp.int32(off2), new_w_pad)
+                        Yc = slice_cols(Yc, jnp.int32(off2), new_w_pad)
+                        deg_win = deg_win[off2:]
+                        dwin = jnp.asarray(deg_win)
+                        start, w_cur = new_start, new_w_pad
         if perf is not None:
+            # H² = 2 matvecs per recurrence step
             perf.add_filtered_vecs(2 * int(np.sum(degrees[act])),
-                                   low=use_refine or use_bf16 or use_low)
+                                   low=use_refine or use_bf16 or use_low,
+                                   executed=2 * f_executed)
             perf.add_iter_blocksize(u)
         t0 = toc("Filter", t0, V)
 

@@ -75,6 +75,19 @@ def _warmup_pseudo(op, nev, nex, rcfg, max_workers):
     # second filter program per width
     low_rung = (rcfg.bf16_filter and is_sp and not is_cplx) or \
         (rcfg.mixed_precision and not is_sp)
+    refine_capable = rcfg.refine_filter and (
+        (not is_sp and rcfg.mixed_precision)
+        or (is_sp and rcfg.bf16_filter and not is_cplx))
+
+    small_dense, qr_backend = _solver.resolve_small_dense(
+        rcfg.small_dense_backend, not rcfg.is_double)
+    use_wide, small_dense, qr_backend = _solver.resolve_wide(
+        rcfg, op, is_sp, small_dense, qr_backend)
+    if use_wide:
+        op.engage_wide(drop=refine_capable)
+
+    from .types import filter_carry_dtype as _fcd, real_dtype as _rdtf
+    from .ops.blocks import update_cols
 
     def filter_job(w_pad, low=False):
         deg_win = np.full(w_pad, 2, np.int32)
@@ -88,14 +101,63 @@ def _warmup_pseudo(op, nev, nex, rcfg, max_workers):
                   else chebyshev_filter_h2_ring2d)
             out = fn(op.grid, H_f, X, jnp.asarray(deg_win), 0.5, 1.0,
                      4.0 * N * N, jnp.int32(2), precision=f_precision)
-        else:
-            out = ps.chebyshev_filter_h2(
-                H_f, X, jnp.asarray(deg_win), 0.5, 1.0, 4.0 * N * N,
-                jnp.int32(2), precision=f_precision)
+            out.block_until_ready()
+            return
+        # segmented kernels (h2_carry_init + h2_steps + masked write-back)
+        # — the programs solver_pseudo's non-ring filter actually runs
+        carry = _fcd(H_f.dtype, V.dtype)
+        crt = _rdtf(carry)
+        dwin = jnp.asarray(deg_win)
+        c_s = np.asarray(0.5 * (1.0 + 4.0 * N * N), crt)
+        e_s = np.asarray(0.5 * (4.0 * N * N - 1.0), crt)
+        sig1 = np.asarray(e_s / (np.asarray(0.5, crt) - c_s), crt)
+        Xp, Yc, sigma = ps.h2_carry_init(H_f, X.astype(carry), dwin,
+                                         c_s, e_s, sig1,
+                                         precision=f_precision)
+        Xp, Yc, sigma = ps.h2_steps(H_f, Xp, Yc, dwin, sigma, sig1, c_s,
+                                    e_s, jnp.int32(2), jnp.int32(3),
+                                    precision=f_precision)
+        Yw = jnp.where(dwin[None, :] >= 1, Yc.astype(V.dtype), X)
+        out = update_cols(V, Yw, jnp.int32(0))
         out.block_until_ready()
 
-    small_dense, qr_backend = _solver.resolve_small_dense(
-        rcfg.small_dense_backend, not rcfg.is_double)
+    def refine_job(w_pad):
+        from .ops import filter as filt
+        deg_win = np.full(w_pad, 2, np.int32)
+        ritz_win = np.full(w_pad, 0.5, np.float64)
+        a1e, al, be, inj, pf = filt.refine_tables(
+            ritz_win ** 2, deg_win, 0.5, 1.0, 4.0 * N * N, rcfg.max_deg)
+        X = slice_cols(V, jnp.int32(0), w_pad)
+        Rw = slice_cols(V, jnp.int32(0), w_pad)
+        theta_win = jnp.asarray(ritz_win, op.real_dtype)
+        if use_wide:
+            R2w = ps.h2_residual_wide(op.H_wide, Rw, theta_win)
+        else:
+            R2w = ps.h2_residual(op.H, Rw, theta_win, precision=precision)
+        f_precision = "default" if is_sp else precision
+        if ring_mode is not None:
+            from .parallel.ring import (chebyshev_filter_refine_h2_ring,
+                                        chebyshev_filter_refine_h2_ring2d)
+            fn = (chebyshev_filter_refine_h2_ring if ring_mode == "1d"
+                  else chebyshev_filter_refine_h2_ring2d)
+            out = fn(op.grid, op.H_low, X, R2w, jnp.asarray(deg_win), a1e,
+                     al, be, inj, pf, 0.5 * (1.0 + 4.0 * N * N),
+                     jnp.int32(2), precision=f_precision)
+            out.block_until_ready()
+            return
+        carry = _fcd(op.H_low.dtype, V.dtype)
+        crt = _rdtf(carry)
+        dwin = jnp.asarray(deg_win)
+        Rc = R2w.astype(carry)
+        Wc = jnp.asarray(a1e, crt) * Rc
+        Wp, Wc = ps.refine_h2_steps(
+            op.H_low, jnp.zeros_like(Rc), Wc, Rc, dwin,
+            jnp.asarray(al, crt), jnp.asarray(be, crt),
+            jnp.asarray(inj, crt), jnp.asarray(0.5, crt),
+            jnp.int32(2), jnp.int32(3), precision=f_precision)
+        Y = filt.refine_combine(X, Wc, jnp.asarray(pf), dwin)
+        out = update_cols(V, Y, jnp.int32(0))
+        out.block_until_ready()
 
     def qr_job(cond):
         # the solve passes the QR backend here (solver_pseudo.py), NOT the
@@ -111,10 +173,13 @@ def _warmup_pseudo(op, nev, nex, rcfg, max_workers):
         out.block_until_ready()
 
     def rr_job():
+        hw = op.H_wide if use_wide else None
+        H_rr = None if use_wide else op.H
         out = ps.rayleigh_ritz_residuals_pseudo(
-            op.H, V, jnp.int32(0), precision=precision,
+            H_rr, V, jnp.int32(0), precision=precision,
             small_dense=small_dense,
-            polish=rcfg.polish_passes(pseudo=True))
+            polish=rcfg.polish_passes(pseudo=True),
+            want_vectors=refine_capable, H_wide=hw)
         out[0].block_until_ready()
 
     def lanczos_job():
@@ -122,8 +187,9 @@ def _warmup_pseudo(op, nev, nex, rcfg, max_workers):
         m -= m % 2
         probes = op.place_block(
             jnp.eye(N, min(rcfg.num_lanczos, K2), dtype=op.dtype))
-        a, b, _ = ps.lanczos_scan_pseudo(op.H, probes, m=m,
-                                         precision=precision)
+        H_lz = op.H_low if use_wide else op.H   # mirror solver_pseudo
+        a, b, _ = ps.lanczos_scan_pseudo(H_lz, probes.astype(H_lz.dtype),
+                                         m=m, precision=precision)
         b.block_until_ready()
 
     def aux_job():
@@ -140,9 +206,15 @@ def _warmup_pseudo(op, nev, nex, rcfg, max_workers):
                               dtype=op.dtype), 0.001)
         out.block_until_ready()
 
-    jobs = [(f"h2-filter:{w}", lambda w=w: filter_job(w)) for w in widths]
+    # wide mode with the refine ladder: the H² filter never touches f64 H
+    skip_f64_filter = use_wide and refine_capable
+    jobs = [] if skip_f64_filter else \
+        [(f"h2-filter:{w}", lambda w=w: filter_job(w)) for w in widths]
     if low_rung:
         jobs += [(f"h2-filter-low:{w}", lambda w=w: filter_job(w, low=True))
+                 for w in widths]
+    if refine_capable:
+        jobs += [(f"h2-refine:{w}", lambda w=w: refine_job(w))
                  for w in widths]
     # all three cond-driven CholQR chains (see the hermitian warmup)
     qr_conds = (0.5 * rcfg.cholqr1_threshold, 2.0 * rcfg.cholqr1_threshold,
@@ -290,9 +362,9 @@ def warmup(H, nev: int, nex: Optional[int] = None, *, config=None,
             out = ring_fn(op.grid, H_f, Xw, jnp.asarray(deg_win), lam,
                           lo, up, 2, precision=f_precision)
         else:
-            out = _solver._filter_windowed(H_f, V, degrees_act, locked,
-                                           nevex, B, lam, lo, up, rdt,
-                                           f_precision)
+            out, _ = _solver._filter_windowed(H_f, V, degrees_act, locked,
+                                              nevex, B, lam, lo, up, rdt,
+                                              f_precision)
         out.block_until_ready()
 
     def refine_job(w_pad):
@@ -303,7 +375,7 @@ def warmup(H, nev: int, nex: Optional[int] = None, *, config=None,
         # (sharded like V) and the compiled program is sharding-specialized
         R = jnp.zeros_like(V)
         f_precision = "default" if is_sp else precision
-        out = _solver._filter_refine_windowed(
+        out, _ = _solver._filter_refine_windowed(
             op.H_low, V, R, ritzv_act, degrees_act, locked, nevex, B,
             lam, lo, up, rcfg.max_deg, f_precision,
             grid=op.grid, ring_mode=ring_mode)

@@ -134,9 +134,12 @@ def test_windowed_filter_matches_plain():
                             deg_act.astype(np.int32)])),
         lam, lo, up, int(deg_act.max())))
     for B in [4, 8, 24]:
-        Yw = np.asarray(_filter_windowed(
+        Yw, n_exec = _filter_windowed(
             H, V, deg_act, locked, k, B, lam, lo, up,
-            np.float64, "highest"))
+            np.float64, "highest")
+        Yw = np.asarray(Yw)
+        # executed column-steps ≥ useful (masking waste is quantified)
+        assert n_exec >= int(deg_act.sum())
         # the filter amplifies reduction-order noise by ~rho^deg, so
         # compare per-column directions at a realistic tolerance
         for j in range(locked, k):
