@@ -436,18 +436,32 @@ def eigsh_fused(H, nev: int, nex: Optional[int] = None, *,
             jax.random.fold_in(key, 1),
             (op.N, min(rcfg.num_lanczos, nev + nex)), dtype=op.dtype))
     t0 = _time.perf_counter()
-    out = solve_fused(
-        op.H, v0, nev=nev, nex=nex, tol=tol, deg0=rcfg.deg,
-        max_deg=rcfg.max_deg, deg_extra=rcfg.deg_extra,
-        max_iter=rcfg.max_iter, lanczos_iter=rcfg.lanczos_iter,
-        num_lanczos=rcfg.num_lanczos, optimization=rcfg.optimization,
-        precision=rcfg.matmul_precision, inject_dos=not warm,
-        bf16_filter=rcfg.bf16_filter,
-        bf16_threshold=rcfg.bf16_filter_threshold,
-        small_dense=_fused_small_dense(rcfg, op.grid),
-        probes=probes, eigh_polish=rcfg.polish_passes(),
-        refine_filter=(rcfg.refine_filter and rcfg.mixed_precision
-                       and rcfg.is_double))
+    try:
+        out = solve_fused(
+            op.H, v0, nev=nev, nex=nex, tol=tol, deg0=rcfg.deg,
+            max_deg=rcfg.max_deg, deg_extra=rcfg.deg_extra,
+            max_iter=rcfg.max_iter, lanczos_iter=rcfg.lanczos_iter,
+            num_lanczos=rcfg.num_lanczos, optimization=rcfg.optimization,
+            precision=rcfg.matmul_precision, inject_dos=not warm,
+            bf16_filter=rcfg.bf16_filter,
+            bf16_threshold=rcfg.bf16_filter_threshold,
+            small_dense=_fused_small_dense(rcfg, op.grid),
+            probes=probes, eigh_polish=rcfg.polish_passes(),
+            refine_filter=(rcfg.refine_filter and rcfg.mixed_precision
+                           and rcfg.is_double))
+    except jax.errors.JaxRuntimeError as e:
+        # Some remote-compile runtimes reject the one-dispatch DP program
+        # (the sandbox relay's compiler aborts on it at every size —
+        # BENCH_NOTES round 3).  Serve through the host driver instead of
+        # failing: same tolerance/semantics, a few dispatches per
+        # iteration (VERDICT round 3 item 10).
+        from .logger import get_logger
+        get_logger().warn(
+            f"fused program failed to compile on this runtime "
+            f"({type(e).__name__}: {str(e).splitlines()[0][:120]}) — "
+            f"falling back to the host driver", "interface")
+        return eigsh(op, nev, nex, config=cfg, v0=None if not warm else v0,
+                     collect_perf=collect_perf, key=key)
     ritzv = np.asarray(out["ritzv"], np.float64)
     resid = np.asarray(out["resid"], np.float64)
     locked = int(out["locked"])
@@ -519,20 +533,30 @@ def eigsh_pseudo_fused(H, nev: int, nex: Optional[int] = None, *,
             (op.N, min(rcfg.num_lanczos, nev + nex)),
             dtype=op.dtype), 0.001))
     t0 = _time.perf_counter()
-    out = solve_pseudo_fused(
-        op.H, v0, nev=nev, nex=nex, tol=tol, deg0=rcfg.deg,
-        max_deg=rcfg.max_deg, deg_extra=rcfg.deg_extra,
-        max_iter=rcfg.max_iter, lanczos_iter=rcfg.lanczos_iter,
-        num_lanczos=rcfg.num_lanczos, optimization=rcfg.optimization,
-        cluster_aware=rcfg.cluster_aware_degrees,
-        precision=rcfg.matmul_precision,
-        small_dense=_fused_small_dense(rcfg, op.grid),
-        inject_dos=not warm, probes=probes,
-        eigh_polish=rcfg.polish_passes(pseudo=True),
-        bf16_filter=rcfg.bf16_filter,
-        bf16_threshold=rcfg.bf16_filter_threshold,
-        refine_filter=(rcfg.refine_filter and rcfg.mixed_precision
-                       and rcfg.is_double))
+    try:
+        out = solve_pseudo_fused(
+            op.H, v0, nev=nev, nex=nex, tol=tol, deg0=rcfg.deg,
+            max_deg=rcfg.max_deg, deg_extra=rcfg.deg_extra,
+            max_iter=rcfg.max_iter, lanczos_iter=rcfg.lanczos_iter,
+            num_lanczos=rcfg.num_lanczos, optimization=rcfg.optimization,
+            cluster_aware=rcfg.cluster_aware_degrees,
+            precision=rcfg.matmul_precision,
+            small_dense=_fused_small_dense(rcfg, op.grid),
+            inject_dos=not warm, probes=probes,
+            eigh_polish=rcfg.polish_passes(pseudo=True),
+            bf16_filter=rcfg.bf16_filter,
+            bf16_threshold=rcfg.bf16_filter_threshold,
+            refine_filter=(rcfg.refine_filter and rcfg.mixed_precision
+                           and rcfg.is_double))
+    except jax.errors.JaxRuntimeError as e:
+        from .logger import get_logger
+        get_logger().warn(
+            f"fused BSE program failed to compile on this runtime "
+            f"({type(e).__name__}: {str(e).splitlines()[0][:120]}) — "
+            f"falling back to the host driver", "interface")
+        return eigsh_pseudo(op, nev, nex, config=cfg,
+                            v0=None if not warm else v0,
+                            collect_perf=collect_perf, key=key)
     ritzv = np.asarray(out["ritzv"], np.float64)
     resid = np.asarray(out["resid"], np.float64)
     locked = int(out["locked"])

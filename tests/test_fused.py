@@ -199,3 +199,22 @@ def test_fused_refine_ladder_dp():
     res_f64 = chase_tpu.eigsh_fused(H, nev, nex, tol=1e-10,
                                     config=chase_tpu.ChaseConfig())
     assert abs(res.iterations - res_f64.iterations) <= 2
+
+
+def test_fused_compile_failure_falls_back_to_host(monkeypatch):
+    """Runtimes whose compiler rejects the one-dispatch program (the relay
+    aborts on fused DP at every size) must still serve: eigsh_fused falls
+    back to the host driver with a warning (VERDICT round 3 item 10)."""
+    import jax
+    import chase_tpu.fused as fused_mod
+
+    def boom(*a, **k):
+        raise jax.errors.JaxRuntimeError("simulated remote-compile abort")
+
+    monkeypatch.setattr(fused_mod, "solve_fused", boom)
+    N, nev, nex = 192, 10, 8
+    H = clement(N).astype(np.float64)
+    res = chase_tpu.eigsh_fused(H, nev, nex, tol=1e-10)
+    assert res.converged
+    np.testing.assert_allclose(res.ritzv, clement_eigenvalues(N)[:nev],
+                               atol=1e-8)
