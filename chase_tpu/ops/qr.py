@@ -295,6 +295,16 @@ def tsqr(V, *, grid=None, axis: str = "r", upcast=None):
     return fn(V).astype(in_dtype)
 
 
+# MEASURED NEGATIVE RESULT (round 4): an f32-Householder + wide-CholQR2
+# rescue in place of the emulated-f64 TSQR fallback looked like a cheap
+# Householder substitute for wide mode, but breakdowns also occur NEAR
+# CONVERGENCE (not only at the ladder's structural first iteration) and
+# the f32 cast then floors near-converged columns at eps_f32 — they
+# early-lock at ~1000·tol and the solve stalls at 5e-7 (N=1024 BSE wide
+# A/B).  The emulated-f64 TSQR stays the rescue; it runs a handful of
+# times per solve.
+
+
 @jax.jit
 def restore_locked(V_new, V_old, locked):
     """Keep columns [0, locked) from V_old (reference lacpy restore)."""
