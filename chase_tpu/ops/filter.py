@@ -248,6 +248,116 @@ def refine_combine(V, W, p_final, degrees):
     return jnp.where(degrees[None, :] >= 1, Y, V)
 
 
+# -- dispatch-folded segment programs (per-dispatch-overhead reduction) ----
+#
+# The segmented window filter used to issue slice + carry-init + per-
+# segment (steps, masked-writeback, update) + shrink slices as SEPARATE
+# jitted programs — ~12 dispatches per iteration.  Round-4 measurement
+# (BENCH_NOTES "width/N probe") showed per-dispatch overhead, not masking
+# or kernel shape, is what separates the in-solve filter rate from the raw
+# kernel on dispatch-expensive runtimes.  These fused variants do the
+# window slice, the recurrence segment, the degree-masked write-back and
+# the carry shrink inside ONE program each: ~2-4 dispatches per iteration,
+# same bucketed program count (widths are static).
+
+
+@partial(jax.jit, static_argnames=("w_pad", "precision"))
+def filter_seg_init(H, V, start, deg_win, c, e, sigma1, *, w_pad,
+                    precision="highest"):
+    """Slice the window out of V and run recurrence step 1 — one program.
+    Returns (X0, Xp, Yc, sigma) in the carry dtype."""
+    carry = filter_carry_dtype(H.dtype, V.dtype)
+    X0 = jax.lax.dynamic_slice(V, (jnp.int32(0), start),
+                               (V.shape[0], w_pad))
+    Xc = X0.astype(carry)
+    rt = real_dtype(carry)
+    alpha1 = jnp.asarray(sigma1 / e, rt)
+    cc = jnp.asarray(c, rt)
+    Y = alpha1 * _hemm_shift(H, Xc, cc, precision)
+    Y = jnp.where(deg_win[None, :] >= 1, Y, Xc)
+    return X0, Xc, Y, jnp.asarray(sigma1, rt)
+
+
+@partial(jax.jit, static_argnames=("w_new", "precision"))
+def filter_seg_steps(H, V, X0, Xp, Yc, deg_win, sigma, sigma1, c, e, off,
+                     start_new, t0, t1, *, w_new, precision="highest"):
+    """One fused segment: shrink the carries by ``off`` columns (traced; 0
+    = no shrink), run steps t in [t0, t1), write the masked window back
+    into V.  Returns (V', X0', Xp', Yc', sigma) at the new static width."""
+    if w_new != Xp.shape[1]:
+        X0 = jax.lax.dynamic_slice(X0, (jnp.int32(0), off),
+                                   (X0.shape[0], w_new))
+        Xp = jax.lax.dynamic_slice(Xp, (jnp.int32(0), off),
+                                   (Xp.shape[0], w_new))
+        Yc = jax.lax.dynamic_slice(Yc, (jnp.int32(0), off),
+                                   (Yc.shape[0], w_new))
+
+    def body(t, carry):
+        Xp, Yc, sigma = carry
+        sigma_new = 1.0 / (2.0 / sigma1 - sigma)
+        alpha = 2.0 * sigma_new / e
+        beta = -sigma * sigma_new
+        Z = alpha * _hemm_shift(H, Yc, c, precision) + beta * Xp
+        Z = jnp.where(deg_win[None, :] >= t, Z, Yc)
+        return (Yc, Z, sigma_new)
+
+    Xp, Yc, sigma = jax.lax.fori_loop(
+        jnp.asarray(t0, jnp.int32), jnp.asarray(t1, jnp.int32),
+        body, (Xp, Yc, sigma))
+    # degree-0 (locked pad) columns bit-exact from the original slice
+    Yw = jnp.where(deg_win[None, :] >= 1, Yc.astype(V.dtype), X0)
+    V = jax.lax.dynamic_update_slice(V, Yw, (jnp.int32(0), start_new))
+    return V, X0, Xp, Yc, sigma
+
+
+@partial(jax.jit, static_argnames=("w_pad",))
+def refine_seg_init(H, V, R, start, alpha1_e, *, w_pad):
+    """Slice the V/R windows and seed w₁ = (σ1/e)·r — one program.
+    ``H`` only supplies the carry dtype (its fast-rung storage)."""
+    carry = filter_carry_dtype(H.dtype, V.dtype)
+    rt = real_dtype(carry)
+    X0 = jax.lax.dynamic_slice(V, (jnp.int32(0), start),
+                               (V.shape[0], w_pad))
+    Rc = jax.lax.dynamic_slice(R, (jnp.int32(0), start),
+                               (R.shape[0], w_pad)).astype(carry)
+    Wc = jnp.asarray(alpha1_e, rt) * Rc
+    return X0, jnp.zeros_like(Rc), Wc, Rc
+
+
+@partial(jax.jit, static_argnames=("w_new", "precision"))
+def refine_seg_steps(H, V, X0, Wp, Wc, Rc, deg_win, alphas, betas, inj,
+                     p_final, cc, off, start_new, t0, t1, *, w_new,
+                     precision="highest"):
+    """Fused refine segment: shrink carries, run deviation steps
+    [t0, t1), combine y = p_final·v + w and write back — one program.
+    Returns (V', X0', Wp', Wc', Rc')."""
+    if w_new != Wc.shape[1]:
+        X0 = jax.lax.dynamic_slice(X0, (jnp.int32(0), off),
+                                   (X0.shape[0], w_new))
+        Wp = jax.lax.dynamic_slice(Wp, (jnp.int32(0), off),
+                                   (Wp.shape[0], w_new))
+        Wc = jax.lax.dynamic_slice(Wc, (jnp.int32(0), off),
+                                   (Wc.shape[0], w_new))
+        Rc = jax.lax.dynamic_slice(Rc, (jnp.int32(0), off),
+                                   (Rc.shape[0], w_new))
+
+    def body(t, st):
+        Wp, Wc = st
+        Z = (alphas[t] * _hemm_shift(H, Wc, cc, precision)
+             + betas[t] * Wp + inj[t][None, :] * Rc)
+        Z = jnp.where(deg_win[None, :] >= t, Z, Wc)
+        return (Wc, Z)
+
+    Wp, Wc = jax.lax.fori_loop(
+        jnp.asarray(t0, jnp.int32), jnp.asarray(t1, jnp.int32),
+        body, (Wp, Wc))
+    rtv = real_dtype(V.dtype)
+    Y = p_final[None, :].astype(rtv) * X0 + Wc.astype(V.dtype)
+    Y = jnp.where(deg_win[None, :] >= 1, Y, X0)
+    V = jax.lax.dynamic_update_slice(V, Y, (jnp.int32(0), start_new))
+    return V, X0, Wp, Wc, Rc
+
+
 # -- segmented-filter building blocks (used by the perf-tuned solver path) --
 
 @partial(jax.jit, static_argnames=("precision",))

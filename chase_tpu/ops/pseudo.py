@@ -191,6 +191,87 @@ def refine_h2_steps(H, Wp, Wc, Rc, degrees, alphas, betas, inj, cc, t0, t1,
                              jnp.asarray(t1, jnp.int32), body, (Wp, Wc))
 
 
+# -- dispatch-folded H² segment programs (ops/filter.filter_seg_* twins) ---
+
+@partial(jax.jit, static_argnames=("w_pad", "precision"))
+def h2_seg_init(H, V, start, deg_win, c, e, sigma1, *, w_pad,
+                precision="highest"):
+    """Slice the window and run H² recurrence step 1 — one program."""
+    from ..types import filter_carry_dtype
+    carry = filter_carry_dtype(H.dtype, V.dtype)
+    X0 = jax.lax.dynamic_slice(V, (jnp.int32(0), start),
+                               (V.shape[0], w_pad))
+    Xc = X0.astype(carry)
+    rt = real_dtype(carry)
+    alpha1 = jnp.asarray(sigma1 / e, rt)
+    cc = jnp.asarray(c, rt)
+    Y = alpha1 * _h2_shift(H, Xc, cc, precision)
+    Y = jnp.where(deg_win[None, :] >= 1, Y, Xc)
+    return X0, Xc, Y, jnp.asarray(sigma1, rt)
+
+
+@partial(jax.jit, static_argnames=("w_new", "precision"))
+def h2_seg_steps(H, V, X0, Xp, Yc, deg_win, sigma, sigma1, c, e, off,
+                 start_new, t0, t1, *, w_new, precision="highest"):
+    """One fused H² segment: shrink carries, run steps [t0, t1), write the
+    masked window back — one program."""
+    if w_new != Xp.shape[1]:
+        X0 = jax.lax.dynamic_slice(X0, (jnp.int32(0), off),
+                                   (X0.shape[0], w_new))
+        Xp = jax.lax.dynamic_slice(Xp, (jnp.int32(0), off),
+                                   (Xp.shape[0], w_new))
+        Yc = jax.lax.dynamic_slice(Yc, (jnp.int32(0), off),
+                                   (Yc.shape[0], w_new))
+
+    def body(t, carry):
+        Xp, Yc, sigma = carry
+        tau = 1.0 / (2.0 / sigma1 - sigma)
+        Z = (2.0 * tau / e) * _h2_shift(H, Yc, c, precision) \
+            - (sigma * tau) * Xp
+        Z = jnp.where(deg_win[None, :] >= t, Z, Yc)
+        return (Yc, Z, tau)
+
+    Xp, Yc, sigma = jax.lax.fori_loop(
+        jnp.asarray(t0, jnp.int32), jnp.asarray(t1, jnp.int32),
+        body, (Xp, Yc, sigma))
+    Yw = jnp.where(deg_win[None, :] >= 1, Yc.astype(V.dtype), X0)
+    V = jax.lax.dynamic_update_slice(V, Yw, (jnp.int32(0), start_new))
+    return V, X0, Xp, Yc, sigma
+
+
+@partial(jax.jit, static_argnames=("w_new", "precision"))
+def refine_h2_seg_steps(H, V, X0, Wp, Wc, Rc, deg_win, alphas, betas, inj,
+                        p_final, cc, off, start_new, t0, t1, *, w_new,
+                        precision="highest"):
+    """Fused H² deviation segment: shrink carries, run steps [t0, t1),
+    combine and write back — one program."""
+    if w_new != Wc.shape[1]:
+        X0 = jax.lax.dynamic_slice(X0, (jnp.int32(0), off),
+                                   (X0.shape[0], w_new))
+        Wp = jax.lax.dynamic_slice(Wp, (jnp.int32(0), off),
+                                   (Wp.shape[0], w_new))
+        Wc = jax.lax.dynamic_slice(Wc, (jnp.int32(0), off),
+                                   (Wc.shape[0], w_new))
+        Rc = jax.lax.dynamic_slice(Rc, (jnp.int32(0), off),
+                                   (Rc.shape[0], w_new))
+
+    def body(t, st):
+        Wp, Wc = st
+        Z = (alphas[t] * _h2_shift(H, Wc, cc, precision)
+             + betas[t] * Wp + inj[t][None, :] * Rc)
+        Z = jnp.where(deg_win[None, :] >= t, Z, Wc)
+        return (Wc, Z)
+
+    Wp, Wc = jax.lax.fori_loop(
+        jnp.asarray(t0, jnp.int32), jnp.asarray(t1, jnp.int32),
+        body, (Wp, Wc))
+    rtv = real_dtype(V.dtype)
+    Y = p_final[None, :].astype(rtv) * X0 + Wc.astype(V.dtype)
+    Y = jnp.where(deg_win[None, :] >= 1, Y, X0)
+    V = jax.lax.dynamic_update_slice(V, Y, (jnp.int32(0), start_new))
+    return V, X0, Wp, Wc, Rc
+
+
 # -- deviation-form refinement filter on H² (the DP-tolerance BSE ladder) ---
 #
 # Same algebra as ops/filter.chebyshev_filter_refine, applied to G = H²: for

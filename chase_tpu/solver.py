@@ -219,31 +219,33 @@ def _filter_windowed(H_f, V, degrees_act, locked, nevex, B, lam, lo, up,
     e = (up_ - lo_) / 2
     sigma1 = e / (lam - c)
 
-    X = _slice_cols(V, jnp.int32(start), w_pad)
-    X0 = X
-    dwin = jnp.asarray(deg_win)
-    Xp, Yc, sigma = filt.filter_carry_init(H_f, X.astype(carry), dwin,
-                                           c, e, sigma1,
-                                           precision=precision)
+    # Dispatch-folded segments (ops/filter.filter_seg_*): slice + init is
+    # ONE program, each (shrink + steps + masked write-back) is ONE —
+    # 2-4 dispatches per iteration instead of ~12 (per-dispatch overhead,
+    # not masking or kernel shape, was the measured in-solve filter gap —
+    # BENCH_NOTES round 4 "width/N probe")
+    X0, Xp, Yc, sigma = filt.filter_seg_init(
+        H_f, V, jnp.int32(start), jnp.asarray(deg_win), c, e, sigma1,
+        w_pad=w_pad, precision=precision)
     executed = w_pad                      # init step runs the full window
     t_done = 1
     start0 = start             # V-column of the initial window's left edge
+    pend_off = 0               # shrink offset staged for the next segment
     for (t_end, plan_off) in plan:
         if t_end > t_done:
-            Xp, Yc, sigma = filt.filter_steps(
-                H_f, Xp, Yc, dwin, sigma, sigma1, c, e,
+            V, X0, Xp, Yc, sigma = filt.filter_seg_steps(
+                H_f, V, X0, Xp, Yc, jnp.asarray(deg_win), sigma, sigma1,
+                c, e, jnp.int32(pend_off), jnp.int32(start),
                 jnp.int32(t_done + 1), jnp.int32(t_end + 1),
-                precision=precision)
+                w_new=w_pad, precision=precision)
+            pend_off = 0
             executed += w_pad * (t_end - t_done)
             t_done = t_end
-        # write back the current window (retired columns are final there);
-        # degree-0 (locked pad) columns bit-exact from the ORIGINAL slice —
-        # a reduced carry (DP classic-low rung) must not round-trip them
-        Yw = jnp.where(dwin[None, :] >= 1, Yc.astype(V.dtype), X0)
-        V = _update_cols(V, Yw, jnp.int32(start))
         # plan offsets are positions in the INITIAL window; convert to the
         # absolute V-column boundary, then shrink relative to the CURRENT
-        # window (the window's right edge is pinned at nevex)
+        # window (the window's right edge is pinned at nevex).  The shrink
+        # itself is folded into the NEXT segment program (static new
+        # width, traced offset).
         retire_to = start0 + plan_off
         if retire_to < nevex:
             new_w = nevex - retire_to
@@ -251,12 +253,9 @@ def _filter_windowed(H_f, V, degrees_act, locked, nevex, B, lam, lo, up,
             new_start = nevex - new_w_pad
             off2 = new_start - start
             if off2 > 0:
-                Xp = _slice_cols(Xp, jnp.int32(off2), new_w_pad)
-                Yc = _slice_cols(Yc, jnp.int32(off2), new_w_pad)
-                X0 = _slice_cols(X0, jnp.int32(off2), new_w_pad)
                 deg_win = deg_win[off2:]
-                dwin = jnp.asarray(deg_win)
                 start, w_pad = new_start, new_w_pad
+                pend_off += off2
     return V, executed
 
 
@@ -297,38 +296,34 @@ def _filter_refine_windowed(H_f, V, R, ritzv_act, degrees_act, locked, nevex,
                     precision=precision)
         return _update_cols(V, Y, jnp.int32(start)), w_pad * deg_max
 
-    # segmented deviation recurrence: same bucket-retirement plan as
-    # _filter_windowed — retired buckets are combined + written back and
-    # the window shrinks, so a DP ladder iteration no longer executes
-    # every column to deg_max (measured 73% window efficiency before)
+    # dispatch-folded segmented deviation recurrence: same bucket plan as
+    # _filter_windowed, each (shrink + steps + combine + write-back) ONE
+    # program (ops/filter.refine_seg_steps)
     from .types import filter_carry_dtype as _fcd, real_dtype as _rdtf
     carry = _fcd(H_f.dtype, V.dtype)
     crt = _rdtf(carry)
     plan = _shrink_plan(deg_win, B, w_pad)
-    dwin = jnp.asarray(deg_win)
     al_d = jnp.asarray(alphas, crt)
     be_d = jnp.asarray(betas, crt)
-    inj_np = inj
-    inj_d = jnp.asarray(inj_np, crt)
-    pf_np = p_final
-    pf_d = jnp.asarray(pf_np)
+    inj_np, pf_np = inj, p_final
     cc_d = jnp.asarray(cc, crt)
-    Rc = Rw.astype(carry)
-    Wc = jnp.asarray(alpha1_e, crt) * Rc
-    Wp = jnp.zeros_like(Rc)
+    X0, Wp, Wc, Rc = filt.refine_seg_init(
+        H_f, V, R, jnp.int32(start), alpha1_e, w_pad=w_pad)
     executed = 0
     t_done = 1
     start0 = start
+    pend_off = 0
     for (t_end, plan_off) in plan:
         if t_end > t_done:
-            Wp, Wc = filt.refine_steps(
-                H_f, Wp, Wc, Rc, dwin, al_d, be_d, inj_d, cc_d,
+            V, X0, Wp, Wc, Rc = filt.refine_seg_steps(
+                H_f, V, X0, Wp, Wc, Rc, jnp.asarray(deg_win), al_d, be_d,
+                jnp.asarray(inj_np, crt), jnp.asarray(pf_np), cc_d,
+                jnp.int32(pend_off), jnp.int32(start),
                 jnp.int32(t_done + 1), jnp.int32(t_end + 1),
-                precision=precision)
+                w_new=w_pad, precision=precision)
+            pend_off = 0
             executed += w_pad * (t_end - t_done)
             t_done = t_end
-        Y = filt.refine_combine(X, Wc, pf_d, dwin)
-        V = _update_cols(V, Y, jnp.int32(start))
         retire_to = start0 + plan_off
         if retire_to < nevex:
             new_w = nevex - retire_to
@@ -336,17 +331,11 @@ def _filter_refine_windowed(H_f, V, R, ritzv_act, degrees_act, locked, nevex,
             new_start = nevex - new_w_pad
             off2 = new_start - start
             if off2 > 0:
-                X = _slice_cols(X, jnp.int32(off2), new_w_pad)
-                Rc = _slice_cols(Rc, jnp.int32(off2), new_w_pad)
-                Wp = _slice_cols(Wp, jnp.int32(off2), new_w_pad)
-                Wc = _slice_cols(Wc, jnp.int32(off2), new_w_pad)
                 deg_win = deg_win[off2:]
-                dwin = jnp.asarray(deg_win)
                 inj_np = inj_np[:, off2:]
-                inj_d = jnp.asarray(inj_np, crt)
                 pf_np = pf_np[off2:]
-                pf_d = jnp.asarray(pf_np)
                 start, w_pad = new_start, new_w_pad
+                pend_off += off2
     return V, executed
 
 

@@ -440,7 +440,10 @@ def solve_pseudo(op: DenseOperator, nev: int, nex: int,
         else:
             H_f = op.H_low if (use_bf16 or use_low) else op.H
             f_precision = "default" if use_bf16 else precision
-        X = slice_cols(V, jnp.int32(start), w_pad)
+        if use_refine or ring_mode is not None:
+            # the ring paths and the refine seed need the explicit window
+            # slice; the dispatch-folded classic path slices in-program
+            X = slice_cols(V, jnp.int32(start), w_pad)
         if use_refine:
             from .ops import filter as filt
             ritz_win = np.zeros(w_pad, np.float64)
@@ -474,20 +477,20 @@ def solve_pseudo(op: DenseOperator, nev: int, nex: int,
                 V = update_cols(V, X, jnp.int32(start))
                 f_executed = w_pad * int(deg_win.max())
             else:
-                # segmented deviation recurrence on H² (bucket shrink,
-                # mirrors solver._filter_refine_windowed)
-                from .types import filter_carry_dtype as _fcd,                     real_dtype as _rdtf
+                # dispatch-folded segmented deviation recurrence on H²
+                # (mirrors solver._filter_refine_windowed): each segment
+                # = shrink + steps + combine + write-back in ONE program
+                from .types import filter_carry_dtype as _fcd, \
+                    real_dtype as _rdtf
                 from .solver import _shrink_plan
                 carry = _fcd(H_f.dtype, V.dtype)
                 crt = _rdtf(carry)
                 plan = _shrink_plan(deg_win, B, w_pad)
-                dwin = jnp.asarray(deg_win)
                 al_d = jnp.asarray(al, crt)
                 be_d = jnp.asarray(be, crt)
                 inj_np, pf_np = inj, pf
-                inj_d = jnp.asarray(inj_np, crt)
-                pf_d = jnp.asarray(pf_np)
                 cc_d = jnp.asarray(cc_h2, crt)
+                X0 = X
                 Rc = R2w.astype(carry)
                 Wc = jnp.asarray(a1e, crt) * Rc
                 Wp = jnp.zeros_like(Rc)
@@ -495,19 +498,19 @@ def solve_pseudo(op: DenseOperator, nev: int, nex: int,
                 t_done = 1
                 start0 = start
                 w_cur = w_pad
-                while True:
-                    t_end, plan_off = plan.pop(0)
+                pend_off = 0
+                for (t_end, plan_off) in plan:
                     if t_end > t_done:
-                        Wp, Wc = ps.refine_h2_steps(
-                            H_f, Wp, Wc, Rc, dwin, al_d, be_d, inj_d,
-                            cc_d, jnp.int32(t_done + 1),
-                            jnp.int32(t_end + 1), precision=f_precision)
+                        V, X0, Wp, Wc, Rc = ps.refine_h2_seg_steps(
+                            H_f, V, X0, Wp, Wc, Rc, jnp.asarray(deg_win),
+                            al_d, be_d, jnp.asarray(inj_np, crt),
+                            jnp.asarray(pf_np), cc_d,
+                            jnp.int32(pend_off), jnp.int32(start),
+                            jnp.int32(t_done + 1), jnp.int32(t_end + 1),
+                            w_new=w_cur, precision=f_precision)
+                        pend_off = 0
                         f_executed += w_cur * (t_end - t_done)
                         t_done = t_end
-                    Y = filt.refine_combine(X, Wc, pf_d, dwin)
-                    V = update_cols(V, Y, jnp.int32(start))
-                    if not plan:
-                        break
                     retire_to = start0 + plan_off
                     if retire_to < locked + u:
                         new_w = locked + u - retire_to
@@ -515,17 +518,11 @@ def solve_pseudo(op: DenseOperator, nev: int, nex: int,
                         new_start = locked + u - new_w_pad
                         off2 = new_start - start
                         if off2 > 0:
-                            X = slice_cols(X, jnp.int32(off2), new_w_pad)
-                            Rc = slice_cols(Rc, jnp.int32(off2), new_w_pad)
-                            Wp = slice_cols(Wp, jnp.int32(off2), new_w_pad)
-                            Wc = slice_cols(Wc, jnp.int32(off2), new_w_pad)
                             deg_win = deg_win[off2:]
-                            dwin = jnp.asarray(deg_win)
                             inj_np = inj_np[:, off2:]
-                            inj_d = jnp.asarray(inj_np, crt)
                             pf_np = pf_np[off2:]
-                            pf_d = jnp.asarray(pf_np)
                             start, w_cur = new_start, new_w_pad
+                            pend_off += off2
         elif ring_mode is not None:
             # H² filter as the ring collective matmul (P11 on the BSE
             # path): 1D software-pipelined ring or the 2D ping-pong with
@@ -543,10 +540,11 @@ def solve_pseudo(op: DenseOperator, nev: int, nex: int,
             V = update_cols(V, X, jnp.int32(start))
             f_executed = w_pad * int(deg_win.max())
         else:
-            # segmented H² recurrence (bucket shrink, _filter_windowed's
+            # dispatch-folded segmented H² recurrence (_filter_windowed's
             # plan on the pseudo window; degree-0 pad columns restored
             # bit-exactly at every write-back)
-            from .types import filter_carry_dtype as _fcd,                 real_dtype as _rdtf
+            from .types import filter_carry_dtype as _fcd, \
+                real_dtype as _rdtf
             from .solver import _shrink_plan
             carry = _fcd(H_f.dtype, V.dtype)
             crt = _rdtf(carry)
@@ -556,29 +554,25 @@ def solve_pseudo(op: DenseOperator, nev: int, nex: int,
             c_s = np.asarray((up_ + lo_) / 2, crt)
             e_s = np.asarray((up_ - lo_) / 2, crt)
             sig1 = np.asarray(e_s / (np.asarray(lambda_1, crt) - c_s), crt)
-            dwin = jnp.asarray(deg_win)
-            X0 = X
-            Xp, Yc, sigma = ps.h2_carry_init(H_f, X.astype(carry), dwin,
-                                             c_s, e_s, sig1,
-                                             precision=f_precision)
+            X0, Xp, Yc, sigma = ps.h2_seg_init(
+                H_f, V, jnp.int32(start), jnp.asarray(deg_win), c_s, e_s,
+                sig1, w_pad=w_pad, precision=f_precision)
             f_executed = w_pad
             t_done = 1
             start0 = start
             w_cur = w_pad
-            while True:
-                t_end, plan_off = plan.pop(0)
+            pend_off = 0
+            for (t_end, plan_off) in plan:
                 if t_end > t_done:
-                    Xp, Yc, sigma = ps.h2_steps(
-                        H_f, Xp, Yc, dwin, sigma, sig1, c_s, e_s,
-                        jnp.int32(t_done + 1), jnp.int32(t_end + 1),
+                    V, X0, Xp, Yc, sigma = ps.h2_seg_steps(
+                        H_f, V, X0, Xp, Yc, jnp.asarray(deg_win), sigma,
+                        sig1, c_s, e_s, jnp.int32(pend_off),
+                        jnp.int32(start), jnp.int32(t_done + 1),
+                        jnp.int32(t_end + 1), w_new=w_cur,
                         precision=f_precision)
+                    pend_off = 0
                     f_executed += w_cur * (t_end - t_done)
                     t_done = t_end
-                Yw = jnp.where(dwin[None, :] >= 1, Yc.astype(V.dtype),
-                               X0)
-                V = update_cols(V, Yw, jnp.int32(start))
-                if not plan:
-                    break
                 retire_to = start0 + plan_off
                 if retire_to < locked + u:
                     new_w = locked + u - retire_to
@@ -586,12 +580,9 @@ def solve_pseudo(op: DenseOperator, nev: int, nex: int,
                     new_start = locked + u - new_w_pad
                     off2 = new_start - start
                     if off2 > 0:
-                        X0 = slice_cols(X0, jnp.int32(off2), new_w_pad)
-                        Xp = slice_cols(Xp, jnp.int32(off2), new_w_pad)
-                        Yc = slice_cols(Yc, jnp.int32(off2), new_w_pad)
                         deg_win = deg_win[off2:]
-                        dwin = jnp.asarray(deg_win)
                         start, w_cur = new_start, new_w_pad
+                        pend_off += off2
         if perf is not None:
             # H² = 2 matvecs per recurrence step
             perf.add_filtered_vecs(2 * int(np.sum(degrees[act])),

@@ -103,22 +103,20 @@ def _warmup_pseudo(op, nev, nex, rcfg, max_workers):
                      4.0 * N * N, jnp.int32(2), precision=f_precision)
             out.block_until_ready()
             return
-        # segmented kernels (h2_carry_init + h2_steps + masked write-back)
-        # — the programs solver_pseudo's non-ring filter actually runs
-        carry = _fcd(H_f.dtype, V.dtype)
-        crt = _rdtf(carry)
+        # dispatch-folded kernels (h2_seg_init + h2_seg_steps) — the
+        # programs solver_pseudo's non-ring filter actually runs
+        crt = _rdtf(_fcd(H_f.dtype, V.dtype))
         dwin = jnp.asarray(deg_win)
         c_s = np.asarray(0.5 * (1.0 + 4.0 * N * N), crt)
         e_s = np.asarray(0.5 * (4.0 * N * N - 1.0), crt)
         sig1 = np.asarray(e_s / (np.asarray(0.5, crt) - c_s), crt)
-        Xp, Yc, sigma = ps.h2_carry_init(H_f, X.astype(carry), dwin,
-                                         c_s, e_s, sig1,
-                                         precision=f_precision)
-        Xp, Yc, sigma = ps.h2_steps(H_f, Xp, Yc, dwin, sigma, sig1, c_s,
-                                    e_s, jnp.int32(2), jnp.int32(3),
-                                    precision=f_precision)
-        Yw = jnp.where(dwin[None, :] >= 1, Yc.astype(V.dtype), X)
-        out = update_cols(V, Yw, jnp.int32(0))
+        X0, Xp, Yc, sigma = ps.h2_seg_init(
+            H_f, V, jnp.int32(0), dwin, c_s, e_s, sig1, w_pad=w_pad,
+            precision=f_precision)
+        out, X0, Xp, Yc, sigma = ps.h2_seg_steps(
+            H_f, V, X0, Xp, Yc, dwin, sigma, sig1, c_s, e_s,
+            jnp.int32(0), jnp.int32(0), jnp.int32(2), jnp.int32(3),
+            w_new=w_pad, precision=f_precision)
         out.block_until_ready()
 
     def refine_job(w_pad):
@@ -150,13 +148,12 @@ def _warmup_pseudo(op, nev, nex, rcfg, max_workers):
         dwin = jnp.asarray(deg_win)
         Rc = R2w.astype(carry)
         Wc = jnp.asarray(a1e, crt) * Rc
-        Wp, Wc = ps.refine_h2_steps(
-            op.H_low, jnp.zeros_like(Rc), Wc, Rc, dwin,
+        out, X0, Wp, Wc, Rc = ps.refine_h2_seg_steps(
+            op.H_low, V, X, jnp.zeros_like(Rc), Wc, Rc, dwin,
             jnp.asarray(al, crt), jnp.asarray(be, crt),
-            jnp.asarray(inj, crt), jnp.asarray(0.5, crt),
-            jnp.int32(2), jnp.int32(3), precision=f_precision)
-        Y = filt.refine_combine(X, Wc, jnp.asarray(pf), dwin)
-        out = update_cols(V, Y, jnp.int32(0))
+            jnp.asarray(inj, crt), jnp.asarray(pf), jnp.asarray(0.5, crt),
+            jnp.int32(0), jnp.int32(0), jnp.int32(2), jnp.int32(3),
+            w_new=w_pad, precision=f_precision)
         out.block_until_ready()
 
     def qr_job(cond):
