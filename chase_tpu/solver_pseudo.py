@@ -158,6 +158,148 @@ def locking_pseudo_v3_host(ritzv_a, resid_a, resid_last_a, u, nex, tol,
     return converged, perm, early
 
 
+def _iter0_degree_cap(lambda_1, lower, b_sup, deg0,
+                      dyn_range: float = 1e6) -> int:
+    """Iteration-0 H² filter degree cap for reduced-precision filters.
+
+    The first filter has no residual information and runs at a uniform
+    degree; its amplification ratio between the wanted edge μ₁=``lambda_1``
+    and the damped interval [``lower``, ``b_sup``] is ~rho₁^deg.  Past
+    ~``dyn_range`` the damped directions sink below the reduced-precision
+    noise floor, the block's columns become numerically dependent and the
+    S-QR Gram collapses (eig_min ~1e-19·‖G‖ measured at N=8192 — BENCH_NOTES
+    round 4), forcing an emulated-f64 TSQR rescue EVERY solve.  Capping the
+    degree keeps the filtered basis inside shifted-CholQR range — the
+    reference's Householder fallback is exceptional, not structural
+    (chase_cpu.hpp:725-751) — and the discarded compression was below the
+    noise floor anyway.  Returns an even cap in [8, deg0].
+    """
+    if not (lower > lambda_1 and b_sup > lower):
+        return deg0
+    from .solver import _rho as _rho_fn
+    cc0 = (b_sup + lower) / 2.0
+    ee0 = (b_sup - lower) / 2.0
+    rho1 = _rho_fn((lambda_1 - cc0) / ee0)
+    if not np.isfinite(rho1) or rho1 <= 1.0 + 1e-9:
+        return deg0
+    cap = int(np.log(dyn_range) / np.log(rho1))
+    cap = max(8, cap - (cap % 2))
+    return min(cap, deg0)
+
+
+# --------------------------------------------------------------------------
+# dispatch-folded segmented H² filters (module-level so tests can hit them
+# directly — the solver._filter_windowed analogues on the BSE window)
+# --------------------------------------------------------------------------
+
+def _h2_filter_windowed(H_f, V, deg_win, start, B, right, lambda_1, lower,
+                        b_sup, precision):
+    """Dispatch-folded segmented H² recurrence on a right-aligned window
+    ending at column ``right`` (= locked+u in the solve loop).
+
+    ``deg_win`` is the np.int32 degree vector of the initial window (width
+    w_pad = len(deg_win)); degree-0 pad columns are restored bit-exactly at
+    every write-back.  Returns (V, executed column-steps).  Mirrors
+    solver._filter_windowed's bucket-retirement plan with the H² operator
+    (algorithm.inc:1012-1064 filter_H2 + :974-1000 retirement).
+    """
+    from .solver import _shrink_plan
+    from .types import filter_carry_dtype as _fcd, real_dtype as _rdtf
+    w_pad = len(deg_win)
+    carry = _fcd(H_f.dtype, V.dtype)
+    crt = _rdtf(carry)
+    plan = _shrink_plan(deg_win, B, w_pad)
+    lo_ = min(float(lower), float(b_sup))
+    up_ = max(float(lower), float(b_sup))
+    c_s = np.asarray((up_ + lo_) / 2, crt)
+    e_s = np.asarray((up_ - lo_) / 2, crt)
+    sig1 = np.asarray(e_s / (np.asarray(lambda_1, crt) - c_s), crt)
+    X0, Xp, Yc, sigma = ps.h2_seg_init(
+        H_f, V, jnp.int32(start), jnp.asarray(deg_win), c_s, e_s,
+        sig1, w_pad=w_pad, precision=precision)
+    executed = w_pad
+    t_done = 1
+    start0 = start
+    w_cur = w_pad
+    pend_off = 0
+    for (t_end, plan_off) in plan:
+        if t_end > t_done:
+            V, X0, Xp, Yc, sigma = ps.h2_seg_steps(
+                H_f, V, X0, Xp, Yc, jnp.asarray(deg_win), sigma,
+                sig1, c_s, e_s, jnp.int32(pend_off),
+                jnp.int32(start), jnp.int32(t_done + 1),
+                jnp.int32(t_end + 1), w_new=w_cur,
+                precision=precision)
+            pend_off = 0
+            executed += w_cur * (t_end - t_done)
+            t_done = t_end
+        retire_to = start0 + plan_off
+        if retire_to < right:
+            new_w = right - retire_to
+            new_w_pad = min(-(-new_w // B) * B, w_cur)
+            new_start = right - new_w_pad
+            off2 = new_start - start
+            if off2 > 0:
+                deg_win = deg_win[off2:]
+                start, w_cur = new_start, new_w_pad
+                pend_off += off2
+    return V, executed
+
+
+def _h2_refine_windowed(H_f, V, X, R2w, deg_win, start, B, right, a1e, al,
+                        be, inj, pf, cc_h2, precision):
+    """Dispatch-folded segmented deviation recurrence on H² (the BSE DP
+    ladder's filter).  ``X`` is the pre-sliced window (V[:, start:start+w]),
+    ``R2w`` its H²-residual seed, tables from ops.filter.refine_tables on
+    the H²-space quantities.  Returns (V, executed column-steps).  Mirrors
+    solver._filter_refine_windowed (each segment = shrink + steps + combine
+    + write-back in ONE program, ops/pseudo.refine_h2_seg_steps)."""
+    from .solver import _shrink_plan
+    from .types import filter_carry_dtype as _fcd, real_dtype as _rdtf
+    w_pad = len(deg_win)
+    carry = _fcd(H_f.dtype, V.dtype)
+    crt = _rdtf(carry)
+    plan = _shrink_plan(deg_win, B, w_pad)
+    al_d = jnp.asarray(al, crt)
+    be_d = jnp.asarray(be, crt)
+    inj_np, pf_np = inj, pf
+    cc_d = jnp.asarray(cc_h2, crt)
+    X0 = X
+    Rc = R2w.astype(carry)
+    Wc = jnp.asarray(a1e, crt) * Rc
+    Wp = jnp.zeros_like(Rc)
+    executed = 0
+    t_done = 1
+    start0 = start
+    w_cur = w_pad
+    pend_off = 0
+    for (t_end, plan_off) in plan:
+        if t_end > t_done:
+            V, X0, Wp, Wc, Rc = ps.refine_h2_seg_steps(
+                H_f, V, X0, Wp, Wc, Rc, jnp.asarray(deg_win),
+                al_d, be_d, jnp.asarray(inj_np, crt),
+                jnp.asarray(pf_np), cc_d,
+                jnp.int32(pend_off), jnp.int32(start),
+                jnp.int32(t_done + 1), jnp.int32(t_end + 1),
+                w_new=w_cur, precision=precision)
+            pend_off = 0
+            executed += w_cur * (t_end - t_done)
+            t_done = t_end
+        retire_to = start0 + plan_off
+        if retire_to < right:
+            new_w = right - retire_to
+            new_w_pad = min(-(-new_w // B) * B, w_cur)
+            new_start = right - new_w_pad
+            off2 = new_start - start
+            if off2 > 0:
+                deg_win = deg_win[off2:]
+                inj_np = inj_np[:, off2:]
+                pf_np = pf_np[off2:]
+                start, w_cur = new_start, new_w_pad
+                pend_off += off2
+    return V, executed
+
+
 # --------------------------------------------------------------------------
 # driver
 # --------------------------------------------------------------------------
@@ -359,6 +501,33 @@ def solve_pseudo(op: DenseOperator, nev: int, nex: int,
     log.info(f"solve_pseudo H² bounds: lambda_1={lambda_1:.6e} "
              f"lower={lower:.6e} b_sup={b_sup:.6e} (DoS idx={idx})")
 
+    # -- iteration-0 degree cap (kills the structural BSE QR breakdown) --
+    # The first H² filter runs before any residuals exist and, on the
+    # mixed-precision ladder, in a reduced dtype.  Its amplification ratio
+    # between the wanted edge (μ₁) and the damped interval is ~rho₁^deg:
+    # past ~1e6 the damped directions sink under the reduced filter's
+    # noise floor, every column compresses onto the same dominant
+    # eigendirections, and the S-QR Gram collapses (measured eig_min
+    # ~1e-19·‖G‖ at N=8192 — BENCH_NOTES round 4), forcing an
+    # emulated-f64 TSQR rescue EVERY solve (110 s of the 312 s N=4096 cold
+    # wall).  Capping deg₀ so rho₁^deg₀ ≲ 1e6 keeps the filtered basis
+    # inside shifted-CholQR's range; compression beyond the noise floor
+    # bought nothing anyway (the RR step can only extract what survives
+    # precision).  The reference's fallback is exceptional, not
+    # structural (chase_cpu.hpp:725-751) — this restores that property.
+    reduced_iter0 = (refine_capable
+                     or (rcfg.mixed_precision and not is_sp)
+                     or (rcfg.bf16_filter and is_sp))
+    if reduced_iter0:
+        cap = _iter0_degree_cap(lambda_1, lower, b_sup, deg0)
+        if cap < deg0:
+            log.info(
+                f"iteration-0 H² degree capped {deg0} -> {cap} "
+                f"(keeps the reduced-precision filtered basis "
+                f"CholQR-able)", "algorithm")
+            deg0 = cap
+            degrees[:] = deg0
+
     locked = 0
     unconverged = nevex
     iteration = 0
@@ -480,49 +649,9 @@ def solve_pseudo(op: DenseOperator, nev: int, nex: int,
                 # dispatch-folded segmented deviation recurrence on H²
                 # (mirrors solver._filter_refine_windowed): each segment
                 # = shrink + steps + combine + write-back in ONE program
-                from .types import filter_carry_dtype as _fcd, \
-                    real_dtype as _rdtf
-                from .solver import _shrink_plan
-                carry = _fcd(H_f.dtype, V.dtype)
-                crt = _rdtf(carry)
-                plan = _shrink_plan(deg_win, B, w_pad)
-                al_d = jnp.asarray(al, crt)
-                be_d = jnp.asarray(be, crt)
-                inj_np, pf_np = inj, pf
-                cc_d = jnp.asarray(cc_h2, crt)
-                X0 = X
-                Rc = R2w.astype(carry)
-                Wc = jnp.asarray(a1e, crt) * Rc
-                Wp = jnp.zeros_like(Rc)
-                f_executed = 0
-                t_done = 1
-                start0 = start
-                w_cur = w_pad
-                pend_off = 0
-                for (t_end, plan_off) in plan:
-                    if t_end > t_done:
-                        V, X0, Wp, Wc, Rc = ps.refine_h2_seg_steps(
-                            H_f, V, X0, Wp, Wc, Rc, jnp.asarray(deg_win),
-                            al_d, be_d, jnp.asarray(inj_np, crt),
-                            jnp.asarray(pf_np), cc_d,
-                            jnp.int32(pend_off), jnp.int32(start),
-                            jnp.int32(t_done + 1), jnp.int32(t_end + 1),
-                            w_new=w_cur, precision=f_precision)
-                        pend_off = 0
-                        f_executed += w_cur * (t_end - t_done)
-                        t_done = t_end
-                    retire_to = start0 + plan_off
-                    if retire_to < locked + u:
-                        new_w = locked + u - retire_to
-                        new_w_pad = min(-(-new_w // B) * B, w_cur)
-                        new_start = locked + u - new_w_pad
-                        off2 = new_start - start
-                        if off2 > 0:
-                            deg_win = deg_win[off2:]
-                            inj_np = inj_np[:, off2:]
-                            pf_np = pf_np[off2:]
-                            start, w_cur = new_start, new_w_pad
-                            pend_off += off2
+                V, f_executed = _h2_refine_windowed(
+                    H_f, V, X, R2w, deg_win, start, B, locked + u,
+                    a1e, al, be, inj, pf, cc_h2, f_precision)
         elif ring_mode is not None:
             # H² filter as the ring collective matmul (P11 on the BSE
             # path): 1D software-pipelined ring or the 2D ping-pong with
@@ -543,46 +672,9 @@ def solve_pseudo(op: DenseOperator, nev: int, nex: int,
             # dispatch-folded segmented H² recurrence (_filter_windowed's
             # plan on the pseudo window; degree-0 pad columns restored
             # bit-exactly at every write-back)
-            from .types import filter_carry_dtype as _fcd, \
-                real_dtype as _rdtf
-            from .solver import _shrink_plan
-            carry = _fcd(H_f.dtype, V.dtype)
-            crt = _rdtf(carry)
-            plan = _shrink_plan(deg_win, B, w_pad)
-            lo_ = min(float(lower), float(b_sup))
-            up_ = max(float(lower), float(b_sup))
-            c_s = np.asarray((up_ + lo_) / 2, crt)
-            e_s = np.asarray((up_ - lo_) / 2, crt)
-            sig1 = np.asarray(e_s / (np.asarray(lambda_1, crt) - c_s), crt)
-            X0, Xp, Yc, sigma = ps.h2_seg_init(
-                H_f, V, jnp.int32(start), jnp.asarray(deg_win), c_s, e_s,
-                sig1, w_pad=w_pad, precision=f_precision)
-            f_executed = w_pad
-            t_done = 1
-            start0 = start
-            w_cur = w_pad
-            pend_off = 0
-            for (t_end, plan_off) in plan:
-                if t_end > t_done:
-                    V, X0, Xp, Yc, sigma = ps.h2_seg_steps(
-                        H_f, V, X0, Xp, Yc, jnp.asarray(deg_win), sigma,
-                        sig1, c_s, e_s, jnp.int32(pend_off),
-                        jnp.int32(start), jnp.int32(t_done + 1),
-                        jnp.int32(t_end + 1), w_new=w_cur,
-                        precision=f_precision)
-                    pend_off = 0
-                    f_executed += w_cur * (t_end - t_done)
-                    t_done = t_end
-                retire_to = start0 + plan_off
-                if retire_to < locked + u:
-                    new_w = locked + u - retire_to
-                    new_w_pad = min(-(-new_w // B) * B, w_cur)
-                    new_start = locked + u - new_w_pad
-                    off2 = new_start - start
-                    if off2 > 0:
-                        deg_win = deg_win[off2:]
-                        start, w_cur = new_start, new_w_pad
-                        pend_off += off2
+            V, f_executed = _h2_filter_windowed(
+                H_f, V, deg_win, start, B, locked + u, lambda_1, lower,
+                b_sup, f_precision)
         if perf is not None:
             # H² = 2 matvecs per recurrence step
             perf.add_filtered_vecs(2 * int(np.sum(degrees[act])),

@@ -14,6 +14,8 @@ from chase_tpu.ops.filter import chebyshev_filter
 from chase_tpu.models import clement
 from conftest import ALL_DTYPES
 
+pytestmark = pytest.mark.quick
+
 
 def _filter_reference(H, X, degrees, lam1, lower, upper):
     """Straight-line numpy implementation of the scaled recurrence."""

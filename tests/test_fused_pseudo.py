@@ -26,6 +26,7 @@ def test_fused_pseudo_matches_spectrum(dtype):
     assert np.linalg.norm(R, axis=0).max() < 1e-7
 
 
+@pytest.mark.quick
 def test_fused_pseudo_agrees_with_host_driver():
     N, nev, nex = 140, 8, 8
     H = random_pseudo_hermitian(N, dtype=np.complex128, seed=9)
@@ -87,6 +88,7 @@ def test_fused_pseudo_tiny_block():
     np.testing.assert_allclose(res.ritzv, pos, atol=1e-5)
 
 
+@pytest.mark.quick
 def test_fused_pseudo_refine_ladder_dp():
     """Fused BSE DP 1e-10 solve with the in-graph H² refinement ladder:
     filter FLOPs stay in f32 (deviation recurrence seeded by f64

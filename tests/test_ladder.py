@@ -34,6 +34,7 @@ def _perturbed_clement(N, dtype, seed=0):
 
 @pytest.mark.parametrize("dtype", [np.float64, np.complex128],
                          ids=["f64", "c128"])
+@pytest.mark.quick
 def test_ladder_reaches_1e10_with_low_precision_flops(dtype):
     """tol=1e-10 solve with mixed_precision: converges with >=80% of the
     analytic FLOPs in f32/c64 (the deviation-form refinement filter)."""

@@ -31,6 +31,7 @@ def _true_pseudo_residuals(H, res, nev):
     return np.linalg.norm(R, axis=0)
 
 
+@pytest.mark.quick
 def test_refine_h2_algebraic_equivalence():
     """Deviation form on H² must reproduce the direct H² filter exactly in
     f64 (same polynomial, differently factored)."""
@@ -152,3 +153,51 @@ def test_pseudo_ladder_complex128_real_pair():
     ev = np.linalg.eigvals(H)
     exact = np.sort(ev.real[ev.real > 0])[:nev]
     np.testing.assert_allclose(res.ritzv, exact, atol=1e-8)
+
+
+@pytest.mark.quick
+def test_iter0_degree_cap_math():
+    """The iteration-0 H² degree cap: rho1^cap must stay ~within the
+    1e6 dynamic-range budget, even + >=8, and a no-op when the filter
+    interval gives no amplification headroom."""
+    from chase_tpu.solver_pseudo import _iter0_degree_cap
+    from chase_tpu.solver import _rho
+
+    lam1, lower, b_sup = 1.0, 25.0, 400.0
+    cap = _iter0_degree_cap(lam1, lower, b_sup, 36)
+    assert 8 <= cap <= 36 and cap % 2 == 0
+    rho1 = _rho((lam1 - (b_sup + lower) / 2) / ((b_sup - lower) / 2))
+    assert rho1 ** cap <= 1e6 * rho1 ** 2        # within an even step
+    # cap respects deg0 when amplification is mild (μ₁ barely outside a
+    # wide interval: rho1 ≈ 1)
+    assert _iter0_degree_cap(24.9, 25.0, 1000.0, 20) == 20
+    # degenerate interval: no-op
+    assert _iter0_degree_cap(30.0, 25.0, 20.0, 20) == 20
+
+
+def test_pseudo_ladder_iter0_cap_avoids_qr_rescue():
+    """With the cap, the DP BSE ladder's first S-QR must survive on the
+    CholQR chain (no TSQR/full-block rescue warning) and still converge
+    to 1e-10 — VERDICT r4 missing #4 (the structural iteration-0
+    breakdown).  A wide-gap spectrum maximizes rho1, the breakdown
+    regime."""
+    from chase_tpu.logger import get_logger
+
+    N, nev, nex = 256, 16, 8
+    # gap + spread -> large rho1 in squared space
+    H = random_pseudo_hermitian(N, dtype=np.float64, seed=23,
+                                gap=4.0, spread=0.5)
+    warns = []
+    log = get_logger()
+    orig_warn = log.warn
+    try:
+        log.warn = lambda msg, *a, **k: warns.append(str(msg))
+        cfg = chase_tpu.ChaseConfig(mixed_precision=True)
+        res = chase_tpu.eigsh_pseudo(H, nev, nex, tol=1e-10, config=cfg)
+    finally:
+        log.warn = orig_warn
+    assert res.converged
+    tr = _true_pseudo_residuals(H, res, nev)
+    assert tr.max() < 5e-9
+    rescue = [w for w in warns if "falling back" in w or "TSQR" in w]
+    assert not rescue, rescue

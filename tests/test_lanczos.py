@@ -9,6 +9,8 @@ from chase_tpu.ops.lanczos import (
     lanczos_scan, lanczos_tridiag_host, upper_bound, dos_lower_bound)
 from conftest import ALL_DTYPES
 
+pytestmark = pytest.mark.quick
+
 
 @pytest.mark.parametrize("dtype", ALL_DTYPES, ids=["f32", "f64", "c64", "c128"])
 def test_upper_bound_bounds_spectrum(dtype):

@@ -62,6 +62,7 @@ def test_k_conjugation_maps_eigenvectors():
     np.testing.assert_array_equal(out[:, 1], V[:, 1])  # others untouched
 
 
+@pytest.mark.quick
 def test_pseudo_rr_exact_subspace():
     N = 60
     H = random_pseudo_hermitian(N, dtype=np.float64, seed=2)
@@ -111,6 +112,7 @@ def test_filter_h2_amplifies_small_lambda():
 
 @pytest.mark.parametrize("dtype", [np.float64, np.complex128, np.float32],
                          ids=["f64", "c128", "f32"])
+@pytest.mark.quick
 def test_bse_solve(dtype):
     dtype = np.dtype(dtype)
     N, nev, nex = 200, 10, 8

@@ -37,6 +37,7 @@ def _ortho_err(V):
 
 @pytest.mark.parametrize("dtype", ALL_DTYPES, ids=["f32", "f64", "c64", "c128"])
 @pytest.mark.parametrize("passes", [1, 2])
+@pytest.mark.quick
 def test_cholqr_orthonormalizes(dtype, passes):
     # CholQR squares the condition number: keep cond(V) well inside
     # 1/sqrt(eps) for the raw kernel (the solver upcasts SP via qr_hi_prec —
@@ -50,6 +51,7 @@ def test_cholqr_orthonormalizes(dtype, passes):
 
 
 @pytest.mark.parametrize("dtype", [np.float64, np.complex128], ids=["f64", "c128"])
+@pytest.mark.quick
 def test_shifted_cholqr_ill_conditioned(dtype):
     # cond ~1e9: plain CholQR1's Gram is numerically singular in DP
     V = _make_cond(400, 24, 1e9, dtype).astype(dtype)
@@ -58,6 +60,7 @@ def test_shifted_cholqr_ill_conditioned(dtype):
     assert _ortho_err(Q) < 1e-10
 
 
+@pytest.mark.quick
 def test_cholqr_detects_breakdown():
     # exactly rank-deficient basis → Cholesky must fail, flag must report it
     V = np.zeros((100, 8))
@@ -68,6 +71,7 @@ def test_cholqr_detects_breakdown():
 
 
 @pytest.mark.parametrize("dtype", ALL_DTYPES, ids=["f32", "f64", "c64", "c128"])
+@pytest.mark.quick
 def test_householder_qr(dtype):
     V = _make_cond(150, 12, 1e6, dtype).astype(dtype)
     Q = householder_qr(jnp.asarray(V))

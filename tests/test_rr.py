@@ -12,6 +12,7 @@ from conftest import ALL_DTYPES, kernel_tol
 
 
 @pytest.mark.parametrize("dtype", ALL_DTYPES, ids=["f32", "f64", "c64", "c128"])
+@pytest.mark.quick
 def test_rr_recovers_eigenpairs_from_exact_subspace(dtype):
     dtype = np.dtype(dtype)
     N, k = 150, 12
@@ -35,6 +36,7 @@ def test_rr_recovers_eigenpairs_from_exact_subspace(dtype):
     assert np.all(np.asarray(resid) < tol * 50 * max(1.0, abs(evals[0])))
 
 
+@pytest.mark.quick
 def test_rr_locked_columns_untouched_and_consistent():
     N, k, locked = 100, 10, 4
     H = clement(N)
@@ -55,6 +57,7 @@ def test_rr_locked_columns_untouched_and_consistent():
 
 
 @pytest.mark.parametrize("dtype", ALL_DTYPES, ids=["f32", "f64", "c64", "c128"])
+@pytest.mark.quick
 def test_standalone_residuals(dtype):
     dtype = np.dtype(dtype)
     N, k = 80, 6

@@ -48,6 +48,7 @@ def test_clement_solve(dtype):
     assert np.linalg.norm(R, axis=0).max() < tol * scale * 10
 
 
+@pytest.mark.quick
 def test_clement_exact_spectrum_found():
     """Unperturbed Clement: eigenvalues are exactly ±(N-1), ±(N-3), ..."""
     N, nev, nex = 200, 20, 20
@@ -57,6 +58,7 @@ def test_clement_exact_spectrum_found():
                                atol=1e-7)
 
 
+@pytest.mark.quick
 def test_bf16_filter_rung_converges():
     """bf16-storage filter rung (P10, one rung below the reference's DP->SP
     switch): an f32 problem filtered with bf16 matmul inputs early on must
@@ -106,6 +108,7 @@ def test_no_degree_optimization():
                                atol=1e-6)
 
 
+@pytest.mark.quick
 def test_warm_start_sequence():
     """mode='A': second solve of a perturbed problem reuses the subspace and
     must converge in fewer iterations (the sequence feature)."""
