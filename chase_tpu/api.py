@@ -62,6 +62,50 @@ def embed_complex_operator(H, *, grid=None,
     return op
 
 
+# -- raw-complex-H embedding cache -------------------------------------------
+# Passing a raw complex H to eigsh/eigsh_pseudo used to re-embed (and
+# re-place — ~1 GB at N=8192) the (2N, 2N) real operator on EVERY call: a
+# measured 24× "warm"-call footgun (BENCH_NOTES round 4,
+# embed_complex_operator trap).  This tiny LRU makes the second call with
+# the SAME array object warm.  Keyed on id(H); a strided content probe
+# guards against both id reuse and in-place mutation of H between calls.
+# Bounded at 2 entries since each pins a (2N)² device buffer (use
+# embed_complex_operator for explicit lifetime control).
+
+from collections import OrderedDict as _OrderedDict
+
+_EMBED_CACHE: "_OrderedDict[tuple, tuple]" = _OrderedDict()
+_EMBED_CACHE_MAX = 2
+
+
+def _embed_probe(H):
+    s = max(1, H.shape[0] // 8)
+    return (H.shape, np.dtype(H.dtype).str,
+            np.asarray(H[::s, ::s]).tobytes())
+
+
+def _cached_embed(H_obj, grid, pseudo: bool) -> DenseOperator:
+    """Embedded DenseOperator for a raw complex H, cached across calls."""
+    from .logger import get_logger
+    key = (id(H_obj), bool(pseudo), id(grid))
+    hit = _EMBED_CACHE.get(key)
+    if hit is not None:
+        held, probe, op = hit
+        if held is H_obj and probe == _embed_probe(held):
+            _EMBED_CACHE.move_to_end(key)
+            get_logger().info(
+                "reusing cached real-pair embedding for this H "
+                "(pass an embed_complex_operator(...) operator for "
+                "explicit control)", "interface")
+            return op
+        del _EMBED_CACHE[key]
+    op = embed_complex_operator(np.asarray(H_obj), grid=grid, pseudo=pseudo)
+    _EMBED_CACHE[key] = (H_obj, _embed_probe(H_obj), op)
+    while len(_EMBED_CACHE) > _EMBED_CACHE_MAX:
+        _EMBED_CACHE.popitem(last=False)
+    return op
+
+
 def _fused_small_dense(rcfg, grid: "Optional[Grid2D]" = None) -> str:
     """Resolve small_dense for the fused (in-graph) solvers.
 
@@ -225,16 +269,16 @@ def _eigsh_real_pair(H, nev, nex, *, cfg, v0=None, ritzv0=None, grid=None,
     structure collapses back to complex eigenpairs.  ``op``: a pre-built
     embedded operator from :func:`embed_complex_operator` (skips the
     per-call embedding + placement)."""
-    from .ops.realpair import embed_real, embed_block, extract_pairs
+    from .ops.realpair import embed_block, extract_pairs
     from .logger import get_logger
     if op is None:
-        H = np.asarray(H)
-        N = H.shape[0]
+        N = np.asarray(H).shape[0]
         get_logger().info(
-            f"complex {H.dtype} problem → real-pair embedding (2N={2*N}); "
-            f"set complex_backend='native' to force complex dtypes",
+            f"complex problem → real-pair embedding (2N={2*N}); set "
+            f"complex_backend='native' to force complex dtypes, or "
+            f"pre-embed with embed_complex_operator for repeated solves",
             "interface")
-        op = DenseOperator(embed_real(H), grid=grid)
+        op = _cached_embed(H, grid, pseudo=False)
     else:
         if op.rp_perm is not None:
             raise ValueError("this operator was embedded with pseudo=True — "
@@ -282,20 +326,18 @@ def _eigsh_pseudo_real_pair(H, nev, nex, *, cfg, v0=None, ritzv0=None,
     K-conjugation, ring schedules) runs unchanged on real MXU arithmetic
     — the TPU-native counterpart of the reference's {c,z} solve_pseudo
     (interface/chase_c_interface.h:159-175)."""
-    from .ops.realpair import (embed_real_pseudo, embed_block_pseudo,
-                               extract_pairs)
+    from .ops.realpair import embed_block_pseudo, extract_pairs
     from .solver_pseudo import solve_pseudo
     from .logger import get_logger
     if op is None:
-        H = np.asarray(H)
-        N = H.shape[0]
+        N = np.asarray(H).shape[0]
         get_logger().info(
-            f"complex {H.dtype} BSE problem → real-pair embedding "
-            f"(2N={2*N}); set complex_backend='native' to force complex "
-            f"dtypes", "interface")
-        Jp, P, d = embed_real_pseudo(H)
-        op = DenseOperator(Jp, grid=grid, pseudo_hermitian=True)
-        op.rp_perm, op.rp_d = P, d
+            f"complex BSE problem → real-pair embedding (2N={2*N}); set "
+            f"complex_backend='native' to force complex dtypes, or "
+            f"pre-embed with embed_complex_operator(pseudo=True) for "
+            f"repeated solves", "interface")
+        op = _cached_embed(H, grid, pseudo=True)
+        P, d = op.rp_perm, op.rp_d
     else:
         if op.rp_perm is None:
             raise ValueError("this operator was embedded without "
@@ -448,7 +490,8 @@ def eigsh_fused(H, nev: int, nex: Optional[int] = None, *,
             small_dense=_fused_small_dense(rcfg, op.grid),
             probes=probes, eigh_polish=rcfg.polish_passes(),
             refine_filter=(rcfg.refine_filter and rcfg.mixed_precision
-                           and rcfg.is_double))
+                           and rcfg.is_double),
+            phase_tiers=rcfg.fused_tiers)
     except jax.errors.JaxRuntimeError as e:
         # Some remote-compile runtimes reject the one-dispatch DP program
         # (the sandbox relay's compiler aborts on it at every size —

@@ -177,6 +177,13 @@ class ChaseConfig:
     wide_f64: str = "auto"
     wide_f64_min_n: int = 8192
     wide_f64_max_n: Optional[int] = None
+    # Static phase-window tiers inside the fused (one-dispatch) solver:
+    # the while-loop body branches over up to this many right-aligned
+    # window widths so filter/QR/RR shrink as columns lock (the in-graph
+    # P12 — fused._tier_offsets).  1 = the classic full-width body; more
+    # tiers trade compile time (every tier compiles its own phase
+    # programs) for late-iteration FLOPs.  Env CHASE_FUSED_TIERS overrides.
+    fused_tiers: int = 3
     # Complex Hermitian problems on accelerators: "real_pair" solves the
     # real symplectic embedding J = [[Hr,-Hi],[Hi,Hr]] with purely real
     # device arithmetic (ops/realpair.py) — required on backends without
@@ -229,6 +236,7 @@ class ChaseConfig:
         ring_backend = self.ring_backend
         if os.environ.get("CHASE_RING_BACKEND"):
             ring_backend = os.environ["CHASE_RING_BACKEND"]
+        fused_tiers = _env_int("CHASE_FUSED_TIERS", self.fused_tiers)
         return ResolvedConfig(
             base=self, tol=float(tol), deg=int(deg), max_deg=int(max_deg),
             lanczos_iter=int(lanczos_iter), cholqr=cholqr,
@@ -242,6 +250,7 @@ class ChaseConfig:
             eigh_polish=eigh_polish,
             ring_filter=ring_filter,
             ring_backend=ring_backend,
+            fused_tiers=int(fused_tiers),
             is_double=is_dp,
         )
 
@@ -265,6 +274,7 @@ class ResolvedConfig:
     eigh_polish: Optional[int] = None    # None = precision default (DP 2 / SP 0)
     ring_filter: Optional[bool] = None   # None = auto (on for eligible grids)
     ring_backend: str = "xla"            # "xla" | "pallas" ring HEMM impl
+    fused_tiers: int = 3                 # static phase-window tiers (fused)
     is_double: bool = True               # problem base precision (resolve())
 
     def __getattr__(self, name):

@@ -87,19 +87,44 @@ def _cheb_rho(t):
     return jnp.maximum(jnp.abs(z - s), jnp.abs(z + s)).real
 
 
+def _tier_offsets(k: int, tiers: int):
+    """Static phase-window tiers for the while-loop body.
+
+    The in-graph analogue of the host driver's P12 window shrink
+    (algorithm.inc:1712-1718 → solver._window_pad): shapes inside
+    ``lax.while_loop`` are frozen, so instead of one full-width body the
+    body branches (``lax.cond``) over a handful of STATIC right-aligned
+    windows [off, k) and runs filter+QR+RR at that width once ``locked ≥
+    off``.  Each tier compiles its own phase programs (≤4 branches);
+    execution pays only the selected one, cutting the late-iteration
+    filter/QR/RR width from k to k−off.  Offsets are sublane/lane aligned.
+    """
+    if tiers <= 1:
+        return [0]
+    fr = {2: (0.5,), 3: (0.5, 0.75)}.get(tiers, (0.25, 0.5, 0.75))
+    align = 64 if k >= 512 else 8
+    offs = [0]
+    for f in fr:
+        o = (int(k * f) // align) * align
+        if o > offs[-1] and k - o >= align:
+            offs.append(o)
+    return offs
+
+
 @partial(jax.jit,
          static_argnames=("nev", "nex", "deg0", "max_deg", "deg_extra",
                           "max_iter", "lanczos_iter", "num_lanczos",
                           "optimization", "precision", "cholqr_passes",
                           "inject_dos", "bf16_filter", "bf16_threshold",
-                          "small_dense", "eigh_polish", "refine_filter"))
+                          "small_dense", "eigh_polish", "refine_filter",
+                          "phase_tiers"))
 def solve_fused(H, V0, *, nev, nex, tol, deg0, max_deg, deg_extra=2,
                 max_iter=25, lanczos_iter=25, num_lanczos=4,
                 optimization=True, precision="highest", cholqr_passes=3,
                 cond_shift_threshold=1e8, inject_dos=True,
                 bf16_filter=False, bf16_threshold=1e-2,
                 small_dense="device", probes=None, eigh_polish=2,
-                refine_filter=False):
+                refine_filter=False, phase_tiers=3):
     """Fully device-resident Hermitian solve.
 
     Args:
@@ -145,10 +170,10 @@ def solve_fused(H, V0, *, nev, nex, tol, deg0, max_deg, deg_extra=2,
         shift = jnp.where(use_shift,
                           coef * np.finfo(np.dtype(rt)).eps * nrmf,
                           jnp.zeros((), rt))
-        G = G + shift.astype(G.dtype) * jnp.eye(k, dtype=G.dtype)
+        G = G + shift.astype(G.dtype) * jnp.eye(G.shape[0], dtype=G.dtype)
         L = jnp.linalg.cholesky(G)
         p_ok = jnp.isfinite(L.real).all()
-        L = jnp.where(p_ok, L, jnp.eye(k, dtype=G.dtype))
+        L = jnp.where(p_ok, L, jnp.eye(G.shape[0], dtype=G.dtype))
         Q = jax.lax.linalg.triangular_solve(
             L, Q, left_side=False, lower=True, transpose_a=True,
             conjugate_a=True)
@@ -284,200 +309,269 @@ def solve_fused(H, V0, *, nev, nex, tol, deg0, max_deg, deg_extra=2,
         filtered = filtered + jnp.sum(degrees)
         blk_hist = blk_hist.at[it].set(k - locked)
 
-        # Sort columns ascending by degree for the two-window filter
-        # (stable; locked columns carry degree 0 and stay in front — the
-        # reference's calc_degrees sort, algorithm.inc:136-193).  The
-        # permutation is UNDONE right after the filter: locking-v3's
-        # stagnation early-lock compares resid/resid_last positionally
-        # across iterations, and leaving the block in degree order breaks
-        # that pairing (measured 25-iteration stalls in the pseudo solver
-        # before its identical sort was reverted).
-        dperm = jnp.argsort(degrees, stable=True)
-        dperm_inv = jnp.argsort(dperm)
-        deg_sorted = degrees[dperm]
-
-        # -- filter --
+        # -- filter + QR + RR, tier-windowed (static widths, lax.cond) --
         c = (upperb + lowerb) / 2
         e = (upperb - lowerb) / 2
         sigma1 = e / (lam - c)
         dmax = jnp.max(degrees)
 
-        def run_filter(matvec, Vin_unsorted):
-            """Two-window degree-retiring recurrence (P12): the block is
-            permuted ascending by degree, so the left half is final after
-            its max degree — steps beyond it run on the right static half
-            only, saving up to ~half the tail-step FLOPs.  The permutation
-            is undone on return, so every consumer (QR cond heuristic,
-            RR, locking's positional resid_last pairing) sees the original
-            column order."""
-            Vin = jnp.take(Vin_unsorted, dperm, axis=1)
-
-            def fbody(degs):
-                def body(t, carry):
-                    Xp, Yc, sigma = carry
-                    sigma_new = 1.0 / (2.0 / sigma1 - sigma)
-                    Z = (2.0 * sigma_new / e) * (matvec(Yc) - c * Yc) \
-                        - (sigma * sigma_new) * Xp
-                    Z = jnp.where(degs[None, :] >= t, Z, Yc)
-                    return (Yc, Z, sigma_new)
-                return body
-
-            Y = (sigma1 / e) * (matvec(Vin) - c * Vin)
-            Y = jnp.where(deg_sorted[None, :] >= 1, Y, Vin)
-            khalf = k // 2
-            dmid = jnp.clip(deg_sorted[khalf - 1], 1, dmax)  # ascending
-            Xp, Yc, sig = jax.lax.fori_loop(
-                2, dmid + 1, fbody(deg_sorted), (Vin, Y, sigma1))
-            Xp_r = jax.lax.slice_in_dim(Xp, khalf, k, axis=1)
-            Yc_r = jax.lax.slice_in_dim(Yc, khalf, k, axis=1)
-            _, Yc_r, _ = jax.lax.fori_loop(
-                dmid + 1, dmax + 1, fbody(deg_sorted[khalf:]),
-                (Xp_r, Yc_r, sig))
-            Yfull = jnp.concatenate(
-                [jax.lax.slice_in_dim(Yc, 0, khalf, axis=1), Yc_r], axis=1)
-            return jnp.take(Yfull, dperm_inv, axis=1)
-
-        def mv_full(X):
-            return jnp.matmul(H, X, precision=precision)
-
-        if use_bf16_rung:
-            # far-from-converged iterations: bf16 matmul inputs, f32 MXU
-            # accumulation, carry stays f32 (mirrors ops/filter._hemm_shift)
-            def mv_low(X):
-                return jnp.matmul(H_bf, X.astype(jnp.bfloat16),
-                                  precision="default",
-                                  preferred_element_type=H.dtype)
-
-            min_wanted = jnp.where(active & (cols < nev), resid, big).min()
-            # spectral-radius magnitude (signed upperb would never disengage)
-            spec_scale = jnp.maximum(jnp.abs(lam), jnp.abs(upperb))
-            low_phase = min_wanted > jnp.asarray(bf16_threshold, rt) * spec_scale
-            Vf = jax.lax.cond(low_phase,
-                              lambda Vin: run_filter(mv_low, Vin),
-                              lambda Vin: run_filter(mv_full, Vin), V)
-        elif use_refine:
-            # -- DP refinement ladder (in-graph chebyshev_filter_refine) --
-            # Coefficient tables in f64 (exact polynomial bookkeeping,
-            # cheap elementwise work); the deviation recurrence in f32 on
-            # the MXU, seeded by last iteration's f64 residual vectors.
-            def run_refine(args):
-                Vin, Rin = args
-                lams = (ritzv - c) / e                       # (k,) f64
-
-                def tbody(t, ts):
-                    sig, p_prev, p_cur, al, be, inj, p_fin = ts
-                    sig_new = 1.0 / (2.0 / sigma1 - sig)
-                    al = al.at[t].set(2.0 * sig_new / e)
-                    be = be.at[t].set(-sig * sig_new)
-                    inj = inj.at[t].set((2.0 * sig_new / e) * p_cur)
-                    p_new = (2.0 * sig_new * lams * p_cur
-                             - sig * sig_new * p_prev)
-                    p_fin = jnp.where(degrees >= t, p_new, p_fin)
-                    return (sig_new, p_cur, p_new, al, be, inj, p_fin)
-
-                p1 = sigma1 * lams
-                p_fin0 = jnp.where(degrees >= 1, p1, jnp.ones_like(lams))
-                D = max_deg
-                _, _, _, al, be, inj, p_fin = jax.lax.fori_loop(
-                    2, D + 1, tbody,
-                    (sigma1, jnp.ones_like(lams), p1,
-                     jnp.zeros((D + 1,), rt), jnp.zeros((D + 1,), rt),
-                     jnp.zeros((D + 1, k), rt), p_fin0))
-
-                Rc = Rin.astype(low_dt)
-                cl = c.astype(low_rt)
-                all_ = al.astype(low_rt)
-                bel = be.astype(low_rt)
-                injl = inj.astype(low_rt)
-                Wd = (sigma1 / e).astype(low_rt) * Rc
-
-                def rbody(t, stw):
-                    Wp, Wc = stw
-                    Zc = (all_[t] * (jnp.matmul(H_lo, Wc,
-                                                precision=precision)
-                                     - cl * Wc)
-                          + bel[t] * Wp + injl[t][None, :] * Rc)
-                    Zc = jnp.where(degrees[None, :] >= t, Zc, Wc)
-                    return (Wc, Zc)
-
-                _, Wd = jax.lax.fori_loop(2, dmax + 1, rbody,
-                                          (jnp.zeros_like(Rc), Wd))
-                Y = p_fin[None, :].astype(H.dtype) * Vin + Wd.astype(H.dtype)
-                return jnp.where(degrees[None, :] >= 1, Y, Vin)
-
-            def run_low0(args):
-                # iteration 0 (no residual vectors yet): plain recurrence
-                # with the f32 shadow — the classic DP→SP low phase
-                Vin, _ = args
-                Vl = run_filter(
-                    lambda X: jnp.matmul(H_lo, X.astype(low_dt),
-                                         precision=precision,
-                                         preferred_element_type=H.dtype),
-                    Vin)
-                return Vl
-
-            Vf = jax.lax.cond(it > 0, run_refine, run_low0, (V, Rv))
-        else:
-            Vf = run_filter(mv_full, V)
-
-        # -- QR (shift when condition estimate is bad) --
+        # QR shift decision (scalar; shared by every tier)
         t1 = (ritzv[0] - c) / e
         tk = (ritzv[locked] - c) / e
         rho1, rhok = _cheb_rho(t1), _cheb_rho(tk)
         dmin = jnp.where(active, degrees, max_deg + 2).min()
         logcond = dmin * jnp.log(rhok) + (dmax - dmin) * jnp.log(rho1)
         shift_on = logcond > np.log(cond_shift_threshold)
-        Q = gram_qr(Vf, shift_on)
-        V = jnp.where(active[None, :], Q, V)    # keep locked columns
 
-        # -- RR + residuals (masked full width) --
-        Qm = jnp.where(active[None, :], V, jnp.zeros((), V.dtype))
-        if not is_sp:
-            # renormalize (64-bit only): upstream QR can leave
-            # eps_f32-level column-norm deficits on emulated-f64 backends,
-            # biasing Ritz values by λ·η.  SP skips it — the f32 norm
-            # reduction's own √N·eps rounding perturbs columns above the
-            # f32 floor (ops/rr._rr_project has both measurements).
-            qn = jnp.linalg.norm(Qm, axis=0).real.astype(rt)
-            Qm = Qm / jnp.where(qn > 0, qn,
-                                jnp.ones((), rt))[None, :].astype(Qm.dtype)
-        W = jnp.matmul(H, Qm, precision=precision)
-        A = jnp.matmul(Qm.conj().T, W, precision=precision)
-        pad = 2 * jnp.linalg.norm(A).real.astype(rt) + 1
-        A = A + jnp.diag(jnp.where(active, jnp.zeros((), rt), pad)).astype(A.dtype)
-        if small_dense == "host":
-            # host LAPACK f64 eigh via pure_callback (real TPU runtimes
-            # support host callbacks under jit; the device eigensolver
-            # dominates large-nev solves — ops/rr.py module docstring)
-            def _host_eigh_cb(a):
-                from .ops.rr import host_eigh_f64
-                return host_eigh_f64(a, rt)
+        if use_bf16_rung:
+            min_wanted = jnp.where(active & (cols < nev), resid, big).min()
+            # spectral-radius magnitude (signed upperb would never
+            # disengage)
+            spec_scale = jnp.maximum(jnp.abs(lam), jnp.abs(upperb))
+            low_phase = min_wanted > jnp.asarray(bf16_threshold, rt) \
+                * spec_scale
 
-            w_eig, Z = jax.pure_callback(
-                _host_eigh_cb,
-                (jax.ShapeDtypeStruct((k,), rt),
-                 jax.ShapeDtypeStruct((k, k), A.dtype)),
-                A, vmap_method="sequential")
-        else:
-            # polished: XLA's eigh alone leaves ~1e-6-relative eigenvector
-            # error (ops/rr.eigh_polished docstring) — fatal at DP tolerance
-            from .ops.rr import eigh_polished
-            w_eig, Z = eigh_polished(A, passes=eigh_polish,
-                                     precision=precision, pin_cut=pad / 2)
-        w_eig = w_eig.real.astype(rt)
-        Vrot = jnp.matmul(Qm, Z, precision=precision)
-        Wrot = jnp.matmul(W, Z, precision=precision)
-        R = Wrot - Vrot * w_eig[None, :].astype(V.dtype)
-        r_new = jnp.linalg.norm(R, axis=0).real.astype(rt)
-        Vrot = jnp.roll(Vrot, locked, axis=1)
-        w_eig = jnp.roll(w_eig, locked)
-        r_new = jnp.roll(r_new, locked)
-        V = jnp.where(active[None, :], Vrot, V)
-        if use_refine:
-            # residual VECTORS feed the next iteration's refine injection
-            Rv = jnp.where(active[None, :], jnp.roll(R, locked, axis=1), Rv)
-        ritzv = jnp.where(active, w_eig, ritzv)
-        resid = jnp.where(active, r_new, resid)
+        def make_tier(off):
+            """Filter → QR → RR at the static window [off, k) — one
+            lax.cond branch, selected when ``locked ≥ off``.  off=0 is
+            the classic full-width body; larger tiers BCGS-project the
+            window against the locked left block (the in-graph analogue
+            of ops/qr.orthonormalize_window) and run every phase at
+            width k−off."""
+            w = k - off
+            colsw = jnp.arange(off, k)
+            khalf = max(1, w // 2)
+
+            def tier(args):
+                V, Rv = args
+                Vw = jax.lax.slice_in_dim(V, off, k, axis=1)
+                deg_w = jax.lax.slice_in_dim(degrees, off, k)
+                ritz_w = jax.lax.slice_in_dim(ritzv, off, k)
+                active_w = colsw >= locked
+                lw = locked - off       # locked columns inside the window
+
+                # Sort window columns ascending by degree for the
+                # two-window filter (stable; locked columns carry degree 0
+                # and stay in front — the reference's calc_degrees sort,
+                # algorithm.inc:136-193).  The permutation is UNDONE on
+                # filter exit: locking-v3's stagnation early-lock compares
+                # resid/resid_last positionally across iterations.
+                dperm = jnp.argsort(deg_w, stable=True)
+                dperm_inv = jnp.argsort(dperm)
+                deg_sorted = deg_w[dperm]
+
+                def run_filter(matvec, Vin_unsorted):
+                    """Two-window degree-retiring recurrence (P12): the
+                    window is permuted ascending by degree, so its left
+                    half is final after its max degree — steps beyond it
+                    run on the right static half only."""
+                    Vin = jnp.take(Vin_unsorted, dperm, axis=1)
+
+                    def fbody(degs):
+                        def body(t, carry):
+                            Xp, Yc, sigma = carry
+                            sigma_new = 1.0 / (2.0 / sigma1 - sigma)
+                            Z = (2.0 * sigma_new / e) * (matvec(Yc) - c * Yc) \
+                                - (sigma * sigma_new) * Xp
+                            Z = jnp.where(degs[None, :] >= t, Z, Yc)
+                            return (Yc, Z, sigma_new)
+                        return body
+
+                    Y = (sigma1 / e) * (matvec(Vin) - c * Vin)
+                    Y = jnp.where(deg_sorted[None, :] >= 1, Y, Vin)
+                    dmid = jnp.clip(deg_sorted[khalf - 1], 1, dmax)
+                    Xp, Yc, sig = jax.lax.fori_loop(
+                        2, dmid + 1, fbody(deg_sorted), (Vin, Y, sigma1))
+                    Xp_r = jax.lax.slice_in_dim(Xp, khalf, w, axis=1)
+                    Yc_r = jax.lax.slice_in_dim(Yc, khalf, w, axis=1)
+                    _, Yc_r, _ = jax.lax.fori_loop(
+                        dmid + 1, dmax + 1, fbody(deg_sorted[khalf:]),
+                        (Xp_r, Yc_r, sig))
+                    Yfull = jnp.concatenate(
+                        [jax.lax.slice_in_dim(Yc, 0, khalf, axis=1), Yc_r],
+                        axis=1)
+                    return jnp.take(Yfull, dperm_inv, axis=1)
+
+                def mv_full(X):
+                    return jnp.matmul(H, X, precision=precision)
+
+                if use_bf16_rung:
+                    # far-from-converged iterations: bf16 matmul inputs,
+                    # f32 MXU accumulation, carry stays f32 (mirrors
+                    # ops/filter._hemm_shift)
+                    def mv_low(X):
+                        return jnp.matmul(H_bf, X.astype(jnp.bfloat16),
+                                          precision="default",
+                                          preferred_element_type=H.dtype)
+
+                    Vf = jax.lax.cond(
+                        low_phase,
+                        lambda Vin: run_filter(mv_low, Vin),
+                        lambda Vin: run_filter(mv_full, Vin), Vw)
+                elif use_refine:
+                    # -- DP refinement ladder (in-graph
+                    # chebyshev_filter_refine on the window) --
+                    # Coefficient tables in f64 (exact polynomial
+                    # bookkeeping, cheap elementwise work); the deviation
+                    # recurrence in f32 on the MXU, seeded by last
+                    # iteration's f64 residual vectors.
+                    def run_refine(args2):
+                        Vin, Rin = args2
+                        lams = (ritz_w - c) / e              # (w,) f64
+
+                        def tbody(t, ts):
+                            sig, p_prev, p_cur, al, be, inj, p_fin = ts
+                            sig_new = 1.0 / (2.0 / sigma1 - sig)
+                            al = al.at[t].set(2.0 * sig_new / e)
+                            be = be.at[t].set(-sig * sig_new)
+                            inj = inj.at[t].set((2.0 * sig_new / e) * p_cur)
+                            p_new = (2.0 * sig_new * lams * p_cur
+                                     - sig * sig_new * p_prev)
+                            p_fin = jnp.where(deg_w >= t, p_new, p_fin)
+                            return (sig_new, p_cur, p_new, al, be, inj,
+                                    p_fin)
+
+                        p1 = sigma1 * lams
+                        p_fin0 = jnp.where(deg_w >= 1, p1,
+                                           jnp.ones_like(lams))
+                        D = max_deg
+                        _, _, _, al, be, inj, p_fin = jax.lax.fori_loop(
+                            2, D + 1, tbody,
+                            (sigma1, jnp.ones_like(lams), p1,
+                             jnp.zeros((D + 1,), rt),
+                             jnp.zeros((D + 1,), rt),
+                             jnp.zeros((D + 1, w), rt), p_fin0))
+
+                        Rc = Rin.astype(low_dt)
+                        cl = c.astype(low_rt)
+                        all_ = al.astype(low_rt)
+                        bel = be.astype(low_rt)
+                        injl = inj.astype(low_rt)
+                        Wd = (sigma1 / e).astype(low_rt) * Rc
+
+                        def rbody(t, stw):
+                            Wp, Wc = stw
+                            Zc = (all_[t] * (jnp.matmul(H_lo, Wc,
+                                                        precision=precision)
+                                             - cl * Wc)
+                                  + bel[t] * Wp + injl[t][None, :] * Rc)
+                            Zc = jnp.where(deg_w[None, :] >= t, Zc, Wc)
+                            return (Wc, Zc)
+
+                        _, Wd = jax.lax.fori_loop(
+                            2, dmax + 1, rbody, (jnp.zeros_like(Rc), Wd))
+                        Y = p_fin[None, :].astype(H.dtype) * Vin \
+                            + Wd.astype(H.dtype)
+                        return jnp.where(deg_w[None, :] >= 1, Y, Vin)
+
+                    def run_low0(args2):
+                        # iteration 0 (no residual vectors yet): plain
+                        # recurrence with the f32 shadow — the classic
+                        # DP→SP low phase
+                        Vin, _ = args2
+                        return run_filter(
+                            lambda X: jnp.matmul(
+                                H_lo, X.astype(low_dt), precision=precision,
+                                preferred_element_type=H.dtype),
+                            Vin)
+
+                    Rw_in = jax.lax.slice_in_dim(Rv, off, k, axis=1)
+                    Vf = jax.lax.cond(it > 0, run_refine, run_low0,
+                                      (Vw, Rw_in))
+                else:
+                    Vf = run_filter(mv_full, Vw)
+
+                # -- QR on the window --
+                if off:
+                    # BCGS projection against the locked left block (all
+                    # columns [0, off) are locked in this tier), then the
+                    # CholQR chain, then BCGS2 re-project + CholQR1 — the
+                    # in-graph orthonormalize_window sweep.
+                    Lk = jax.lax.slice_in_dim(V, 0, off, axis=1)
+                    Cp = jnp.matmul(Lk.conj().T, Vf, precision=precision)
+                    Vf = Vf - jnp.matmul(Lk, Cp, precision=precision)
+                Q = gram_qr(Vf, shift_on)
+                if off:
+                    Cp = jnp.matmul(Lk.conj().T, Q, precision=precision)
+                    Q = Q - jnp.matmul(Lk, Cp, precision=precision)
+                    Q, _ = _qr_pass(Q, jnp.bool_(False))
+                Vw2 = jnp.where(active_w[None, :], Q, Vw)
+
+                # -- RR + residuals (masked window width) --
+                Qm = jnp.where(active_w[None, :], Vw2,
+                               jnp.zeros((), V.dtype))
+                if not is_sp:
+                    # renormalize (64-bit only): upstream QR can leave
+                    # eps_f32-level column-norm deficits on emulated-f64
+                    # backends, biasing Ritz values by λ·η.  SP skips it —
+                    # the f32 norm reduction's own √N·eps rounding perturbs
+                    # columns above the f32 floor (ops/rr._rr_project).
+                    qn = jnp.linalg.norm(Qm, axis=0).real.astype(rt)
+                    Qm = Qm / jnp.where(qn > 0, qn, jnp.ones((), rt))[
+                        None, :].astype(Qm.dtype)
+                W = jnp.matmul(H, Qm, precision=precision)
+                A = jnp.matmul(Qm.conj().T, W, precision=precision)
+                pad = 2 * jnp.linalg.norm(A).real.astype(rt) + 1
+                A = A + jnp.diag(jnp.where(active_w, jnp.zeros((), rt),
+                                           pad)).astype(A.dtype)
+                if small_dense == "host":
+                    # host LAPACK f64 eigh via pure_callback (real TPU
+                    # runtimes support host callbacks under jit)
+                    def _host_eigh_cb(a):
+                        from .ops.rr import host_eigh_f64
+                        return host_eigh_f64(a, rt)
+
+                    w_eig, Z = jax.pure_callback(
+                        _host_eigh_cb,
+                        (jax.ShapeDtypeStruct((w,), rt),
+                         jax.ShapeDtypeStruct((w, w), A.dtype)),
+                        A, vmap_method="sequential")
+                else:
+                    # polished: XLA's eigh alone leaves ~1e-6-relative
+                    # eigenvector error (ops/rr.eigh_polished docstring) —
+                    # fatal at DP tolerance
+                    from .ops.rr import eigh_polished
+                    w_eig, Z = eigh_polished(A, passes=eigh_polish,
+                                             precision=precision,
+                                             pin_cut=pad / 2)
+                w_eig = w_eig.real.astype(rt)
+                Vrot = jnp.matmul(Qm, Z, precision=precision)
+                Wrot = jnp.matmul(W, Z, precision=precision)
+                R = Wrot - Vrot * w_eig[None, :].astype(V.dtype)
+                r_new = jnp.linalg.norm(R, axis=0).real.astype(rt)
+                Vrot = jnp.roll(Vrot, lw, axis=1)
+                w_eig = jnp.roll(w_eig, lw)
+                r_new = jnp.roll(r_new, lw)
+                Vw3 = jnp.where(active_w[None, :], Vrot, Vw2)
+                V2 = V.at[:, off:].set(Vw3)
+                ritz2 = ritzv.at[off:].set(
+                    jnp.where(active_w, w_eig, ritz_w))
+                resid2 = resid.at[off:].set(
+                    jnp.where(active_w, r_new,
+                              jax.lax.slice_in_dim(resid, off, k)))
+                if use_refine:
+                    # residual VECTORS feed the next refine injection
+                    Rr = jnp.roll(R, lw, axis=1)
+                    Rv2 = Rv.at[:, off:].set(
+                        jnp.where(active_w[None, :], Rr,
+                                  jax.lax.slice_in_dim(Rv, off, k, axis=1)))
+                else:
+                    Rv2 = Rv
+                return V2, Rv2, ritz2, resid2
+
+            return tier
+
+        tier_fns = [make_tier(o) for o in _tier_offsets(k, phase_tiers)]
+        tier_offs = _tier_offsets(k, phase_tiers)
+
+        def _select(i, args):
+            if i == len(tier_fns) - 1:
+                return tier_fns[i](args)
+            return jax.lax.cond(locked >= tier_offs[i + 1],
+                                lambda a: _select(i + 1, a),
+                                tier_fns[i], args)
+
+        V, Rv, ritzv, resid = _select(0, (V, Rv))
         r_hist = r_hist.at[it].set(
             jnp.where(active, resid, jnp.asarray(-1.0, rt)))
 

@@ -26,6 +26,7 @@ def test_fused_matches_exact_spectrum(dtype):
     assert np.linalg.norm(R, axis=0).max() < 1e-8 * N
 
 
+@pytest.mark.quick
 def test_fused_agrees_with_host_driver():
     N, nev, nex = 200, 16, 12
     H = random_hermitian(N, dtype=np.float64, seed=13)
@@ -173,6 +174,7 @@ def test_fused_tiny_block_smaller_than_num_lanczos():
                                atol=1e-7)
 
 
+@pytest.mark.quick
 def test_fused_refine_ladder_dp():
     """Fused DP 1e-10 solve with the in-graph refinement ladder: the filter
     FLOPs stay in f32 (deviation recurrence) while true residuals reach
@@ -218,3 +220,34 @@ def test_fused_compile_failure_falls_back_to_host(monkeypatch):
     assert res.converged
     np.testing.assert_allclose(res.ritzv, clement_eigenvalues(N)[:nev],
                                atol=1e-8)
+
+
+@pytest.mark.quick
+def test_fused_phase_tiers_match_full_width():
+    """phase_tiers>1 (static in-graph phase windows, the fused P12) must
+    converge to the same spectrum as the classic full-width body, while
+    actually spanning several tiers as columns lock."""
+    import jax
+    import jax.numpy as jnp
+    from chase_tpu.fused import solve_fused, _tier_offsets
+
+    N, nev, nex = 200, 24, 8
+    k = nev + nex
+    assert _tier_offsets(k, 4) == [0, 8, 16, 24]
+    assert _tier_offsets(k, 1) == [0]
+    H = jnp.asarray(clement(N), jnp.float64)
+    V0 = jax.random.normal(jax.random.key(0), (N, k), dtype=jnp.float64)
+    exact = clement_eigenvalues(N)[:nev]
+    ritz = {}
+    for tiers in (1, 4):
+        out = solve_fused(H, jnp.array(V0, copy=True), nev=nev, nex=nex,
+                          tol=1e-10, deg0=20, max_deg=36,
+                          phase_tiers=tiers)
+        assert int(out["locked"]) >= nev, tiers
+        ritz[tiers] = np.asarray(out["ritzv"])[:nev]
+        np.testing.assert_allclose(ritz[tiers], exact, atol=1e-8)
+        # true residuals of the tiered result against the exact operator
+        V = np.asarray(out["V"])[:, :nev]
+        R = np.asarray(H) @ V - V * ritz[tiers][None, :]
+        assert np.linalg.norm(R, axis=0).max() < 1e-8
+    np.testing.assert_allclose(ritz[1], ritz[4], atol=1e-9)

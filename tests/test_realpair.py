@@ -306,3 +306,46 @@ def test_embed_complex_operator_pseudo_reuse():
         np.testing.assert_allclose(np.asarray(res.ritzv), pos, atol=1e-3)
     with pytest.raises(ValueError, match="embedded with pseudo"):
         chase_tpu.eigsh(op, nev, nex)
+
+
+@pytest.mark.quick
+def test_raw_complex_embed_cache():
+    """A second eigsh/eigsh_pseudo call with the SAME raw complex H object
+    must reuse the cached embedding (the BENCH_NOTES round-4 24× footgun);
+    mutating H in place must invalidate it."""
+    import dataclasses
+    from chase_tpu import api as _api
+    from chase_tpu.models import random_hermitian
+    from chase_tpu.config import ChaseConfig
+
+    N, nev, nex = 48, 4, 6
+    H = np.asarray(random_hermitian(N, dtype=np.complex128, seed=3))
+    cfg = dataclasses.replace(ChaseConfig(), complex_backend="real_pair")
+    _api._EMBED_CACHE.clear()
+
+    calls = {"n": 0}
+    orig = _api.embed_complex_operator
+
+    def counting(Hm, **kw):
+        calls["n"] += 1
+        return orig(Hm, **kw)
+
+    _api.embed_complex_operator, restore = counting, orig
+    try:
+        r1 = chase_tpu.eigsh(H, nev, nex, tol=1e-9, config=cfg)
+        r2 = chase_tpu.eigsh(H, nev, nex, tol=1e-9, config=cfg)
+        assert calls["n"] == 1, "second call must hit the embed cache"
+        np.testing.assert_allclose(np.asarray(r1.ritzv),
+                                   np.asarray(r2.ritzv), rtol=1e-8)
+        # in-place mutation invalidates the cache entry
+        H *= 1.0 + 1e-3
+        chase_tpu.eigsh(H, nev, nex, tol=1e-9, config=cfg)
+        assert calls["n"] == 2, "mutated H must re-embed"
+        # a different object with equal contents re-embeds (id-keyed)
+        chase_tpu.eigsh(H.copy(), nev, nex, tol=1e-9, config=cfg)
+        assert calls["n"] == 3
+        # LRU bound
+        assert len(_api._EMBED_CACHE) <= _api._EMBED_CACHE_MAX
+    finally:
+        _api.embed_complex_operator = restore
+        _api._EMBED_CACHE.clear()
