@@ -77,6 +77,16 @@ def cholqr(V, *, passes=2, shifted=False, precision="highest", upcast=None):
     ok = jnp.bool_(True)
     for p in range(passes):
         G = _gram(V, precision)
+        # Column equilibration (Jacobi scaling): factor D⁻¹GD⁻¹ with
+        # D = √diag(G) and fold D⁻¹ into the trsm.  Mathematically the
+        # same Q; numerically it removes the column-NORM spread from the
+        # Gram's condition number (van der Sluis: within k of optimal) —
+        # the refine ladder's output has near-orthogonal columns whose
+        # norms p(λ_j) span many decades, which used to fail this chain
+        # into the TSQR rescue every iteration.
+        d = jnp.sqrt(jnp.abs(jnp.diagonal(G).real)).astype(rt)
+        d = jnp.where(d > 0, d, jnp.ones_like(d))
+        G = G / (d[:, None] * d[None, :]).astype(G.dtype)
         if p == 0 and shifted:
             # shift = sqrt(m)·Σ|diag(G)|·eps (DP) / 10·Σ|diag(G)|·eps (SP)
             nrmf = jnp.sum(jnp.abs(jnp.diagonal(G).real))
@@ -90,7 +100,7 @@ def cholqr(V, *, passes=2, shifted=False, precision="highest", upcast=None):
         # Replace NaN factor by identity so the trsm stays finite; the caller
         # discards the result when ok is False.
         L = jnp.where(pass_ok, L, jnp.eye(G.shape[0], dtype=G.dtype))
-        V = _trsm_right(L, V)
+        V = _trsm_right(L, V / d[None, :].astype(V.dtype))
     return V.astype(in_dtype), ok
 
 
@@ -139,6 +149,11 @@ def cholqr_hostchol(V, *, passes=2, shifted=False, precision="highest",
         G = np.asarray(_gram_jit(V, precision=precision))
         wide = np.complex128 if np.iscomplexobj(G) else np.float64
         Gw = G.astype(wide)
+        # column equilibration (see cholqr): unit-diagonal Gram, the
+        # scaling folded into the applied inverse
+        d = np.sqrt(np.abs(np.diagonal(Gw).real))
+        d = np.where(d > 0, d, 1.0)
+        Gw = Gw / (d[:, None] * d[None, :])
         if p == 0 and shifted:
             coef = np.sqrt(m) if is_double_base(V.dtype) else 10.0
             shift = coef * np.finfo(np.dtype(in_rt)).eps \
@@ -152,7 +167,8 @@ def cholqr_hostchol(V, *, passes=2, shifted=False, precision="highest",
             return V.astype(in_dtype), False
         Linv = sla.solve_triangular(L, np.eye(L.shape[0], dtype=wide),
                                     lower=True)
-        V = _apply_right_jit(V, jnp.asarray(Linv.conj().T.astype(G.dtype)),
+        M = Linv.conj().T / d[:, None]
+        V = _apply_right_jit(V, jnp.asarray(M.astype(G.dtype)),
                              precision=precision)
     return V.astype(in_dtype), ok
 
@@ -184,6 +200,11 @@ def cholqr_wide(V, *, passes=2, shifted=False, precision="highest",
     ok = True
     for p in range(passes):
         G = np.asarray(wide_matmul(V.T, V))
+        # column equilibration (see cholqr): unit-diagonal Gram, the
+        # scaling folded into the applied inverse
+        d = np.sqrt(np.abs(np.diagonal(G)))
+        d = np.where(d > 0, d, 1.0)
+        G = G / (d[:, None] * d[None, :])
         if p == 0 and shifted:
             coef = np.sqrt(m) if is_double_base(V.dtype) else 10.0
             shift = coef * np.finfo(np.dtype(in_rt)).eps \
@@ -196,7 +217,7 @@ def cholqr_wide(V, *, passes=2, shifted=False, precision="highest",
         if not _chol_usable(L):
             return V.astype(in_dtype), False
         Linv = sla.solve_triangular(L, np.eye(L.shape[0]), lower=True)
-        V = wide_matmul(V, jnp.asarray(Linv.T.copy()))
+        V = wide_matmul(V, jnp.asarray((Linv.T / d[:, None]).copy()))
     return V.astype(in_dtype), ok
 
 

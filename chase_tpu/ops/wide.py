@@ -42,7 +42,50 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["wide_matmul", "wide_params", "slice_f64", "wide_matmul_sliced"]
+__all__ = ["wide_matmul", "wide_params", "slice_f64", "wide_matmul_sliced",
+           "wide_params_i8", "slice_f64_i8", "wide_scheme_auto"]
+
+
+def wide_scheme_auto(n_contract: int) -> str:
+    """Pick the slice scheme for a contraction length.
+
+    "i8" (Ootomo/Ozaki/Yokota-style int8 slices, int32 MXU accumulation)
+    dominates "bf16" everywhere it applies: 7 bits/slice/byte vs the bf16
+    scheme's s bits per TWO bytes with s = (24 − log2 N)/2 — at N=8192
+    that is 36 int8 passes at 2× MXU rate vs 66 bf16 passes (~3.7×), and
+    the exactness window reaches N ≤ 2¹⁹ instead of shrinking s as N
+    grows (at N=30000 the bf16 scheme is down to s=4: 105 passes and a
+    25 GB operator stack vs int8's 36 passes and 7.2 GB).  bf16 remains
+    for backends without int8 matmul (CHASE_WIDE_SCHEME=bf16 forces it).
+    """
+    import os
+    forced = os.environ.get("CHASE_WIDE_SCHEME")
+    if forced in ("bf16", "i8"):
+        return forced
+    try:
+        wide_params_i8(n_contract)
+        return "i8"
+    except ValueError:
+        return "bf16"
+
+
+def wide_params_i8(n_contract: int, target_bits: int = 55):
+    """(s, L, cut) for the int8 slice scheme.
+
+    Slices hold s-bit integers with |m| ≤ 2^(s−1) (the operand is scaled
+    into [−0.5, 0.5) so even slice 0 stays well inside int8); pair
+    products accumulate on the MXU in int32 — exact while
+    2·(s−1) + log2 N ≤ 31, i.e. N ≤ 2¹⁹ at s=7.
+    """
+    lg = max(1, math.ceil(math.log2(max(2, n_contract))))
+    s = 7
+    if 2 * (s - 1) + lg > 31:
+        raise ValueError(
+            f"contraction length {n_contract} too large for exact int8/i32 "
+            f"slicing (needs 2(s-1) + log2 N <= 31)")
+    L = math.ceil(target_bits / s)
+    cut = L - 1
+    return s, L, cut
 
 
 def wide_params(n_contract: int, target_bits: int = 55):
@@ -94,6 +137,48 @@ def slice_f64(X, s, L, axis):
     return slices, scale
 
 
+def slice_f64_i8(X, s, L, axis):
+    """Split f64 X into L exact INT8 slices plus the 2^e scale.
+
+    ``X ≈ scale · Σ_l slices[l] · 2^(−s(l+1))`` with integer slices
+    |m| ≤ 2^(s−1) (scale puts max|X| in [0.25, 0.5) so slice 0 needs no
+    clamp and every later residual obeys |r| ≤ 0.5·2^(−s·l)).  All slice
+    arithmetic is f64 elementwise — exact.
+    """
+    scale = 2.0 * _pow2_scale(X, axis=axis)     # max|X/scale| ∈ [0.25, 0.5)
+    r = X / scale
+    slices = []
+    for l in range(L):
+        p = jnp.exp2(jnp.asarray(float(s * (l + 1)), X.dtype))
+        m = jnp.round(r * p)
+        slices.append(m.astype(jnp.int8))
+        r = r - m / p
+    return slices, scale
+
+
+def _pair_products_i8(a_slices, b_stack, cut, s):
+    """Σ over l+m ≤ cut of int8 pair matmuls (int32 MXU accumulation,
+    exact — see wide_params_i8), rescaled and summed in f64.  Same
+    one-live-product loop structure as :func:`_pair_products`."""
+    L = b_stack.shape[0]
+    rows = a_slices[0].shape[0]
+    k = b_stack.shape[2]
+    acc = jnp.zeros((rows, k), jnp.float64)
+    for l, al in enumerate(a_slices):
+        hi = min(cut - l + 1, L)
+        if hi <= 0:
+            continue
+
+        def body(m, a, al=al, l=l):
+            p = jnp.matmul(al, b_stack[m],
+                           preferred_element_type=jnp.int32)
+            sc = jnp.exp2((-s * (m + l + 2)).astype(jnp.float64))
+            return a + p.astype(jnp.float64) * sc
+
+        acc = jax.lax.fori_loop(0, hi, body, acc)
+    return acc
+
+
 def _pair_products(a_slices, b_slices, cut):
     """Σ over l+m ≤ cut of the exact bf16 pair matmuls, f64 accumulation.
 
@@ -122,38 +207,58 @@ def _pair_products(a_slices, b_slices, cut):
     return acc
 
 
-@partial(jax.jit, static_argnames=("s", "L", "cut"))
-def _wide_matmul_impl(A, B, *, s, L, cut):
-    a_slices, sa = slice_f64(A, s, L, axis=1)
-    b_slices, sb = slice_f64(B, s, L, axis=0)
-    C = _pair_products(a_slices, b_slices, cut)
+@partial(jax.jit, static_argnames=("s", "L", "cut", "scheme"))
+def _wide_matmul_impl(A, B, *, s, L, cut, scheme="bf16"):
+    if scheme == "i8":
+        a_slices, sa = slice_f64_i8(A, s, L, axis=1)
+        b_slices, sb = slice_f64_i8(B, s, L, axis=0)
+        C = _pair_products_i8(a_slices, jnp.stack(b_slices), cut, s)
+    else:
+        a_slices, sa = slice_f64(A, s, L, axis=1)
+        b_slices, sb = slice_f64(B, s, L, axis=0)
+        C = _pair_products(a_slices, b_slices, cut)
     return C * sa * sb
 
 
-def wide_matmul(A, B, *, target_bits: int = 55):
-    """f64-accurate ``A @ B`` via exact bf16 slice products (see module
-    docstring).  Real f64 operands only; 2-D × 2-D."""
+def wide_matmul(A, B, *, target_bits: int = 55, scheme: str = "auto"):
+    """f64-accurate ``A @ B`` via exact MXU slice products (see module
+    docstring).  Real f64 operands only; 2-D × 2-D.  ``scheme``: "i8"
+    (default through "auto" — fewer passes, 2× MXU rate, exact to
+    N ≤ 2¹⁹) or "bf16" (CHASE_WIDE_SCHEME=bf16 forces the latter
+    everywhere, e.g. for backends without int8 matmul)."""
     if A.dtype != jnp.float64 or B.dtype != jnp.float64:
         raise TypeError(f"wide_matmul is for f64 operands, got "
                         f"{A.dtype} @ {B.dtype}")
     n = A.shape[-1]
-    s, L, cut = wide_params(n, target_bits)
-    return _wide_matmul_impl(A, B, s=s, L=L, cut=cut)
+    if scheme == "auto":
+        scheme = wide_scheme_auto(n)
+    params = wide_params_i8 if scheme == "i8" else wide_params
+    s, L, cut = params(n, target_bits)
+    return _wide_matmul_impl(A, B, s=s, L=L, cut=cut, scheme=scheme)
 
 
 @partial(jax.jit, static_argnames=("s", "L", "cut"))
 def _wide_matmul_presliced(a_slices, sa, B, *, s, L, cut):
-    b_slices, sb = slice_f64(B, s, L, axis=0)
-    C = _pair_products(a_slices, b_slices, cut)
+    """A@B with A pre-sliced — scheme inferred from the slice dtype, so
+    every consumer of a DenseOperator.H_wide tuple works with either."""
+    if a_slices[0].dtype == jnp.int8:
+        b_slices, sb = slice_f64_i8(B, s, L, axis=0)
+        C = _pair_products_i8(a_slices, jnp.stack(b_slices), cut, s)
+    else:
+        b_slices, sb = slice_f64(B, s, L, axis=0)
+        C = _pair_products(a_slices, b_slices, cut)
     return C * sa * sb
 
 
 def wide_matmul_sliced(a_sliced, B, *, target_bits: int = 55):
     """``A @ B`` with A pre-sliced by :func:`presplit` (amortizes the
-    operator split across filter/RR calls)."""
+    operator split across filter/RR calls).  Scheme follows the slice
+    dtype."""
     a_slices, sa, s, L = a_sliced
     n = B.shape[0]
-    s2, L2, cut = wide_params(n, target_bits)
+    params = wide_params_i8 if a_slices[0].dtype == jnp.int8 \
+        else wide_params
+    s2, L2, cut = params(n, target_bits)
     if s2 != s:
         raise ValueError(f"presplit used s={s} but contraction {n} "
                          f"needs s={s2}")
@@ -161,30 +266,39 @@ def wide_matmul_sliced(a_sliced, B, *, target_bits: int = 55):
                                   s=s, L=min(L, L2), cut=cut)
 
 
-def presplit(A, *, target_bits: int = 55):
+def presplit(A, *, target_bits: int = 55, scheme: str = "auto"):
     """Slice a static operator once (cached per DenseOperator): returns
     the opaque tuple wide_matmul_sliced consumes."""
-    s, L, _ = wide_params(A.shape[-1], target_bits)
-    a_slices, sa = slice_f64(A, s, L, axis=1)
+    if scheme == "auto":
+        scheme = wide_scheme_auto(A.shape[-1])
+    if scheme == "i8":
+        s, L, _ = wide_params_i8(A.shape[-1], target_bits)
+        a_slices, sa = slice_f64_i8(A, s, L, axis=1)
+    else:
+        s, L, _ = wide_params(A.shape[-1], target_bits)
+        a_slices, sa = slice_f64(A, s, L, axis=1)
     return (tuple(a_slices), sa, s, L)
 
 
-@partial(jax.jit, static_argnames=("s", "L"))
-def _presplit_shadow(H, *, s, L):
+@partial(jax.jit, static_argnames=("s", "L", "scheme"))
+def _presplit_shadow(H, *, s, L, scheme="bf16"):
     low = H.astype(jnp.float32)
-    slices, sa = slice_f64(H, s, L, axis=1)
+    sl_fn = slice_f64_i8 if scheme == "i8" else slice_f64
+    slices, sa = sl_fn(H, s, L, axis=1)
     return tuple(slices), sa, low
 
 
-@partial(jax.jit, static_argnames=("s", "L"), donate_argnums=0)
-def _presplit_shadow_donate(H, *, s, L):
+@partial(jax.jit, static_argnames=("s", "L", "scheme"), donate_argnums=0)
+def _presplit_shadow_donate(H, *, s, L, scheme="bf16"):
     low = H.astype(jnp.float32)
-    slices, sa = slice_f64(H, s, L, axis=1)
+    sl_fn = slice_f64_i8 if scheme == "i8" else slice_f64
+    slices, sa = sl_fn(H, s, L, axis=1)
     return tuple(slices), sa, low
 
 
 def presplit_and_shadow_chunked(H_host, *, target_bits: int = 55,
-                                row_chunk: int = None):
+                                row_chunk: int = None,
+                                scheme: str = "auto"):
     """Row-chunked :func:`presplit_and_shadow` from a HOST array.
 
     The one-shot donating program still OOMs a 16 GB chip at N=16384: its
@@ -198,7 +312,10 @@ def presplit_and_shadow_chunked(H_host, *, target_bits: int = 55,
     Returns (slices, sa, low, s, L) like :func:`presplit_and_shadow`.
     """
     N, n = H_host.shape
-    s, L, _ = wide_params(n, target_bits)
+    if scheme == "auto":
+        scheme = wide_scheme_auto(n)
+    params = wide_params_i8 if scheme == "i8" else wide_params
+    s, L, _ = params(n, target_bits)
     if row_chunk is None:
         row_chunk = max(512, (1 << 25) // max(1, n))   # ≈256 MB f64 chunks
     k = -(-N // row_chunk)
@@ -207,7 +324,8 @@ def presplit_and_shadow_chunked(H_host, *, target_bits: int = 55,
     parts_sa, parts_low = [], []
     for i in range(0, N, chunk):
         Hc = jnp.asarray(np.ascontiguousarray(H_host[i:i + chunk]))
-        sl, sa_c, low_c = _presplit_shadow_donate(Hc, s=s, L=L)
+        sl, sa_c, low_c = _presplit_shadow_donate(Hc, s=s, L=L,
+                                                  scheme=scheme)
         for l in range(L):
             parts_sl[l].append(sl[l])
         parts_sa.append(sa_c)
@@ -223,7 +341,8 @@ def presplit_and_shadow_chunked(H_host, *, target_bits: int = 55,
     return tuple(slices), sa, low, s, L
 
 
-def presplit_and_shadow(H, *, donate: bool = False, target_bits: int = 55):
+def presplit_and_shadow(H, *, donate: bool = False, target_bits: int = 55,
+                        scheme: str = "auto"):
     """One jitted program producing BOTH the bf16 slice stack and the f32
     shadow of a real f64 operator.  With ``donate=True`` the input buffer
     is donated — XLA frees/reuses the 8-byte H during slicing and the
@@ -236,7 +355,10 @@ def presplit_and_shadow(H, *, donate: bool = False, target_bits: int = 55):
 
     Returns (slices, sa, low, s, L).
     """
-    s, L, _ = wide_params(H.shape[-1], target_bits)
+    if scheme == "auto":
+        scheme = wide_scheme_auto(H.shape[-1])
+    params = wide_params_i8 if scheme == "i8" else wide_params
+    s, L, _ = params(H.shape[-1], target_bits)
     fn = _presplit_shadow_donate if donate else _presplit_shadow
-    slices, sa, low = fn(H, s=s, L=L)
+    slices, sa, low = fn(H, s=s, L=L, scheme=scheme)
     return slices, sa, low, s, L

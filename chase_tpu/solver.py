@@ -97,12 +97,22 @@ def wide_fits(N: int, grid=None, max_n=None) -> bool:
     """
     if max_n is not None:
         return N <= int(max_n)
-    from .ops.wide import wide_params
+    from .ops.wide import wide_params, wide_params_i8, wide_scheme_auto
+    scheme = wide_scheme_auto(N)
+    G = 1 if grid is None else grid.nprocs
     try:
+        if scheme == "i8":
+            # int8 slices are 1 byte: L + 4 bytes/element resident.  The
+            # transient working set is also int8 (right-operand stack), so
+            # a larger fraction of the device is safe to claim — the
+            # N=30000 DP north star (7.2 GB slices + 3.6 GB shadow +
+            # ~3 GB multivectors) is the sizing case on a 16 GB v5e.
+            _, L, _ = wide_params_i8(N)
+            need = (L + 4) * float(N) * N / G
+            return need <= 0.72 * _device_memory_bytes()
         _, L, _ = wide_params(N)
     except ValueError:        # contraction too long for exact slicing
         return False
-    G = 1 if grid is None else grid.nprocs
     need = (2 * L + 4) * float(N) * N / G
     return need <= 0.5 * _device_memory_bytes()
 

@@ -158,14 +158,25 @@ def test_wide_fits_memory_bound():
         def __init__(self, n):
             self.nprocs = n
 
-    # the CPU backend reports no bytes_limit → 16 GB default applies
+    # the CPU backend reports no bytes_limit → 16 GB default applies.
+    # int8 scheme (default): L+4 = 12 bytes/element resident.
     assert wide_fits(16384, None)
-    assert not wide_fits(20000, None)
-    assert not wide_fits(30000, None)
-    # the same N=30000 state sharded over 4+ devices fits
-    assert wide_fits(30000, FakeGrid(4))
-    assert not wide_fits(115000, FakeGrid(64))  # 8.7 GB/device — too big
-    assert wide_fits(115000, FakeGrid(128))     # the reference QR-bench N
+    assert wide_fits(30000, None)       # the DP north star, single chip
+    assert not wide_fits(36000, None)   # 15.6 GB state — over the bound
+    assert wide_fits(115000, FakeGrid(16))   # the reference QR-bench N
+    # forcing the bf16 scheme restores the round-4 envelope
+    import os
+    os.environ["CHASE_WIDE_SCHEME"] = "bf16"
+    try:
+        assert wide_fits(16384, None)
+        assert not wide_fits(20000, None)
+        assert not wide_fits(30000, None)
+        # the same N=30000 bf16 state sharded over 4+ devices fits
+        assert wide_fits(30000, FakeGrid(4))
+        assert not wide_fits(115000, FakeGrid(64))  # 8.7 GB/dev — too big
+        assert wide_fits(115000, FakeGrid(128))
+    finally:
+        del os.environ["CHASE_WIDE_SCHEME"]
     # explicit user cap replaces the derived bound
     assert wide_fits(30000, None, max_n=40000)
     assert not wide_fits(30000, FakeGrid(8), max_n=20000)
@@ -298,3 +309,51 @@ def test_engage_wide_chunked_threshold(monkeypatch):
     op2 = DenseOperator(H)
     op2.engage_wide()
     assert calls == {"chunked": 1, "oneshot": 1}
+
+
+@pytest.mark.quick
+def test_wide_i8_scheme_accuracy_and_parity():
+    """The int8 Ozaki scheme (int32-exact MXU accumulation, 1 byte/slice)
+    must deliver the same ~1e-15 f64 GEMM accuracy as the bf16 scheme,
+    through both the dynamic and the pre-sliced (H_wide) entry points."""
+    import jax.numpy as jnp
+    from chase_tpu.ops import wide
+
+    rng = np.random.default_rng(31)
+    n = 700
+    A = rng.standard_normal((256, n)) * np.exp(
+        rng.uniform(-8, 8, (256, 1)))          # wide row dynamic range
+    B = rng.standard_normal((n, 48))
+    C = A @ B
+    den = (np.linalg.norm(A, axis=1)[:, None]
+           * np.linalg.norm(B, axis=0)[None, :])
+    for scheme in ("bf16", "i8"):
+        W = np.asarray(wide.wide_matmul(jnp.asarray(A), jnp.asarray(B),
+                                        scheme=scheme))
+        rel = (np.abs(W - C) / den).max()
+        assert rel < 5e-14, (scheme, rel)
+    # pre-sliced (operator) path, i8: slices really are int8
+    sl = wide.presplit(jnp.asarray(A), scheme="i8")
+    assert sl[0][0].dtype == jnp.int8
+    W2 = np.asarray(wide.wide_matmul_sliced(sl, jnp.asarray(B)))
+    assert (np.abs(W2 - C) / den).max() < 5e-14
+    # auto resolves to i8 within the exactness window, bf16 past it
+    assert wide.wide_scheme_auto(8192) == "i8"
+    assert wide.wide_scheme_auto(600000) == "bf16"
+
+
+def test_wide_i8_end_to_end_dp_solve():
+    """wide_f64='on' with the (default) int8 scheme: full 1e-10 DP solve
+    through the sliced RR/QR path."""
+    import chase_tpu
+    from chase_tpu.models import clement, clement_eigenvalues
+
+    N, nev, nex = 192, 12, 8
+    H = clement(N)
+    cfg = chase_tpu.ChaseConfig(mixed_precision=True, wide_f64="on")
+    res = chase_tpu.eigsh(H, nev, nex, tol=1e-10, config=cfg)
+    assert res.converged
+    exact = clement_eigenvalues(N)[:nev]
+    np.testing.assert_allclose(res.ritzv, exact, atol=1e-8)
+    V = np.asarray(res.V)[:, :nev]
+    assert np.linalg.norm(H @ V - V * res.ritzv, axis=0).max() < 1e-9
