@@ -117,18 +117,21 @@ def _tier_offsets(k: int, tiers: int):
                           "optimization", "precision", "cholqr_passes",
                           "inject_dos", "bf16_filter", "bf16_threshold",
                           "small_dense", "eigh_polish", "refine_filter",
-                          "phase_tiers"))
+                          "phase_tiers", "wide_rr", "wide_s", "wide_L"))
 def solve_fused(H, V0, *, nev, nex, tol, deg0, max_deg, deg_extra=2,
                 max_iter=25, lanczos_iter=25, num_lanczos=4,
                 optimization=True, precision="highest", cholqr_passes=3,
                 cond_shift_threshold=1e8, inject_dos=True,
                 bf16_filter=False, bf16_threshold=1e-2,
                 small_dense="device", probes=None, eigh_polish=2,
-                refine_filter=False, phase_tiers=3):
+                refine_filter=False, phase_tiers=3,
+                H_wide=None, wide_rr=False, wide_s=7, wide_L=8):
     """Fully device-resident Hermitian solve.
 
     Args:
-      H: (N, N) Hermitian.
+      H: (N, N) Hermitian.  In ``wide_rr`` mode this is the f32 SHADOW
+        (the problem precision comes from V0) — the graph then contains
+        NO f64 dots, factorizations or eigensolves at all.
       V0: (N, nev+nex) starting block (random or warm start).
       refine_filter: DP-tolerance ladder in-graph — from iteration 1 the
         filter runs the deviation-form refinement recurrence in f32/c64
@@ -137,34 +140,76 @@ def solve_fused(H, V0, *, nev, nex, tol, deg0, max_deg, deg_extra=2,
         pays emulated-f64 filter FLOPs (ops/filter.chebyshev_filter_refine
         is the host-driver analogue; reference DP default:
         algorithm/configuration.hpp:53-62).
+      H_wide: (slices, sa) — the int8 Ozaki slice stack of the REAL f64
+        operator (DenseOperator.H_wide without the (s, L) tail) for
+        ``wide_rr`` mode.
+      wide_rr: run every full-precision contraction (initial QR, RR
+        projection W=H·Q, Grams, rotations, the OA-polished projected
+        eigensolve) on the exact-int8-slice GEMM (ops/wide) with f32
+        factorizations + wide Newton–Schulz cleanup — the one-dispatch DP
+        serving program for accelerators whose emulated-f64 dots the
+        compiler rejects (BENCH_NOTES round 3 relay SIGABRT).  Implies the
+        refine-ladder filter (there is no f64 H in the graph to filter
+        with).
     Returns:
       dict of device arrays: V (N, k) converged-first sorted, ritzv (k,),
       resid (k,), locked, iterations, lowerb, upperb.
     """
     N = H.shape[0]
     k = nev + nex
-    rt = real_dtype(H.dtype)
-    is_sp = not is_double_base(H.dtype)
+    pdt = V0.dtype if wide_rr else H.dtype     # problem dtype
+    rt = real_dtype(pdt)
+    is_sp = not is_double_base(pdt)
     tol = jnp.asarray(tol, rt)
     cols = jnp.arange(k)
     big = jnp.asarray(np.finfo(np.dtype(rt)).max / 4, rt)
     # bf16 storage rung (P10 aggressive mode): real f32 problems only.
     use_bf16_rung = (bf16_filter and is_sp
-                     and not jnp.issubdtype(H.dtype, jnp.complexfloating))
+                     and not jnp.issubdtype(pdt, jnp.complexfloating))
     H_bf = H.astype(jnp.bfloat16) if use_bf16_rung else None
     # DP refinement ladder: f32/c64 shadow of H for the deviation
     # recurrence (the P10 low rung the reference toggles inside Shift,
     # chase_cpu.hpp:384-447 — here it never hands back to f64)
-    use_refine = refine_filter and not is_sp
+    use_refine = (refine_filter or wide_rr) and not is_sp
     if use_refine:
         from .types import low_precision_dtype
-        low_dt = low_precision_dtype(H.dtype)
-        H_lo = H.astype(low_dt)
+        low_dt = low_precision_dtype(pdt)
+        H_lo = H if wide_rr else H.astype(low_dt)
         low_rt = real_dtype(low_dt)
 
+    if wide_rr:
+        from .ops.wide import _wide_matmul_presliced, _wide_matmul_impl
+        w_slices, w_sa = H_wide
+
+        def fdot_H(B):
+            """f64-accurate H @ B on the presliced int8 operator."""
+            return _wide_matmul_presliced(w_slices, w_sa, B, s=wide_s,
+                                          L=wide_L, cut=wide_L - 1)
+
+        def fdot(Aa, Bb):
+            """f64-accurate dynamic A @ B (both operands sliced in-graph;
+            i8 params are contraction-independent within the exactness
+            window, so one (s, L) serves N- and k-contractions)."""
+            return _wide_matmul_impl(Aa, Bb, s=wide_s, L=wide_L,
+                                     cut=wide_L - 1, scheme="i8")
+    else:
+        def fdot_H(B):
+            return jnp.matmul(H, B, precision=precision)
+
+        def fdot(Aa, Bb):
+            return jnp.matmul(Aa, Bb, precision=precision)
+
     def _qr_pass(Q, use_shift):
-        """One CholQR round (optionally diagonally shifted)."""
+        """One CholQR round (optionally diagonally shifted).  The Gram is
+        column-equilibrated (factor D⁻¹GD⁻¹, D = √diag G, the scaling
+        folded into the trsm — ops/qr.cholqr has the rationale): the
+        refine ladder's output columns carry norms p(λ_j) spanning many
+        decades, and without the equilibration that spread alone pushes
+        the Gram past Cholesky range."""
         G = jnp.matmul(Q.conj().T, Q, precision=precision)
+        d = jnp.sqrt(jnp.abs(jnp.diagonal(G).real)).astype(rt)
+        d = jnp.where(d > 0, d, jnp.ones_like(d))
+        G = G / (d[:, None] * d[None, :]).astype(G.dtype)
         nrmf = jnp.sum(jnp.abs(jnp.diagonal(G).real))
         coef = np.sqrt(N) if not is_sp else 10.0
         shift = jnp.where(use_shift,
@@ -175,8 +220,8 @@ def solve_fused(H, V0, *, nev, nex, tol, deg0, max_deg, deg_extra=2,
         p_ok = jnp.isfinite(L.real).all()
         L = jnp.where(p_ok, L, jnp.eye(G.shape[0], dtype=G.dtype))
         Q = jax.lax.linalg.triangular_solve(
-            L, Q, left_side=False, lower=True, transpose_a=True,
-            conjugate_a=True)
+            L, Q / d[None, :].astype(Q.dtype), left_side=False, lower=True,
+            transpose_a=True, conjugate_a=True)
         return Q, p_ok
 
     def gram_qr(V, shift_on):
@@ -199,8 +244,53 @@ def solve_fused(H, V0, *, nev, nex, tol, deg0, max_deg, deg_extra=2,
                          lambda q: jnp.linalg.qr(q, mode="reduced")[0], Q)
         return Q
 
+    def _qr_pass_wide(Q, use_shift):
+        """One CholQR round with NO f64 dots or factorizations: the Gram
+        on the wide int8 GEMM (f64-accurate), equilibrated, factored in
+        f32 (native Cholesky), the explicit triangular inverse applied
+        back through the wide GEMM.  A non-PD f32 Gram retries once with
+        a large relative shift (repeat-shifted CholQR) instead of an
+        in-graph emulated-f64 Householder."""
+        G = fdot(Q.T, Q)
+        d = jnp.sqrt(jnp.abs(jnp.diagonal(G)))
+        d = jnp.where(d > 0, d, jnp.ones_like(d))
+        G = G / (d[:, None] * d[None, :])
+        nrmf = jnp.sum(jnp.abs(jnp.diagonal(G)))
+        shift = jnp.where(use_shift,
+                          np.sqrt(N) * np.finfo(np.dtype(rt)).eps * nrmf,
+                          jnp.zeros((), rt))
+        kk = G.shape[0]
+        I32 = jnp.eye(kk, dtype=jnp.float32)
+        G32 = (G + shift * jnp.eye(kk, dtype=G.dtype)).astype(jnp.float32)
+        L32 = jnp.linalg.cholesky(G32)
+        p_ok = jnp.isfinite(L32).all()
+        L32b = jnp.linalg.cholesky(G32 + jnp.asarray(1e-4, jnp.float32)
+                                   * I32)
+        ok_b = jnp.isfinite(L32b).all()
+        L32 = jnp.where(p_ok, L32, jnp.where(ok_b, L32b, I32))
+        Linv = jax.lax.linalg.triangular_solve(
+            L32, I32, left_side=True, lower=True)
+        M = Linv.T.astype(rt) / d[:, None]
+        return fdot(Q, M), p_ok | ok_b
+
+    def gram_qr_wide(V, shift_on):
+        """cholqr_passes wide rounds + one wide Newton–Schulz cleanup
+        (Q ← Q(I − E/2), E = QᵀQ − I): the f32 factorizations floor the
+        per-pass orthogonality at ~√k·eps_f32; the NS step squares that
+        to the f64 floor using only wide (int8) matmuls."""
+        Q, _ = _qr_pass_wide(V, shift_on)
+        for _ in range(2, cholqr_passes + 1):
+            Q, _ = _qr_pass_wide(Q, jnp.bool_(False))
+        E = fdot(Q.T, Q) - jnp.eye(Q.shape[1], dtype=rt)
+        return Q - fdot(Q, 0.5 * E)
+
+    if wide_rr:
+        gram_qr_fn, qr_pass_fn = gram_qr_wide, _qr_pass_wide
+    else:
+        gram_qr_fn, qr_pass_fn = gram_qr, _qr_pass
+
     # ---- init: orthonormalize V0 -----------------------------------------
-    V = gram_qr(V0.astype(H.dtype), jnp.bool_(False))
+    V = gram_qr_fn(V0.astype(pdt), jnp.bool_(False))
 
     # ---- Lanczos + DoS (device) -------------------------------------------
     m = max(2, min(k, N // 2, lanczos_iter) - (min(k, N // 2, lanczos_iter) % 2))
@@ -208,25 +298,30 @@ def solve_fused(H, V0, *, nev, nex, tol, deg0, max_deg, deg_extra=2,
     # would slice fewer columns than the scan carry expects)
     nv = probes.shape[1] if probes is not None else min(num_lanczos, k)
 
+    # Spectral-bound estimation precision: f32 in wide mode (bounds need
+    # ~1e-7 fidelity; keeps the m×m tridiagonal eigh out of f64 — the
+    # wide_rr graph must carry NO f64 eigensolves at all)
+    lz_rt = jnp.float32 if wide_rr else rt
+
     def lz_step(carry, _):
         v0, v1, beta_prev = carry
         w = jnp.matmul(H, v1, precision=precision)
-        alpha = jnp.sum(v1.conj() * w, axis=0).real.astype(rt)
+        alpha = jnp.sum(v1.conj() * w, axis=0).real.astype(lz_rt)
         w = w - alpha[None, :].astype(w.dtype) * v1 \
               - beta_prev[None, :].astype(w.dtype) * v0
-        beta = jnp.linalg.norm(w, axis=0).real.astype(rt)
-        safe = jnp.where(beta > 0, beta, jnp.ones((), rt))
+        beta = jnp.linalg.norm(w, axis=0).real.astype(lz_rt)
+        safe = jnp.where(beta > 0, beta, jnp.ones((), lz_rt))
         return (v1, w / safe[None, :].astype(w.dtype), beta), \
             (alpha, beta, v1[:, -1])
 
     # Warm starts pass fresh random probes: a Krylov space seeded with the
     # previous problem's converged eigenvectors underestimates the drifted
     # lambda_max and the filter then amplifies the unwanted end.
-    probes = V[:, :nv] if probes is None else probes.astype(H.dtype)
+    probes = (V[:, :nv] if probes is None else probes).astype(H.dtype)
     nrm = jnp.linalg.norm(probes, axis=0).real
     probes = probes / nrm[None, :].astype(probes.dtype)
     _, (alphas, betas, basis) = jax.lax.scan(
-        lz_step, (jnp.zeros_like(probes), probes, jnp.zeros((nv,), rt)),
+        lz_step, (jnp.zeros_like(probes), probes, jnp.zeros((nv,), lz_rt)),
         None, length=m)
 
     theta, tvecs = _eigh_tridiag_batched(alphas, betas[:-1])
@@ -460,8 +555,8 @@ def solve_fused(H, V0, *, nev, nex, tol, deg0, max_deg, deg_extra=2,
 
                         _, Wd = jax.lax.fori_loop(
                             2, dmax + 1, rbody, (jnp.zeros_like(Rc), Wd))
-                        Y = p_fin[None, :].astype(H.dtype) * Vin \
-                            + Wd.astype(H.dtype)
+                        Y = p_fin[None, :].astype(pdt) * Vin \
+                            + Wd.astype(pdt)
                         return jnp.where(deg_w[None, :] >= 1, Y, Vin)
 
                     def run_low0(args2):
@@ -472,7 +567,8 @@ def solve_fused(H, V0, *, nev, nex, tol, deg0, max_deg, deg_extra=2,
                         return run_filter(
                             lambda X: jnp.matmul(
                                 H_lo, X.astype(low_dt), precision=precision,
-                                preferred_element_type=H.dtype),
+                                preferred_element_type=low_dt
+                                if wide_rr else pdt),
                             Vin)
 
                     Rw_in = jax.lax.slice_in_dim(Rv, off, k, axis=1)
@@ -488,13 +584,13 @@ def solve_fused(H, V0, *, nev, nex, tol, deg0, max_deg, deg_extra=2,
                     # CholQR chain, then BCGS2 re-project + CholQR1 — the
                     # in-graph orthonormalize_window sweep.
                     Lk = jax.lax.slice_in_dim(V, 0, off, axis=1)
-                    Cp = jnp.matmul(Lk.conj().T, Vf, precision=precision)
-                    Vf = Vf - jnp.matmul(Lk, Cp, precision=precision)
-                Q = gram_qr(Vf, shift_on)
+                    Cp = fdot(Lk.conj().T, Vf)
+                    Vf = Vf - fdot(Lk, Cp)
+                Q = gram_qr_fn(Vf, shift_on)
                 if off:
-                    Cp = jnp.matmul(Lk.conj().T, Q, precision=precision)
-                    Q = Q - jnp.matmul(Lk, Cp, precision=precision)
-                    Q, _ = _qr_pass(Q, jnp.bool_(False))
+                    Cp = fdot(Lk.conj().T, Q)
+                    Q = Q - fdot(Lk, Cp)
+                    Q, _ = qr_pass_fn(Q, jnp.bool_(False))
                 Vw2 = jnp.where(active_w[None, :], Q, Vw)
 
                 # -- RR + residuals (masked window width) --
@@ -509,12 +605,18 @@ def solve_fused(H, V0, *, nev, nex, tol, deg0, max_deg, deg_extra=2,
                     qn = jnp.linalg.norm(Qm, axis=0).real.astype(rt)
                     Qm = Qm / jnp.where(qn > 0, qn, jnp.ones((), rt))[
                         None, :].astype(Qm.dtype)
-                W = jnp.matmul(H, Qm, precision=precision)
-                A = jnp.matmul(Qm.conj().T, W, precision=precision)
+                W = fdot_H(Qm)
+                A = fdot(Qm.conj().T, W)
                 pad = 2 * jnp.linalg.norm(A).real.astype(rt) + 1
                 A = A + jnp.diag(jnp.where(active_w, jnp.zeros((), rt),
                                            pad)).astype(A.dtype)
-                if small_dense == "host":
+                if wide_rr:
+                    # f32 eigh + OA polish on wide matmuls: the projected
+                    # eigensolve with no f64 eigh in the graph
+                    from .ops.rr import eigh_polished_wide
+                    w_eig, Z = eigh_polished_wide(
+                        A, passes=max(eigh_polish, 3), pin_cut=pad / 2)
+                elif small_dense == "host":
                     # host LAPACK f64 eigh via pure_callback (real TPU
                     # runtimes support host callbacks under jit)
                     def _host_eigh_cb(a):
@@ -535,8 +637,8 @@ def solve_fused(H, V0, *, nev, nex, tol, deg0, max_deg, deg_extra=2,
                                              precision=precision,
                                              pin_cut=pad / 2)
                 w_eig = w_eig.real.astype(rt)
-                Vrot = jnp.matmul(Qm, Z, precision=precision)
-                Wrot = jnp.matmul(W, Z, precision=precision)
+                Vrot = fdot(Qm, Z)
+                Wrot = fdot(W, Z)
                 R = Wrot - Vrot * w_eig[None, :].astype(V.dtype)
                 r_new = jnp.linalg.norm(R, axis=0).real.astype(rt)
                 Vrot = jnp.roll(Vrot, lw, axis=1)

@@ -110,6 +110,47 @@ def eigh_polished(A, *, passes=2, precision="highest", pin_cut=None):
     return w[order], Z[:, order]
 
 
+def eigh_polished_wide(A, *, passes=3, pin_cut=None):
+    """f64-accurate eigh of a REAL symmetric k×k matrix with NO f64 dots
+    and NO f64 factorization in the graph: f32 ``jnp.linalg.eigh`` start +
+    Ogita–Aishima passes whose k×k matmuls run on the exact-int8-slice
+    GEMM (ops/wide).  The fused DP solver's projected eigensolve — the
+    emulated-f64 eigh was the largest f64 computation in the one-dispatch
+    DP program (the relay compiler aborts on it; BENCH_NOTES round 3).
+
+    The f32 start leaves ~1e-6–1e-7 eigenvector error; OA converges
+    quadratically, so ``passes=3`` reaches the ~1e-13 floor (1e-6 → 1e-12
+    → floor).  Same cluster/gap-floor policy as :func:`eigh_polished`.
+    Returns (w, Z) ascending in A's dtype.
+    """
+    from .wide import wide_matmul
+
+    rt = real_dtype(A.dtype)
+    w32, Z32 = jnp.linalg.eigh(A.astype(jnp.float32))
+    Z = Z32.astype(A.dtype)
+    w = w32.astype(rt)
+    k = A.shape[0]
+    I = jnp.eye(k, dtype=A.dtype)
+    one = jnp.ones((), A.dtype)
+    for _ in range(passes):
+        R = I - wide_matmul(Z.T, Z)
+        S = wide_matmul(Z.T, wide_matmul(A, Z))
+        lam = (jnp.diagonal(S) / (1 - jnp.diagonal(R))).astype(rt)
+        num = S + lam[None, :] * R
+        d = lam[None, :] - lam[:, None]
+        lam_scale = jnp.max(jnp.abs(lam)) if pin_cut is None else \
+            jnp.max(jnp.where(lam < jnp.asarray(pin_cut, rt),
+                              jnp.abs(lam), jnp.zeros((), rt)))
+        gap_floor = jnp.asarray(np.sqrt(np.finfo(rt).eps), rt) * lam_scale
+        ok = (jnp.abs(d) > 2 * jnp.abs(num)) & (jnp.abs(d) > gap_floor)
+        E = jnp.where(ok, num / jnp.where(ok, d, one), R / 2)
+        E = E - jnp.diag(jnp.diagonal(E)) + jnp.diag(jnp.diagonal(R) / 2)
+        Z = Z + wide_matmul(Z, E)
+        w = lam
+    order = jnp.argsort(w)
+    return w[order], Z[:, order]
+
+
 def host_eigh_f64(A_h, rt):
     """Host LAPACK eigh of the projected matrix in full f64/c128; results
     cast back to the problem precision.  Shared by the split-sync host
