@@ -64,25 +64,33 @@ def wide_scheme_auto(n_contract: int) -> str:
         return forced
     try:
         wide_params_i8(n_contract)
-        return "i8"
+        # awkward contraction lengths (large prime factors) would force
+        # tiny exactness chunks — the bf16 scheme handles those
+        if _i8_contract_chunk(n_contract) >= 256:
+            return "i8"
     except ValueError:
-        return "bf16"
+        pass
+    return "bf16"
 
 
-def wide_params_i8(n_contract: int, target_bits: int = 55):
+def wide_params_i8(n_contract: int, target_bits: int = 48):
     """(s, L, cut) for the int8 slice scheme.
 
-    Slices hold s-bit integers with |m| ≤ 2^(s−1) (the operand is scaled
-    into [−0.5, 0.5) so even slice 0 stays well inside int8); pair
-    products accumulate on the MXU in int32 — exact while
-    2·(s−1) + log2 N ≤ 31, i.e. N ≤ 2¹⁹ at s=7.
+    s=6 bits per slice: the ideal slice values are |m| ≤ 2^(s−1)·2 = 64
+    (operand scaled into [−0.5, 0.5) with one guard bit), and the int8
+    range ±127 leaves ~2 integer units of headroom for backends whose
+    emulated-f64 ``round`` errs by up to ~1.5 units (MEASURED on the
+    sandbox TPU — at s=7 those entries clipped and cascaded to 3e-5
+    column error).  48 operand bits (L=8) bound truncation at
+    √N·2⁻⁴⁸ ≈ 6e-13 relative at N=30000 — comfortably under the 1e-10
+    DP target — while the resident operator stack stays 1 byte/slice.
     """
     lg = max(1, math.ceil(math.log2(max(2, n_contract))))
-    s = 7
-    if 2 * (s - 1) + lg > 31:
+    s = 6
+    if lg > 17:       # 128 exact 2^10 chunks on the int32 accumulator
         raise ValueError(
-            f"contraction length {n_contract} too large for exact int8/i32 "
-            f"slicing (needs 2(s-1) + log2 N <= 31)")
+            f"contraction length {n_contract} too large for exact int8 "
+            f"slicing (chunked accumulation covers N <= 2^17)")
     L = math.ceil(target_bits / s)
     cut = L - 1
     return s, L, cut
@@ -150,19 +158,67 @@ def slice_f64_i8(X, s, L, axis):
     slices = []
     for l in range(L):
         p = jnp.exp2(jnp.asarray(float(s * (l + 1)), X.dtype))
-        m = jnp.round(r * p)
+        # Clip BEFORE both store and subtract: on backends with noisy
+        # emulated-f64 elementwise arithmetic (the sandbox TPU) the chain
+        # can wander past ±2^(s−1); the f64→int8 cast would WRAP (measured:
+        # 5.8e-3 reconstruction error from wrapped level-1/2 slices).  A
+        # clipped value keeps the chain self-consistent — accuracy then
+        # floors at the device's effective f64 fidelity, same as the bf16
+        # scheme.  The ±127 bound is what sizes _i8_contract_chunk.
+        m = jnp.clip(jnp.round(r * p), -127.0, 127.0)
         slices.append(m.astype(jnp.int8))
         r = r - m / p
     return slices, scale
 
 
+def slice_f64_i8_host(X, s, L):
+    """Exact HOST (numpy) int8 slicing of a real f64 operator row-block —
+    full 56-bit fidelity regardless of the device's emulated-f64 quality
+    (on-device slicing floors at ~50 bits on double-single backends).
+    Returns (slices list of int8 ndarrays, scale (rows,1) f64)."""
+    X = np.asarray(X, np.float64)
+    mx = np.max(np.abs(X), axis=1, keepdims=True)
+    e = np.ceil(np.log2(np.where(mx > 0, mx, 1.0)))
+    scale = 2.0 * np.where(mx > 0, np.exp2(e), 1.0)
+    r = X / scale
+    slices = []
+    for l in range(L):
+        p = 2.0 ** (s * (l + 1))
+        m = np.clip(np.round(r * p), -127.0, 127.0)
+        slices.append(m.astype(np.int8))
+        r = r - m / p
+    return slices, scale
+
+
+def _i8_contract_chunk(n: int, s: int = 7) -> int:
+    """Largest divisor of ``n`` whose int8 pair-product partial sums stay
+    ≤ 2²⁴ — exact even when a backend lowers int8 dots through f32
+    accumulation instead of true int32.  Slice values are clipped to
+    ±127 (slice_f64_i8), so products are < 2¹⁴ and chunks of 2¹⁰ keep
+    every partial sum within the 24-bit exact-f32 window."""
+    limit = 1 << (24 - 14)        # products bounded by the ±127 slice clip
+    if n <= limit:
+        return n
+    for d in range(limit, 0, -1):
+        if n % d == 0:
+            return d
+    return 1
+
+
 def _pair_products_i8(a_slices, b_stack, cut, s):
-    """Σ over l+m ≤ cut of int8 pair matmuls (int32 MXU accumulation,
-    exact — see wide_params_i8), rescaled and summed in f64.  Same
-    one-live-product loop structure as :func:`_pair_products`."""
+    """Σ over l+m ≤ cut of int8 pair matmuls, exact by construction:
+    the contraction runs in ≤2^(24−2(s−1)) chunks whose products are
+    exactly representable however the backend accumulates (int32 or
+    f32 — see _i8_contract_chunk), inter-chunk sums ride an int32
+    accumulator (exact to 127 chunks ≈ n ≤ 5·10⁵), and the final pair
+    value is rescaled and summed in f64.  Same one-live-product loop
+    structure as :func:`_pair_products`."""
     L = b_stack.shape[0]
     rows = a_slices[0].shape[0]
+    n = b_stack.shape[1]
     k = b_stack.shape[2]
+    chunk = _i8_contract_chunk(n, s)
+    nc = n // chunk
     acc = jnp.zeros((rows, k), jnp.float64)
     for l, al in enumerate(a_slices):
         hi = min(cut - l + 1, L)
@@ -170,10 +226,23 @@ def _pair_products_i8(a_slices, b_stack, cut, s):
             continue
 
         def body(m, a, al=al, l=l):
-            p = jnp.matmul(al, b_stack[m],
-                           preferred_element_type=jnp.int32)
+            if nc == 1:
+                p32 = jnp.matmul(al, b_stack[m],
+                                 preferred_element_type=jnp.int32)
+            else:
+                def cbody(c, acc32):
+                    off = (c * chunk).astype(jnp.int32)
+                    ap = jax.lax.dynamic_slice(
+                        al, (jnp.int32(0), off), (rows, chunk))
+                    bp = jax.lax.dynamic_slice(
+                        b_stack[m], (off, jnp.int32(0)), (chunk, k))
+                    return acc32 + jnp.matmul(
+                        ap, bp, preferred_element_type=jnp.int32)
+
+                p32 = jax.lax.fori_loop(
+                    0, nc, cbody, jnp.zeros((rows, k), jnp.int32))
             sc = jnp.exp2((-s * (m + l + 2)).astype(jnp.float64))
-            return a + p.astype(jnp.float64) * sc
+            return a + p32.astype(jnp.float64) * sc
 
         acc = jax.lax.fori_loop(0, hi, body, acc)
     return acc
@@ -323,9 +392,20 @@ def presplit_and_shadow_chunked(H_host, *, target_bits: int = 55,
     parts_sl = [[] for _ in range(L)]
     parts_sa, parts_low = [], []
     for i in range(0, N, chunk):
-        Hc = jnp.asarray(np.ascontiguousarray(H_host[i:i + chunk]))
-        sl, sa_c, low_c = _presplit_shadow_donate(Hc, s=s, L=L,
-                                                  scheme=scheme)
+        Hc_np = np.ascontiguousarray(H_host[i:i + chunk])
+        if scheme == "i8":
+            # slice in exact HOST f64 (full 56 bits) and ship the 1-byte
+            # slices — on-device emulated-f64 slicing floors at the
+            # backend's ~50-bit fidelity AND the int8 upload is the same
+            # byte count as the f64 chunk anyway
+            sl_np, sa_np = slice_f64_i8_host(Hc_np, s, L)
+            sl = [jnp.asarray(x) for x in sl_np]
+            sa_c = jnp.asarray(sa_np)
+            low_c = jnp.asarray(Hc_np.astype(np.float32))
+        else:
+            Hc = jnp.asarray(Hc_np)
+            sl, sa_c, low_c = _presplit_shadow_donate(Hc, s=s, L=L,
+                                                      scheme=scheme)
         for l in range(L):
             parts_sl[l].append(sl[l])
         parts_sa.append(sa_c)

@@ -327,16 +327,18 @@ def test_wide_i8_scheme_accuracy_and_parity():
     C = A @ B
     den = (np.linalg.norm(A, axis=1)[:, None]
            * np.linalg.norm(B, axis=0)[None, :])
-    for scheme in ("bf16", "i8"):
+    for scheme, tol in (("bf16", 5e-14), ("i8", 1e-12)):
+        # i8 carries 48 operand bits (√n·2^-48 truncation — sized for the
+        # 1e-10 solver target with int8 headroom for noisy device round)
         W = np.asarray(wide.wide_matmul(jnp.asarray(A), jnp.asarray(B),
                                         scheme=scheme))
         rel = (np.abs(W - C) / den).max()
-        assert rel < 5e-14, (scheme, rel)
+        assert rel < tol, (scheme, rel)
     # pre-sliced (operator) path, i8: slices really are int8
     sl = wide.presplit(jnp.asarray(A), scheme="i8")
     assert sl[0][0].dtype == jnp.int8
     W2 = np.asarray(wide.wide_matmul_sliced(sl, jnp.asarray(B)))
-    assert (np.abs(W2 - C) / den).max() < 5e-14
+    assert (np.abs(W2 - C) / den).max() < 1e-12
     # auto resolves to i8 within the exactness window, bf16 past it
     assert wide.wide_scheme_auto(8192) == "i8"
     assert wide.wide_scheme_auto(600000) == "bf16"
