@@ -1,13 +1,26 @@
-"""f64-accurate matmul on the bf16 MXU (Ozaki-scheme slicing).
+"""f64-accurate matmul on the MXU (Ozaki-scheme slicing; int8 + bf16).
 
 TPUs have no f64 matmul unit: XLA *emulates* f64 dots, which is slow and —
 measured on the sandbox accelerator (BENCH_NOTES "DP ladder size boundary")
 — develops N-growing error that stalls the 1e-10 DP refinement ladder at
 N≥8192.  This module implements a genuinely f64-accurate GEMM built from
-MXU-native bf16 matmuls with f32 accumulation, using the error-free
-slicing of Ozaki et al. ("Error-free transformations of matrix
-multiplication", Numer. Algorithms 2012; the int8/tensor-core variant is
-Ootomo/Ozaki/Yokota 2024):
+MXU-native integer/bf16 matmuls, using the error-free slicing of Ozaki et
+al. ("Error-free transformations of matrix multiplication", Numer.
+Algorithms 2012; the int8/tensor-core variant is Ootomo/Ozaki/Yokota 2024).
+
+Two schemes, selected by wide_scheme_auto (the slice dtype rides in the
+H_wide tuple, so consumers are scheme-agnostic):
+
+* **"i8" (default)** — s=6-bit integer slices stored as int8, pair
+  products as int8 matmuls with the contraction chunked at 1024 so every
+  partial sum stays inside the 24-bit exact window however the backend
+  accumulates (int32 inter-chunk accumulator, exact to N ≤ 2¹⁷).  8
+  slices = 48 operand bits, 36 MXU passes at the int8 rate, 1 byte/slice:
+  measured 2× the bf16 scheme's throughput and half its memory on the
+  v5e (BENCH_NOTES round 5), accuracy at the device's own emulated-f64
+  fidelity (~8e-15).
+* **"bf16"** — the round-3/4 scheme below, for backends without usable
+  int8 matmuls (CHASE_WIDE_SCHEME=bf16) or awkward contraction lengths:
 
 1. scale rows of A (columns of B) by a power of two so each lies in
    [-1, 1),
@@ -49,14 +62,15 @@ __all__ = ["wide_matmul", "wide_params", "slice_f64", "wide_matmul_sliced",
 def wide_scheme_auto(n_contract: int) -> str:
     """Pick the slice scheme for a contraction length.
 
-    "i8" (Ootomo/Ozaki/Yokota-style int8 slices, int32 MXU accumulation)
-    dominates "bf16" everywhere it applies: 7 bits/slice/byte vs the bf16
-    scheme's s bits per TWO bytes with s = (24 − log2 N)/2 — at N=8192
-    that is 36 int8 passes at 2× MXU rate vs 66 bf16 passes (~3.7×), and
-    the exactness window reaches N ≤ 2¹⁹ instead of shrinking s as N
-    grows (at N=30000 the bf16 scheme is down to s=4: 105 passes and a
-    25 GB operator stack vs int8's 36 passes and 7.2 GB).  bf16 remains
-    for backends without int8 matmul (CHASE_WIDE_SCHEME=bf16 forces it).
+    "i8" (Ootomo/Ozaki/Yokota-style int8 slices, chunked exact
+    accumulation) dominates "bf16" everywhere it applies: 6 bits per ONE
+    byte vs the bf16 scheme's s = (24 − log2 N)/2 bits per TWO bytes — at
+    N=8192 that is 36 int8 passes at 2× MXU rate vs 66 bf16 passes
+    (measured 2× end-to-end same-day), and the window reaches N ≤ 2¹⁷
+    at fixed s instead of shrinking s as N grows (at N=30000 the bf16
+    scheme is down to s=4: 105 passes and a 25 GB operator stack vs
+    int8's 36 passes and 7.2 GB).  bf16 remains for backends without
+    int8 matmul (CHASE_WIDE_SCHEME=bf16 forces it).
     """
     import os
     forced = os.environ.get("CHASE_WIDE_SCHEME")
