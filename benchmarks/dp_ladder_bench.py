@@ -28,21 +28,29 @@ def main():
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--repeat", action="store_true",
                    help="run a second (warm) solve and report its wall")
+    p.add_argument("--no-perturb", action="store_true",
+                   help="pure Clement (exact integer spectrum; avoids the "
+                        "3x N^2 f64 host-RAM peak of the perturbation at "
+                        "N=30000) and check eigenvalues exactly")
     args = p.parse_args()
 
     import chase_tpu
-    from chase_tpu.models import clement
+    from chase_tpu.models import clement, clement_eigenvalues
     from chase_tpu.parallel.operator import DenseOperator
 
     N = args.n
     t0 = time.perf_counter()
-    rng = np.random.default_rng(args.seed)
     H = clement(N)
-    E = rng.standard_normal((N, N))
-    H = (H + 1e-6 * (E + E.T) / 2).astype(np.float64)
-    del E
-    print(f"[gen] perturbed Clement N={N}: {time.perf_counter()-t0:.1f}s",
-          flush=True)
+    if args.no_perturb:
+        exact = clement_eigenvalues(N)[:args.nev]
+    else:
+        rng = np.random.default_rng(args.seed)
+        E = rng.standard_normal((N, N))
+        H = (H + 1e-6 * (E + E.T) / 2).astype(np.float64)
+        del E
+        exact = None
+    print(f"[gen] {'pure' if args.no_perturb else 'perturbed'} Clement "
+          f"N={N}: {time.perf_counter()-t0:.1f}s", flush=True)
 
     cfg = chase_tpu.ChaseConfig(mixed_precision=True)
     op = DenseOperator(H)
@@ -67,6 +75,9 @@ def main():
     true_resid = np.linalg.norm(R, axis=0).max()
     print(f"[check] true residual max={true_resid:.3e} "
           f"orth={np.abs(V.T @ V - np.eye(args.nev)).max():.3e}", flush=True)
+    if exact is not None:
+        print(f"[check] eigenvalue error vs exact Clement spectrum: "
+              f"{np.abs(lam - exact).max():.3e}", flush=True)
 
     if args.repeat:
         op2 = DenseOperator(H)

@@ -38,6 +38,11 @@ def main():
                    help="run chase_tpu.warmup first and report the first "
                         "post-warmup solve wall (the serving story)")
     p.add_argument("--matmul-precision", default="highest")
+    p.add_argument("--fused", action="store_true",
+                   help="solve through eigsh_fused (one-dispatch program "
+                        "with phase tiers) instead of the host driver")
+    p.add_argument("--fused-tiers", type=int, default=None,
+                   help="override fused phase-window tier count")
     args = p.parse_args()
 
     import chase_tpu
@@ -49,11 +54,14 @@ def main():
     H = np.asarray(clement(N), np.float32)
     log(f"  built in {time.perf_counter() - t0:.1f}s")
 
-    cfg = chase_tpu.ChaseConfig(
+    cfg_kwargs = dict(
         col_block=args.col_block,
         bf16_filter=not args.no_bf16,
         matmul_precision=args.matmul_precision,
     )
+    if args.fused_tiers is not None:
+        cfg_kwargs["fused_tiers"] = args.fused_tiers
+    cfg = chase_tpu.ChaseConfig(**cfg_kwargs)
     op = chase_tpu.DenseOperator(H)
 
     if args.warmup:
@@ -63,11 +71,12 @@ def main():
         log(f"warmup: {rep} in {t_wu:.1f}s")
 
     exact = clement_eigenvalues(N)[:nev]
+    solve_fn = chase_tpu.eigsh_fused if args.fused else chase_tpu.eigsh
     walls = []
     for r in range(args.repeats + (1 if args.warmup else 0)):
         t0 = time.perf_counter()
-        res = chase_tpu.eigsh(op, nev, nex, tol=args.tol, config=cfg,
-                              collect_perf=True)
+        res = solve_fn(op, nev, nex, tol=args.tol, config=cfg,
+                       collect_perf=True)
         wall = time.perf_counter() - t0
         walls.append(wall)
         err = float(np.abs(np.asarray(res.ritzv) - exact).max()
@@ -82,7 +91,8 @@ def main():
            "unit": "s", "walls": walls,
            "config": {"N": N, "nev": nev, "nex": nex,
                       "col_block": args.col_block,
-                      "bf16": not args.no_bf16}}
+                      "bf16": not args.no_bf16,
+                      "driver": "fused" if args.fused else "host"}}
     print(json.dumps(out), flush=True)
 
 

@@ -168,21 +168,27 @@ def slice_f64_i8(X, s, L, axis):
     arithmetic is f64 elementwise — exact.
     """
     scale = 2.0 * _pow2_scale(X, axis=axis)     # max|X/scale| ∈ [0.25, 0.5)
-    r = X / scale
-    slices = []
-    for l in range(L):
-        p = jnp.exp2(jnp.asarray(float(s * (l + 1)), X.dtype))
-        # Clip BEFORE both store and subtract: on backends with noisy
-        # emulated-f64 elementwise arithmetic (the sandbox TPU) the chain
-        # can wander past ±2^(s−1); the f64→int8 cast would WRAP (measured:
-        # 5.8e-3 reconstruction error from wrapped level-1/2 slices).  A
-        # clipped value keeps the chain self-consistent — accuracy then
-        # floors at the device's effective f64 fidelity, same as the bf16
-        # scheme.  The ±127 bound is what sizes _i8_contract_chunk.
-        m = jnp.clip(jnp.round(r * p), -127.0, 127.0)
-        slices.append(m.astype(jnp.int8))
-        r = r - m / p
-    return slices, scale
+    step = float(2 ** s)
+
+    # Incremental form u_{l+1} = (u_l − m_l)·2^s (u_0 = X/scale·2^s):
+    # multiplies by the small exact constant 2^s instead of device exp2 of
+    # growing powers, and runs as ONE lax.scan so the chain's f64
+    # temporaries stay bounded (the unrolled version held O(L) N-sized
+    # temps — an HBM spike next to a resident slice stack at N=30000).
+    #
+    # Clip BEFORE both store and subtract: on backends with noisy
+    # emulated-f64 elementwise arithmetic (the sandbox TPU) the chain can
+    # wander past ±2^(s−1); the f64→int8 cast would WRAP (measured:
+    # 5.8e-3 reconstruction error from wrapped level-1/2 slices).  A
+    # clipped value keeps the chain self-consistent — accuracy floors at
+    # the device's effective f64 fidelity, same as the bf16 scheme.  The
+    # ±127 bound is what sizes _i8_contract_chunk.
+    def body(u, _):
+        m = jnp.clip(jnp.round(u), -127.0, 127.0)
+        return (u - m) * step, m.astype(jnp.int8)
+
+    _, ms = jax.lax.scan(body, (X / scale) * step, None, length=L)
+    return [ms[l] for l in range(L)], scale
 
 
 def slice_f64_i8_host(X, s, L):
@@ -194,13 +200,13 @@ def slice_f64_i8_host(X, s, L):
     mx = np.max(np.abs(X), axis=1, keepdims=True)
     e = np.ceil(np.log2(np.where(mx > 0, mx, 1.0)))
     scale = 2.0 * np.where(mx > 0, np.exp2(e), 1.0)
-    r = X / scale
+    step = float(2 ** s)
+    u = (X / scale) * step
     slices = []
     for l in range(L):
-        p = 2.0 ** (s * (l + 1))
-        m = np.clip(np.round(r * p), -127.0, 127.0)
+        m = np.clip(np.round(u), -127.0, 127.0)
         slices.append(m.astype(np.int8))
-        r = r - m / p
+        u = (u - m) * step
     return slices, scale
 
 
@@ -371,6 +377,12 @@ def _presplit_shadow(H, *, s, L, scheme="bf16"):
     return tuple(slices), sa, low
 
 
+@partial(jax.jit, donate_argnums=(0,))
+def _write_rows(buf, part, i):
+    """Write a row block into a DONATED buffer (in-place under XLA)."""
+    return jax.lax.dynamic_update_slice(buf, part, (i, jnp.int32(0)))
+
+
 @partial(jax.jit, static_argnames=("s", "L", "scheme"), donate_argnums=0)
 def _presplit_shadow_donate(H, *, s, L, scheme="bf16"):
     low = H.astype(jnp.float32)
@@ -403,23 +415,34 @@ def presplit_and_shadow_chunked(H_host, *, target_bits: int = 55,
         row_chunk = max(512, (1 << 25) // max(1, n))   # ≈256 MB f64 chunks
     k = -(-N // row_chunk)
     chunk = -(-N // k)            # equalize (at most one ragged tail chunk)
+    if scheme == "i8":
+        # slice in exact HOST f64 (full operand bits) and ship the 1-byte
+        # slices — on-device emulated-f64 slicing floors at the backend's
+        # ~50-bit fidelity, and the int8 upload is the same byte count as
+        # the f64 chunk anyway.  Chunks are written into DONATED full-size
+        # buffers (XLA updates in place): the concatenate alternative
+        # doubles peak HBM and OOM'd the N=30000 stack (BENCH_NOTES r5).
+        slices = [jnp.zeros((N, n), jnp.int8) for _ in range(L)]
+        low = jnp.zeros((N, n), jnp.float32)
+        sa = jnp.zeros((N, 1), jnp.float64)
+        for i in range(0, N, chunk):
+            Hc_np = np.ascontiguousarray(H_host[i:i + chunk])
+            sl_np, sa_np = slice_f64_i8_host(Hc_np, s, L)
+            for l in range(L):
+                slices[l] = _write_rows(slices[l], jnp.asarray(sl_np[l]),
+                                        jnp.int32(i))
+            low = _write_rows(low, jnp.asarray(Hc_np.astype(np.float32)),
+                              jnp.int32(i))
+            sa = _write_rows(sa, jnp.asarray(sa_np), jnp.int32(i))
+        return tuple(slices), sa, low, s, L
+
     parts_sl = [[] for _ in range(L)]
     parts_sa, parts_low = [], []
     for i in range(0, N, chunk):
         Hc_np = np.ascontiguousarray(H_host[i:i + chunk])
-        if scheme == "i8":
-            # slice in exact HOST f64 (full 56 bits) and ship the 1-byte
-            # slices — on-device emulated-f64 slicing floors at the
-            # backend's ~50-bit fidelity AND the int8 upload is the same
-            # byte count as the f64 chunk anyway
-            sl_np, sa_np = slice_f64_i8_host(Hc_np, s, L)
-            sl = [jnp.asarray(x) for x in sl_np]
-            sa_c = jnp.asarray(sa_np)
-            low_c = jnp.asarray(Hc_np.astype(np.float32))
-        else:
-            Hc = jnp.asarray(Hc_np)
-            sl, sa_c, low_c = _presplit_shadow_donate(Hc, s=s, L=L,
-                                                      scheme=scheme)
+        Hc = jnp.asarray(Hc_np)
+        sl, sa_c, low_c = _presplit_shadow_donate(Hc, s=s, L=L,
+                                                  scheme=scheme)
         for l in range(L):
             parts_sl[l].append(sl[l])
         parts_sa.append(sa_c)

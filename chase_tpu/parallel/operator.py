@@ -117,10 +117,23 @@ class DenseOperator:
                     H = Hp.at[idx, idx].set(pad_val)
 
         sh = matrix_sharding(grid)
-        self._H_dev = jax.device_put(jnp.asarray(H), sh) if sh is not None \
-            else jnp.asarray(H)
-        self._N = int(self._H_dev.shape[0])
-        self._dtype = self._H_dev.dtype
+        # Large host-resident operators stay on HOST until first .H use:
+        # a wide-mode (sliced) solve never multiplies by the 8-byte H at
+        # all, and the eager upload both wastes relay minutes and spikes
+        # HBM next to the slice stack (the N=30000 DP OOM, BENCH_NOTES
+        # round 5).  Small operators keep the eager path (tests, warmup).
+        lazy = (sh is None and not isinstance(H, jax.Array)
+                and np.dtype(H.dtype).itemsize * H.shape[0] * H.shape[1]
+                > (2 << 30))
+        if lazy:
+            self._H_dev = None
+            self._N = int(H.shape[0])
+            self._dtype = jnp.empty((0,), np.dtype(H.dtype)).dtype
+        else:
+            self._H_dev = jax.device_put(jnp.asarray(H), sh) \
+                if sh is not None else jnp.asarray(H)
+            self._N = int(self._H_dev.shape[0])
+            self._dtype = self._H_dev.dtype
         self._H_src = H_src if (self._N == self.N_orig
                                 and self._owns_dev) else None
         self._H_low = None
@@ -128,13 +141,15 @@ class DenseOperator:
 
     @property
     def H(self):
-        """The device-resident operator.  After :meth:`engage_wide` dropped
-        the f64 buffer, the first access re-uploads it from the host source
+        """The device-resident operator.  Large host inputs are placed
+        lazily on first access; after :meth:`engage_wide` dropped the f64
+        buffer, the first access re-uploads it from the host source
         (logged — a wide-mode solve should never need it)."""
         if self._H_dev is None:
             from ..logger import get_logger
             get_logger().info(
-                "re-uploading f64 H dropped by engage_wide", "linalg")
+                "uploading host-resident H (lazy placement / re-upload "
+                "after engage_wide)", "linalg")
             sh = matrix_sharding(self.grid)
             Hd = jnp.asarray(self._H_src)
             self._H_dev = jax.device_put(Hd, sh) if sh is not None else Hd

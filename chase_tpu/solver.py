@@ -524,8 +524,23 @@ def solve(op: DenseOperator, nev: int, nex: int,
     else:
         V = op.place_block(jax.random.normal(key, (N, nevex), dtype=op.dtype))
     if not approx:
-        V = qrops.orthonormalize(V, 0, 1.0, rcfg, op.grid,
-                                 small_dense=qr_backend)
+        if use_wide:
+            # Random-basis init QR needs no f64 accuracy: a Gaussian block
+            # is well-conditioned (cond ≈ (√N+√k)/(√N−√k)), Lanczos probes
+            # renormalize internally, and every later phase
+            # re-orthonormalizes at full precision.  f32 CholQR here skips
+            # the wide GEMM's O(GB) slicing transients at full nev+nex
+            # width — the N=30000 DP init-QR OOM (BENCH_NOTES r5).
+            Q32, ok32 = qrops.cholqr(V.astype(jnp.float32), passes=2,
+                                     precision=precision)
+            if bool(ok32):
+                V = Q32.astype(op.dtype)
+            else:
+                V = qrops.orthonormalize(V, 0, 1.0, rcfg, op.grid,
+                                         small_dense=qr_backend)
+        else:
+            V = qrops.orthonormalize(V, 0, 1.0, rcfg, op.grid,
+                                     small_dense=qr_backend)
     t0 = toc("InitVecs", t0, V)
 
     deg0 = min(rcfg.deg + rcfg.deg % 2, rcfg.max_deg)

@@ -31,7 +31,8 @@ from .ops.blocks import (permute_cols, slice_cols, update_cols,
                          set_head_cols, scale_lower_rows)
 from .ops import lanczos as lz
 from .ops import pseudo as ps
-from .ops.qr import orthonormalize, orthonormalize_pseudo
+from .ops.qr import (orthonormalize, orthonormalize_pseudo,
+                     cholqr as qrops_cholqr)
 
 __all__ = ["solve_pseudo"]
 
@@ -376,8 +377,21 @@ def solve_pseudo(op: DenseOperator, nev: int, nex: int,
         V = op.place_block(jax.random.normal(key, (N, K2), dtype=op.dtype))
         V = scale_lower_rows(V, 0.001)
     if not approx:
-        V = orthonormalize(V, 0, 1.0, rcfg, op.grid,
-                           small_dense=qr_backend)
+        if use_wide:
+            # f32 init QR in wide mode (see solver.py: a random block
+            # needs no f64-accurate orthonormalization, and the wide
+            # GEMM's slicing transients at full 2(nev+nex) width OOM
+            # large-N chips)
+            Q32, ok32 = qrops_cholqr(V.astype(jnp.float32), passes=2,
+                                     precision=precision)
+            if bool(ok32):
+                V = Q32.astype(op.dtype)
+            else:
+                V = orthonormalize(V, 0, 1.0, rcfg, op.grid,
+                                   small_dense=qr_backend)
+        else:
+            V = orthonormalize(V, 0, 1.0, rcfg, op.grid,
+                               small_dense=qr_backend)
     t0 = toc("InitVecs", t0, V)
 
     deg0 = min(rcfg.deg + rcfg.deg % 2, rcfg.max_deg)
