@@ -377,6 +377,19 @@ def _presplit_shadow(H, *, s, L, scheme="bf16"):
     return tuple(slices), sa, low
 
 
+@partial(jax.jit, static_argnames=("s", "nsl"))
+def shadow_from_slices(slices, sa, *, s, nsl):
+    """f32 shadow of the operator reconstructed from its top int8 slices
+    (nsl·s ≥ 25 bits ⊇ the f32 mantissa).  Lets large-N wide solves keep
+    the shadow TRANSIENT: rebuilt for the filter phase, freed for RR/QR —
+    3.6 GB of headroom at N=30000 on a 16 GB chip (and no 4-byte host
+    upload at engage time)."""
+    acc = jnp.zeros(slices[0].shape, jnp.float32)
+    for l in range(nsl):
+        acc = acc + slices[l].astype(jnp.float32)             * np.float32(2.0 ** (-s * (l + 1)))
+    return acc * sa.astype(jnp.float32)
+
+
 @partial(jax.jit, donate_argnums=(0,))
 def _write_rows(buf, part, i):
     """Write a row block into a DONATED buffer (in-place under XLA)."""
@@ -393,7 +406,8 @@ def _presplit_shadow_donate(H, *, s, L, scheme="bf16"):
 
 def presplit_and_shadow_chunked(H_host, *, target_bits: int = 55,
                                 row_chunk: int = None,
-                                scheme: str = "auto"):
+                                scheme: str = "auto",
+                                want_low: bool = True):
     """Row-chunked :func:`presplit_and_shadow` from a HOST array.
 
     The one-shot donating program still OOMs a 16 GB chip at N=16384: its
@@ -422,8 +436,10 @@ def presplit_and_shadow_chunked(H_host, *, target_bits: int = 55,
         # the f64 chunk anyway.  Chunks are written into DONATED full-size
         # buffers (XLA updates in place): the concatenate alternative
         # doubles peak HBM and OOM'd the N=30000 stack (BENCH_NOTES r5).
+        # want_low=False skips the f32 shadow upload entirely — transient
+        # shadow mode rebuilds it on device from the top slices.
         slices = [jnp.zeros((N, n), jnp.int8) for _ in range(L)]
-        low = jnp.zeros((N, n), jnp.float32)
+        low = jnp.zeros((N, n), jnp.float32) if want_low else None
         sa = jnp.zeros((N, 1), jnp.float64)
         for i in range(0, N, chunk):
             Hc_np = np.ascontiguousarray(H_host[i:i + chunk])
@@ -431,8 +447,10 @@ def presplit_and_shadow_chunked(H_host, *, target_bits: int = 55,
             for l in range(L):
                 slices[l] = _write_rows(slices[l], jnp.asarray(sl_np[l]),
                                         jnp.int32(i))
-            low = _write_rows(low, jnp.asarray(Hc_np.astype(np.float32)),
-                              jnp.int32(i))
+            if want_low:
+                low = _write_rows(low,
+                                  jnp.asarray(Hc_np.astype(np.float32)),
+                                  jnp.int32(i))
             sa = _write_rows(sa, jnp.asarray(sa_np), jnp.int32(i))
         return tuple(slices), sa, low, s, L
 

@@ -169,11 +169,29 @@ class DenseOperator:
 
     @property
     def H_low(self):
-        """Reduced-precision shadow of H (cached; the SP copy of P10)."""
+        """Reduced-precision shadow of H (cached; the SP copy of P10).
+
+        In transient-shadow mode (large-N wide solves) the shadow is
+        reconstructed on device from the top int8 slices on access and
+        freed by :meth:`drop_shadow` — 4·N² bytes of headroom around the
+        RR/QR phases on memory-tight chips."""
         if self._H_low is None:
-            lp = low_precision_dtype(self.dtype)
-            self._H_low = self.H.astype(lp)
+            if getattr(self, "_shadow_transient", False) \
+                    and self._H_wide is not None:
+                from ..ops.wide import shadow_from_slices
+                slices, sa, s, L = self._H_wide
+                self._H_low = shadow_from_slices(
+                    tuple(slices), sa, s=s, nsl=min(-(-25 // s) + 1, L))
+            else:
+                lp = low_precision_dtype(self.dtype)
+                self._H_low = self.H.astype(lp)
         return self._H_low
+
+    def drop_shadow(self):
+        """Free the f32 shadow between filter phases (no-op unless the
+        operator is in transient-shadow mode — see H_low)."""
+        if getattr(self, "_shadow_transient", False):
+            self._H_low = None
 
     @property
     def H_wide(self):
@@ -214,8 +232,22 @@ class DenseOperator:
                 # never reads it.
                 if can_drop:
                     self._H_dev = None
+                # Transient shadow: when the slice stack + a resident f32
+                # shadow would crowd the device (the N=30000 single-chip
+                # budget), skip the shadow upload — H_low rebuilds it
+                # from the top slices per filter phase and drop_shadow
+                # frees it for RR/QR.
+                from ..ops.wide import wide_scheme_auto, wide_params_i8
+                scheme = wide_scheme_auto(self._N)
+                transient = False
+                if scheme == "i8":
+                    _, Li8, _ = wide_params_i8(self._N)
+                    from ..solver import _device_memory_bytes
+                    transient = ((Li8 + 4.0) * self._N * self._N
+                                 > 0.6 * _device_memory_bytes())
+                self._shadow_transient = transient
                 slices, sa, low, s, L = presplit_and_shadow_chunked(
-                    self._H_src)
+                    self._H_src, want_low=not transient)
             else:
                 slices, sa, low, s, L = presplit_and_shadow(
                     self.H, donate=can_drop)

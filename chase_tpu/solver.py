@@ -800,6 +800,10 @@ def solve(op: DenseOperator, nev: int, nex: int,
                                    executed=f_executed)
             perf.add_iter_blocksize(unconverged)
         t0 = toc("Filter", t0, V)
+        # transient-shadow mode (large-N wide): free the f32 shadow so the
+        # wide QR/RR slicing transients have HBM headroom; next iteration's
+        # filter rebuilds it from the slice stack (operator.drop_shadow)
+        op.drop_shadow()
 
         # -- condition estimate for QR selection (algorithm.inc:1549-1565) --
         cc = (upperb + lowerb) / 2

@@ -696,6 +696,7 @@ def solve_pseudo(op: DenseOperator, nev: int, nex: int,
                                    executed=2 * f_executed)
             perf.add_iter_blocksize(u)
         t0 = toc("Filter", t0, V)
+        op.drop_shadow()     # transient-shadow headroom for wide QR/RR
 
         # -- K-conjugation: mirror [locked, locked+u) → right of active --
         src_idx = np.arange(K2)
