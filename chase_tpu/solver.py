@@ -493,6 +493,11 @@ def solve(op: DenseOperator, nev: int, nex: int,
         # ladder keeps the filter off f64 H for the whole solve — frees
         # the 8-byte buffer (operator.engage_wide)
         op.engage_wide(drop=rcfg.refine_filter and rcfg.mixed_precision)
+        # Serialize the prologue on async runtimes: letting the slice
+        # upload, shadow rebuild, sym-check and init-QR programs pile up
+        # in flight overlaps their HBM transients and exhausts the device
+        # at N=30000 (a per-stage-synced run passes — BENCH_NOTES r5).
+        jax.block_until_ready(op.H_wide[0])
 
     def toc(phase, t0, *arrays):
         if timing:
@@ -531,10 +536,12 @@ def solve(op: DenseOperator, nev: int, nex: int,
             # re-orthonormalizes at full precision.  f32 CholQR here skips
             # the wide GEMM's O(GB) slicing transients at full nev+nex
             # width — the N=30000 DP init-QR OOM (BENCH_NOTES r5).
+            V.block_until_ready()      # serialize vs the engage uploads
             Q32, ok32 = qrops.cholqr(V.astype(jnp.float32), passes=2,
                                      precision=precision)
             if bool(ok32):
                 V = Q32.astype(op.dtype)
+                V.block_until_ready()
             else:
                 V = qrops.orthonormalize(V, 0, 1.0, rcfg, op.grid,
                                          small_dense=qr_backend)

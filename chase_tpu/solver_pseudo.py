@@ -341,6 +341,7 @@ def solve_pseudo(op: DenseOperator, nev: int, nex: int,
         log.info(f"wide-f64 GEMM engaged for the pseudo RR/QR (N={op.N}); "
                  f"disable with wide_f64='off'", "linalg")
         op.engage_wide(drop=refine_capable)
+        jax.block_until_ready(op.H_wide[0])   # serialize (see solver.py)
     R_prev = None              # (N, K2) pencil-RR H-residual vectors
     tol = rcfg.tol
     timing = perf is not None
@@ -382,10 +383,12 @@ def solve_pseudo(op: DenseOperator, nev: int, nex: int,
             # needs no f64-accurate orthonormalization, and the wide
             # GEMM's slicing transients at full 2(nev+nex) width OOM
             # large-N chips)
+            V.block_until_ready()      # serialize vs the engage uploads
             Q32, ok32 = qrops_cholqr(V.astype(jnp.float32), passes=2,
                                      precision=precision)
             if bool(ok32):
                 V = Q32.astype(op.dtype)
+                V.block_until_ready()
             else:
                 V = orthonormalize(V, 0, 1.0, rcfg, op.grid,
                                    small_dense=qr_backend)
