@@ -518,6 +518,8 @@ def solve(op: DenseOperator, nev: int, nex: int,
         if not check_hermitian(H_probe, precision=precision):
             log.warn("input matrix failed the randomized hermiticity probe "
                      "(checkSymmetryEasy analogue) — results may be invalid")
+        del H_probe
+        op.drop_shadow()   # transient mode: free until the filter needs it
 
     # ---- initVecs (chase_cpu.hpp:296-327) --------------------------------
     t0 = time.perf_counter()
