@@ -187,11 +187,34 @@ class DenseOperator:
                 self._H_low = self.H.astype(lp)
         return self._H_low
 
+    @property
+    def H_filter(self):
+        """The filter-phase operator shadow.
+
+        Normally identical to :attr:`H_low` (f32).  In transient-shadow
+        mode it is a BF16 reconstruction from the top slices instead:
+        the deviation-form refinement recurrence's noise scales with the
+        CURRENT deviation (not ‖H‖), so a bf16 recurrence operator leaves
+        the ladder's contraction essentially unchanged while the filter
+        phase holds 1.8 GB instead of 3.6 at N=30000 — the difference
+        between fitting and OOM next to the slice stack.  Lanczos bounds
+        and the hermiticity probe keep using the f32 :attr:`H_low`."""
+        if not getattr(self, "_shadow_transient", False):
+            return self.H_low
+        if getattr(self, "_H_filter", None) is None:
+            from ..ops.wide import shadow_from_slices
+            slices, sa, s, L = self._H_wide
+            self._H_filter = shadow_from_slices(
+                tuple(slices), sa, s=s,
+                nsl=min(-(-9 // s) + 1, L)).astype(jnp.bfloat16)
+        return self._H_filter
+
     def drop_shadow(self):
-        """Free the f32 shadow between filter phases (no-op unless the
-        operator is in transient-shadow mode — see H_low)."""
+        """Free the f32/bf16 shadows between filter phases (no-op unless
+        the operator is in transient-shadow mode — see H_low)."""
         if getattr(self, "_shadow_transient", False):
             self._H_low = None
+            self._H_filter = None
 
     @property
     def H_wide(self):

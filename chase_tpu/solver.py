@@ -751,9 +751,11 @@ def solve(op: DenseOperator, nev: int, nex: int,
         f_precision = precision
         if use_refine:
             # deviation-form ladder: fast-dtype recurrence, f64-residual
-            # injection — no threshold, never hands back to the slow dtype
+            # injection — no threshold, never hands back to the slow dtype.
+            # H_filter = H_low (f32) normally; the bf16 transient rebuild
+            # on memory-tight large-N wide solves (operator.H_filter).
             use_low = use_bf16 = False
-            H_f = op.H_low
+            H_f = op.H_filter if use_wide else op.H_low
             f_precision = "default" if is_sp else precision
         elif use_bf16:
             H_f = op.H_low           # bf16 shadow of the f32 operator

@@ -621,7 +621,9 @@ def solve_pseudo(op: DenseOperator, nev: int, nex: int,
             # f64 H²-residuals — no threshold, never hands back to f64 H
             # (the emulated-f64 endgame the Hermitian path eliminated)
             use_low = use_bf16 = False
-            H_f = op.H_low
+            # bf16 transient rebuild on memory-tight large-N wide solves
+            # (operator.H_filter); H_low (f32) otherwise
+            H_f = op.H_filter if use_wide else op.H_low
             f_precision = "default" if is_sp else precision
         else:
             H_f = op.H_low if (use_bf16 or use_low) else op.H
