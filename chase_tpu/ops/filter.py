@@ -278,12 +278,16 @@ def filter_seg_init(H, V, start, deg_win, c, e, sigma1, *, w_pad,
     return X0, Xc, Y, jnp.asarray(sigma1, rt)
 
 
-@partial(jax.jit, static_argnames=("w_new", "precision"))
+@partial(jax.jit, static_argnames=("w_new", "precision"),
+         donate_argnums=(1, 2, 3, 4))
 def filter_seg_steps(H, V, X0, Xp, Yc, deg_win, sigma, sigma1, c, e, off,
                      start_new, t0, t1, *, w_new, precision="highest"):
     """One fused segment: shrink the carries by ``off`` columns (traced; 0
     = no shrink), run steps t in [t0, t1), write the masked window back
-    into V.  Returns (V', X0', Xp', Yc', sigma) at the new static width."""
+    into V.  Returns (V', X0', Xp', Yc', sigma) at the new static width.
+    V and the carries are DONATED (callers rebind the results): without
+    donation each segment double-buffers the f64 block + three carries —
+    ~2.5 GB of dead transients at the N=30000 window."""
     if w_new != Xp.shape[1]:
         X0 = jax.lax.dynamic_slice(X0, (jnp.int32(0), off),
                                    (X0.shape[0], w_new))
@@ -324,7 +328,8 @@ def refine_seg_init(H, V, R, start, alpha1_e, *, w_pad):
     return X0, jnp.zeros_like(Rc), Wc, Rc
 
 
-@partial(jax.jit, static_argnames=("w_new", "precision"))
+@partial(jax.jit, static_argnames=("w_new", "precision"),
+         donate_argnums=(1, 2, 3, 4, 5))
 def refine_seg_steps(H, V, X0, Wp, Wc, Rc, deg_win, alphas, betas, inj,
                      p_final, cc, off, start_new, t0, t1, *, w_new,
                      precision="highest"):

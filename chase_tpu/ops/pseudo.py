@@ -210,7 +210,8 @@ def h2_seg_init(H, V, start, deg_win, c, e, sigma1, *, w_pad,
     return X0, Xc, Y, jnp.asarray(sigma1, rt)
 
 
-@partial(jax.jit, static_argnames=("w_new", "precision"))
+@partial(jax.jit, static_argnames=("w_new", "precision"),
+         donate_argnums=(1, 2, 3, 4))
 def h2_seg_steps(H, V, X0, Xp, Yc, deg_win, sigma, sigma1, c, e, off,
                  start_new, t0, t1, *, w_new, precision="highest"):
     """One fused H² segment: shrink carries, run steps [t0, t1), write the
@@ -239,7 +240,8 @@ def h2_seg_steps(H, V, X0, Xp, Yc, deg_win, sigma, sigma1, c, e, off,
     return V, X0, Xp, Yc, sigma
 
 
-@partial(jax.jit, static_argnames=("w_new", "precision"))
+@partial(jax.jit, static_argnames=("w_new", "precision"),
+         donate_argnums=(1, 2, 3, 4, 5))
 def refine_h2_seg_steps(H, V, X0, Wp, Wc, Rc, deg_win, alphas, betas, inj,
                         p_final, cc, off, start_new, t0, t1, *, w_new,
                         precision="highest"):

@@ -765,7 +765,12 @@ def solve(op: DenseOperator, nev: int, nex: int,
                 H_f = op.H
                 f_precision = "high"
             else:
-                H_f = op.H_low
+                # transient-shadow wide solves run the classic low phase
+                # on the bf16 rebuild too (iteration 0 needs only coarse
+                # filtering; carry stays f32 — types.filter_carry_dtype)
+                H_f = op.H_filter if use_wide else op.H_low
+                if use_wide:
+                    f_precision = "default"
         else:
             H_f = op.H
         ring_mode = ring_mode_cfg

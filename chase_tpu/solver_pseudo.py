@@ -625,6 +625,9 @@ def solve_pseudo(op: DenseOperator, nev: int, nex: int,
             # (operator.H_filter); H_low (f32) otherwise
             H_f = op.H_filter if use_wide else op.H_low
             f_precision = "default" if is_sp else precision
+        elif use_low and use_wide:
+            H_f = op.H_filter        # bf16 rebuild in transient mode
+            f_precision = "default"
         else:
             H_f = op.H_low if (use_bf16 or use_low) else op.H
             f_precision = "default" if use_bf16 else precision

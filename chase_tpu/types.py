@@ -78,7 +78,16 @@ def filter_carry_dtype(h_dtype, x_dtype):
     in 8 mantissa bits degrades too fast.
     """
     if np.dtype(h_dtype) == np.dtype(jnp.bfloat16):
-        return np.dtype(x_dtype)
+        xd = np.dtype(x_dtype)
+        # a bf16-storage operator caps the recurrence fidelity at ~1e-2
+        # relative: a 64-bit carry buys nothing over f32 and costs
+        # emulated-f64 elementwise work + 2x the carry memory (the
+        # transient-shadow filter at N=30000)
+        if xd == np.dtype(np.float64):
+            return np.dtype(np.float32)
+        if xd == np.dtype(np.complex128):
+            return np.dtype(np.complex64)
+        return xd
     return np.dtype(h_dtype)
 
 

@@ -114,7 +114,8 @@ def _warmup_pseudo(op, nev, nex, rcfg, max_workers):
             H_f, V, jnp.int32(0), dwin, c_s, e_s, sig1, w_pad=w_pad,
             precision=f_precision)
         out, X0, Xp, Yc, sigma = ps.h2_seg_steps(
-            H_f, V, X0, Xp, Yc, dwin, sigma, sig1, c_s, e_s,
+            H_f, jnp.array(V, copy=True), X0, Xp, Yc, dwin, sigma, sig1,
+            c_s, e_s,
             jnp.int32(0), jnp.int32(0), jnp.int32(2), jnp.int32(3),
             w_new=w_pad, precision=f_precision)
         out.block_until_ready()
@@ -149,7 +150,8 @@ def _warmup_pseudo(op, nev, nex, rcfg, max_workers):
         Rc = R2w.astype(carry)
         Wc = jnp.asarray(a1e, crt) * Rc
         out, X0, Wp, Wc, Rc = ps.refine_h2_seg_steps(
-            op.H_low, V, X, jnp.zeros_like(Rc), Wc, Rc, dwin,
+            op.H_low, jnp.array(V, copy=True), X, jnp.zeros_like(Rc),
+            Wc, Rc, dwin,
             jnp.asarray(al, crt), jnp.asarray(be, crt),
             jnp.asarray(inj, crt), jnp.asarray(pf), jnp.asarray(0.5, crt),
             jnp.int32(0), jnp.int32(0), jnp.int32(2), jnp.int32(3),
@@ -359,7 +361,9 @@ def warmup(H, nev: int, nex: Optional[int] = None, *, config=None,
             out = ring_fn(op.grid, H_f, Xw, jnp.asarray(deg_win), lam,
                           lo, up, 2, precision=f_precision)
         else:
-            out, _ = _solver._filter_windowed(H_f, V, degrees_act, locked,
+            # V copy: the folded segment programs DONATE their V argument
+            out, _ = _solver._filter_windowed(H_f, jnp.array(V, copy=True),
+                                              degrees_act, locked,
                                               nevex, B, lam, lo, up, rdt,
                                               f_precision)
         out.block_until_ready()
@@ -373,8 +377,8 @@ def warmup(H, nev: int, nex: Optional[int] = None, *, config=None,
         R = jnp.zeros_like(V)
         f_precision = "default" if is_sp else precision
         out, _ = _solver._filter_refine_windowed(
-            op.H_low, V, R, ritzv_act, degrees_act, locked, nevex, B,
-            lam, lo, up, rcfg.max_deg, f_precision,
+            op.H_low, jnp.array(V, copy=True), R, ritzv_act, degrees_act,
+            locked, nevex, B, lam, lo, up, rcfg.max_deg, f_precision,
             grid=op.grid, ring_mode=ring_mode)
         out.block_until_ready()
 

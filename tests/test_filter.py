@@ -137,8 +137,8 @@ def test_windowed_filter_matches_plain():
         lam, lo, up, int(deg_act.max())))
     for B in [4, 8, 24]:
         Yw, n_exec = _filter_windowed(
-            H, V, deg_act, locked, k, B, lam, lo, up,
-            np.float64, "highest")
+            H, jnp.array(V, copy=True), deg_act, locked, k, B, lam, lo,
+            up, np.float64, "highest")
         Yw = np.asarray(Yw)
         # executed column-steps ≥ useful (masking waste is quantified)
         assert n_exec >= int(deg_act.sum())

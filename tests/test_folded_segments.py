@@ -54,6 +54,10 @@ def test_filter_seg_init_steps_with_shrink_matches_plain():
     e = np.asarray((up - lo) / 2, np.float64)
     sigma1 = np.asarray(e / (lam - c), np.float64)
 
+    V_np = np.asarray(V)
+    want_win = filt.chebyshev_filter(
+        H, jnp.array(V[:, start:start + w_pad], copy=True),
+        jnp.asarray(deg_win), lam, lo, up, int(deg_win.max()))
     X0, Xp, Yc, sigma = filt.filter_seg_init(
         H, V, jnp.int32(start), jnp.asarray(deg_win), c, e, sigma1,
         w_pad=w_pad)
@@ -70,16 +74,13 @@ def test_filter_seg_init_steps_with_shrink_matches_plain():
         jnp.int32(4), jnp.int32(start + 4), jnp.int32(5), jnp.int32(13),
         w_new=w_pad - 4)
 
-    want_win = filt.chebyshev_filter(
-        H, V[:, start:start + w_pad], jnp.asarray(deg_win),
-        lam, lo, up, int(deg_win.max()))
     got = np.asarray(V2)
     _percol_close(got[:, start:start + w_pad], want_win)
     # everything outside the window bit-exact
-    np.testing.assert_array_equal(got[:, :start], np.asarray(V)[:, :start])
+    np.testing.assert_array_equal(got[:, :start], V_np[:, :start])
     # degree-0 pad columns bit-exact
     np.testing.assert_array_equal(got[:, start:start + 2],
-                                  np.asarray(V)[:, start:start + 2])
+                                  V_np[:, start:start + 2])
 
 
 @pytest.mark.parametrize("B", [4, 8, 24])
@@ -103,12 +104,12 @@ def test_refine_windowed_matches_unfolded(B):
     degrees_act = np.sort(rng.integers(2, max_deg // 2,
                                        size=nevex - locked)) * 2
 
+    w_pad, start = _window_pad(nevex, locked, B)
     Vg, n_exec = _filter_refine_windowed(
-        H, V, R, ritzv[locked:], degrees_act, locked, nevex, B,
-        lam, lo, up, max_deg, "highest")
+        H, jnp.array(V, copy=True), R, ritzv[locked:], degrees_act,
+        locked, nevex, B, lam, lo, up, max_deg, "highest")
     assert n_exec >= int(degrees_act.sum()) - int(degrees_act.max())
 
-    w_pad, start = _window_pad(nevex, locked, B)
     deg_win = np.zeros(w_pad, np.int32)
     deg_win[locked - start:] = degrees_act
     ritz_win = np.zeros(w_pad)
@@ -155,8 +156,8 @@ def test_h2_filter_windowed_matches_unfolded(B):
         rng.integers(1, 8, size=u)) * 2
 
     Vg, n_exec = _h2_filter_windowed(
-        H, V, deg_win.copy(), start, B, right, lam1, lower, b_sup,
-        "highest")
+        H, jnp.array(V, copy=True), deg_win.copy(), start, B, right,
+        lam1, lower, b_sup, "highest")
     assert n_exec >= int(deg_win.sum()) - int(deg_win.max())
 
     want = ps.chebyshev_filter_h2(
@@ -192,19 +193,19 @@ def test_h2_refine_windowed_matches_unfolded(B):
     max_deg = 18
     a1e, al, be, inj, pf = filt.refine_tables(
         theta ** 2, deg_win, lam1, lower, b_sup, max_deg)
-    X = V[:, start:start + w_pad]
+    X = jnp.array(V[:, start:start + w_pad], copy=True)
     # synthetic small H²-residual seed (the parity is algebraic — any R2)
     R2w = jnp.asarray(1e-3 * rng.standard_normal((N, w_pad)))
     cc_h2 = (b_sup + lower) / 2.0
 
+    want = ps.chebyshev_filter_refine_h2(
+        H, jnp.array(X, copy=True), R2w, jnp.asarray(deg_win), a1e, al,
+        be, inj, pf, cc_h2, int(deg_win.max()))
     Vg, n_exec = _h2_refine_windowed(
-        H, V, X, R2w, deg_win.copy(), start, B, right, a1e, al, be,
+        H, jnp.array(V, copy=True), X, jnp.array(R2w, copy=True),
+        deg_win.copy(), start, B, right, a1e, al, be,
         inj, pf, cc_h2, "highest")
     assert n_exec >= int(deg_win.sum()) - int(deg_win.max())
-
-    want = ps.chebyshev_filter_refine_h2(
-        H, X, R2w, jnp.asarray(deg_win), a1e, al, be, inj, pf,
-        cc_h2, int(deg_win.max()))
     got = np.asarray(Vg)
     _percol_close(got[:, start:start + w_pad], want)
     np.testing.assert_array_equal(got[:, :start],
@@ -235,8 +236,8 @@ def test_refine_seg_bf16_carry_matches_unfolded():
 
     Hbf = jnp.asarray(Hf64, jnp.bfloat16)
     Vg, _ = _filter_refine_windowed(
-        Hbf, V, R, ritzv[locked:], degrees_act, locked, nevex, B,
-        lam, lo, up, max_deg, "default")
+        Hbf, jnp.array(V, copy=True), R, ritzv[locked:], degrees_act,
+        locked, nevex, B, lam, lo, up, max_deg, "default")
     assert np.asarray(Vg).dtype == np.float32
 
     w_pad, start = _window_pad(nevex, locked, B)
