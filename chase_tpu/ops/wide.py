@@ -377,17 +377,19 @@ def _presplit_shadow(H, *, s, L, scheme="bf16"):
     return tuple(slices), sa, low
 
 
-@partial(jax.jit, static_argnames=("s", "nsl"))
-def shadow_from_slices(slices, sa, *, s, nsl):
-    """f32 shadow of the operator reconstructed from its top int8 slices
-    (nsl·s ≥ 25 bits ⊇ the f32 mantissa).  Lets large-N wide solves keep
-    the shadow TRANSIENT: rebuilt for the filter phase, freed for RR/QR —
-    3.6 GB of headroom at N=30000 on a 16 GB chip (and no 4-byte host
-    upload at engage time)."""
+@partial(jax.jit, static_argnames=("s", "nsl", "out_dtype"))
+def shadow_from_slices(slices, sa, *, s, nsl, out_dtype=jnp.float32):
+    """Reduced-precision shadow of the operator reconstructed from its top
+    int8 slices (nsl*s bits of mantissa).  Lets large-N wide solves keep
+    the shadow TRANSIENT: rebuilt for the filter phase, freed for RR/QR --
+    GBs of headroom at N=30000 on a 16 GB chip (and no 4-byte host upload
+    at engage time).  The accumulate + final ``out_dtype`` cast live in ONE
+    program so a bf16 shadow never materializes an f32 intermediate."""
     acc = jnp.zeros(slices[0].shape, jnp.float32)
     for l in range(nsl):
-        acc = acc + slices[l].astype(jnp.float32)             * np.float32(2.0 ** (-s * (l + 1)))
-    return acc * sa.astype(jnp.float32)
+        acc = acc + slices[l].astype(jnp.float32) \
+            * np.float32(2.0 ** (-s * (l + 1)))
+    return (acc * sa.astype(jnp.float32)).astype(out_dtype)
 
 
 @partial(jax.jit, donate_argnums=(0,))

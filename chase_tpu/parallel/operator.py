@@ -205,8 +205,8 @@ class DenseOperator:
             from ..ops.wide import shadow_from_slices
             slices, sa, s, L = self._H_wide
             self._H_filter = shadow_from_slices(
-                tuple(slices), sa, s=s,
-                nsl=min(-(-9 // s) + 1, L)).astype(jnp.bfloat16)
+                tuple(slices), sa, s=s, nsl=min(-(-9 // s) + 1, L),
+                out_dtype=jnp.bfloat16)
         return self._H_filter
 
     def drop_shadow(self):
