@@ -28,6 +28,11 @@ def main():
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--repeat", action="store_true",
                    help="run a second (warm) solve and report its wall")
+    p.add_argument("--scale", action="store_true",
+                   help="scale the spectrum to [-1, 1] (tol then reads as "
+                        "a RELATIVE residual — the BASELINE semantics; an "
+                        "unscaled Clement at N=30000 puts 1e-10 ABSOLUTE "
+                        "below the f64 representation floor eps*||H||)")
     p.add_argument("--no-perturb", action="store_true",
                    help="pure Clement (exact integer spectrum; avoids the "
                         "3x N^2 f64 host-RAM peak of the perturbation at "
@@ -41,8 +46,11 @@ def main():
     N = args.n
     t0 = time.perf_counter()
     H = clement(N)
+    scale = float(N - 1) if args.scale else 1.0
+    if args.scale:
+        H = H / scale
     if args.no_perturb:
-        exact = clement_eigenvalues(N)[:args.nev]
+        exact = clement_eigenvalues(N)[:args.nev] / scale
     else:
         rng = np.random.default_rng(args.seed)
         E = rng.standard_normal((N, N))

@@ -263,14 +263,24 @@ class DenseOperator:
                 from ..ops.wide import wide_scheme_auto, wide_params_i8
                 scheme = wide_scheme_auto(self._N)
                 transient = False
+                tbits = 48
                 if scheme == "i8":
-                    _, Li8, _ = wide_params_i8(self._N)
                     from ..solver import _device_memory_bytes
+                    mem = _device_memory_bytes()
+                    _, Li8, _ = wide_params_i8(self._N, tbits)
                     transient = ((Li8 + 4.0) * self._N * self._N
-                                 > 0.6 * _device_memory_bytes())
+                                 > 0.6 * mem)
+                    # memory-tight: one fewer slice (42 operand bits —
+                    # truncation ~sqrt(N)*2^-42 = 4e-11 relative at
+                    # N=30000, still under the 1e-10 target) buys ~1 GB
+                    # next to the ~12 GB usable-HBM ceiling measured on
+                    # the sandbox chip
+                    if (Li8 + 4.0) * self._N * self._N > 0.65 * mem:
+                        tbits = 42
                 self._shadow_transient = transient
                 slices, sa, low, s, L = presplit_and_shadow_chunked(
-                    self._H_src, want_low=not transient)
+                    self._H_src, want_low=not transient,
+                    target_bits=tbits)
             else:
                 slices, sa, low, s, L = presplit_and_shadow(
                     self.H, donate=can_drop)
