@@ -188,7 +188,7 @@ def cholqr_wide(V, *, passes=2, shifted=False, precision="highest",
     (N,k)@(k,k) matmul.
     """
     import scipy.linalg as sla
-    from .wide import wide_matmul
+    from .wide import wide_matmul, wide_gram
 
     in_dtype = V.dtype
     if shifted:
@@ -199,7 +199,7 @@ def cholqr_wide(V, *, passes=2, shifted=False, precision="highest",
     in_rt = real_dtype(V.dtype)
     ok = True
     for p in range(passes):
-        G = np.asarray(wide_matmul(V.T, V))
+        G = np.asarray(wide_gram(V))
         # column equilibration (see cholqr): unit-diagonal Gram, the
         # scaling folded into the applied inverse
         d = np.sqrt(np.abs(np.diagonal(G)))

@@ -253,15 +253,29 @@ def _rr_project_wide(a_slices, sa, V, locked, *, s, L, precision="highest"):
     dot's pathological compile times at large N (806 s at N=8192 vs
     13.7 s — BENCH_NOTES round 3).  ``a_slices, sa, s, L`` come from
     ops.wide.presplit (DenseOperator.H_wide); s/L ride as static args."""
-    from .wide import _wide_matmul_presliced, wide_matmul
+    from .wide import slice_f64_i8, slice_f64, _pair_products_i8, \
+        _pair_products, wide_matmul
     k = V.shape[1]
     rt = real_dtype(V.dtype)
     active = jnp.arange(k) >= locked
     Q = jnp.where(active[None, :], V, jnp.zeros((), V.dtype))
     nrm = jnp.linalg.norm(Q, axis=0).real.astype(rt)
     Q = Q / jnp.where(nrm > 0, nrm, jnp.ones((), rt))[None, :].astype(Q.dtype)
-    W = _wide_matmul_presliced(a_slices, sa, Q, s=s, L=L, cut=L - 1)
-    A = wide_matmul(Q.T, W)                              # QᵀHQ, N-contraction
+    if a_slices[0].dtype == jnp.int8:
+        # slice Q ONCE: its column slices feed W = H·Q, and their
+        # transposes are the left operand of A = QᵀW (no Qᵀ copy, no
+        # second slicing pass — peak-HBM relief at N=30000, BENCH_NOTES
+        # r5)
+        q_sl, q_sc = slice_f64_i8(Q, s, L, axis=0)
+        qst = jnp.stack(q_sl)
+        W = _pair_products_i8(a_slices, qst, L - 1, s) * sa * q_sc
+        w_sl, w_sc = slice_f64_i8(W, s, L, axis=0)
+        A = _pair_products_i8([qst[l].T for l in range(L)],
+                              jnp.stack(w_sl), L - 1, s) * q_sc.T * w_sc
+    else:
+        b_sl, q_sc = slice_f64(Q, s, L, axis=0)
+        W = _pair_products(a_slices, b_sl, L - 1) * sa * q_sc
+        A = wide_matmul(Q.T, W)
     A, big = _pin_locked(A, active, rt)
     return Q, W, A, big
 

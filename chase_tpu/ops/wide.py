@@ -339,6 +339,27 @@ def _wide_matmul_presliced(a_slices, sa, B, *, s, L, cut):
     return C * sa * sb
 
 
+@partial(jax.jit, static_argnames=("s", "L", "cut"))
+def _wide_gram_impl(V, *, s, L, cut):
+    b_slices, sb = slice_f64_i8(V, s, L, axis=0)
+    bst = jnp.stack(b_slices)
+    a_slices = [bst[l].T for l in range(L)]
+    G = _pair_products_i8(a_slices, bst, cut, s)
+    return G * sb.T * sb
+
+
+def wide_gram(V, *, target_bits: int = 48):
+    """f64-accurate Gram VᵀV with V sliced ONCE (the left operand is the
+    transposed slice set — XLA feeds transposed int8 operands straight to
+    the matmul).  Halves the slicing work and skips the explicit Vᵀ copy
+    vs ``wide_matmul(V.T, V)`` — the QR Gram's peak-HBM fix at N=30000
+    (BENCH_NOTES r5).  Real f64, i8 scheme."""
+    if V.dtype != jnp.float64:
+        raise TypeError(f"wide_gram is for f64 operands, got {V.dtype}")
+    s, L, cut = wide_params_i8(V.shape[0], target_bits)
+    return _wide_gram_impl(V, s=s, L=L, cut=cut)
+
+
 def wide_matmul_sliced(a_sliced, B, *, target_bits: int = 55):
     """``A @ B`` with A pre-sliced by :func:`presplit` (amortizes the
     operator split across filter/RR calls).  Scheme follows the slice
