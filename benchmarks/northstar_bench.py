@@ -43,6 +43,9 @@ def main():
                         "with phase tiers) instead of the host driver")
     p.add_argument("--fused-tiers", type=int, default=None,
                    help="override fused phase-window tier count")
+    p.add_argument("--unfolded", action="store_true",
+                   help="round-4 multi-dispatch filter path (A/B control "
+                        "for the dispatch-folded segment programs)")
     args = p.parse_args()
 
     import chase_tpu
@@ -58,6 +61,7 @@ def main():
         col_block=args.col_block,
         bf16_filter=not args.no_bf16,
         matmul_precision=args.matmul_precision,
+        folded_filter=not args.unfolded,
     )
     if args.fused_tiers is not None:
         cfg_kwargs["fused_tiers"] = args.fused_tiers
@@ -92,6 +96,7 @@ def main():
            "config": {"N": N, "nev": nev, "nex": nex,
                       "col_block": args.col_block,
                       "bf16": not args.no_bf16,
+                      "folded": not args.unfolded,
                       "driver": "fused" if args.fused else "host"}}
     print(json.dumps(out), flush=True)
 

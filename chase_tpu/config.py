@@ -125,6 +125,13 @@ class ChaseConfig:
     # risk 1).  None (default) = auto: multiples of 64 sized so a solve
     # compiles at most ~8 distinct filter widths regardless of nev+nex.
     col_block: Optional[int] = None
+    # Dispatch-folded segmented filter (ops/filter.filter_seg_*): window
+    # slice + init step run as ONE XLA program and each (shrink + steps +
+    # masked write-back) as one — 2-4 dispatches/iteration instead of ~12.
+    # False restores the round-4 multi-dispatch path; kept so the
+    # per-dispatch-overhead hypothesis (BENCH_NOTES round-4 width/N probe)
+    # stays same-day A/B-able.  Env CHASE_FOLDED_FILTER=0/1 overrides.
+    folded_filter: bool = True
     # matmul precision for f32 inputs: "highest" -> f32 accumulate on MXU.
     matmul_precision: str = "highest"
     # Run the small dense eigensolve (RR) / cholesky on host when the device
@@ -237,6 +244,9 @@ class ChaseConfig:
         if os.environ.get("CHASE_RING_BACKEND"):
             ring_backend = os.environ["CHASE_RING_BACKEND"]
         fused_tiers = _env_int("CHASE_FUSED_TIERS", self.fused_tiers)
+        folded_filter = self.folded_filter
+        if os.environ.get("CHASE_FOLDED_FILTER"):
+            folded_filter = bool(int(os.environ["CHASE_FOLDED_FILTER"]))
         return ResolvedConfig(
             base=self, tol=float(tol), deg=int(deg), max_deg=int(max_deg),
             lanczos_iter=int(lanczos_iter), cholqr=cholqr,
@@ -251,6 +261,7 @@ class ChaseConfig:
             ring_filter=ring_filter,
             ring_backend=ring_backend,
             fused_tiers=int(fused_tiers),
+            folded_filter=folded_filter,
             is_double=is_dp,
         )
 
@@ -275,6 +286,7 @@ class ResolvedConfig:
     ring_filter: Optional[bool] = None   # None = auto (on for eligible grids)
     ring_backend: str = "xla"            # "xla" | "pallas" ring HEMM impl
     fused_tiers: int = 3                 # static phase-window tiers (fused)
+    folded_filter: bool = True           # dispatch-folded segment programs
     is_double: bool = True               # problem base precision (resolve())
 
     def __getattr__(self, name):

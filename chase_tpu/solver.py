@@ -269,6 +269,64 @@ def _filter_windowed(H_f, V, degrees_act, locked, nevex, B, lam, lo, up,
     return V, executed
 
 
+def _filter_windowed_unfolded(H_f, V, degrees_act, locked, nevex, B, lam,
+                              lo, up, rdt, precision):
+    """Round-4 multi-dispatch variant of :func:`_filter_windowed` (explicit
+    slice / init / steps / write-back programs, ~12 dispatches/iteration).
+    Kept behind ``config.folded_filter=False`` so the per-dispatch-overhead
+    measurement (BENCH_NOTES round-4 width/N probe) stays A/B-able same-day
+    against the folded default.  Numerically identical recurrence."""
+    w_pad, start = _window_pad(nevex, locked, B)
+    offset = locked - start
+    deg_win = np.zeros(w_pad, np.int32)
+    deg_win[offset:] = degrees_act
+    plan = _shrink_plan(deg_win, B, w_pad)
+
+    from .types import filter_carry_dtype as _fcd, real_dtype as _rdt
+    carry = _fcd(H_f.dtype, V.dtype)
+    rdt = _rdt(carry)
+    lam = np.asarray(lam, rdt)
+    lo_ = np.asarray(lo, rdt)
+    up_ = np.asarray(up, rdt)
+    c = (up_ + lo_) / 2
+    e = (up_ - lo_) / 2
+    sigma1 = e / (lam - c)
+
+    X = _slice_cols(V, jnp.int32(start), w_pad)
+    X0 = X
+    dwin = jnp.asarray(deg_win)
+    Xp, Yc, sigma = filt.filter_carry_init(H_f, X.astype(carry), dwin,
+                                           c, e, sigma1,
+                                           precision=precision)
+    executed = w_pad
+    t_done = 1
+    start0 = start
+    for (t_end, plan_off) in plan:
+        if t_end > t_done:
+            Xp, Yc, sigma = filt.filter_steps(
+                H_f, Xp, Yc, dwin, sigma, sigma1, c, e,
+                jnp.int32(t_done + 1), jnp.int32(t_end + 1),
+                precision=precision)
+            executed += w_pad * (t_end - t_done)
+            t_done = t_end
+        Yw = jnp.where(dwin[None, :] >= 1, Yc.astype(V.dtype), X0)
+        V = _update_cols(V, Yw, jnp.int32(start))
+        retire_to = start0 + plan_off
+        if retire_to < nevex:
+            new_w = nevex - retire_to
+            new_w_pad = min(-(-new_w // B) * B, w_pad)
+            new_start = nevex - new_w_pad
+            off2 = new_start - start
+            if off2 > 0:
+                Xp = _slice_cols(Xp, jnp.int32(off2), new_w_pad)
+                Yc = _slice_cols(Yc, jnp.int32(off2), new_w_pad)
+                X0 = _slice_cols(X0, jnp.int32(off2), new_w_pad)
+                deg_win = deg_win[off2:]
+                dwin = jnp.asarray(deg_win)
+                start, w_pad = new_start, new_w_pad
+    return V, executed
+
+
 def _filter_refine_windowed(H_f, V, R, ritzv_act, degrees_act, locked, nevex,
                             B, lam, lo, up, max_deg, precision,
                             grid=None, ring_mode=None):
@@ -807,7 +865,9 @@ def solve(op: DenseOperator, nev: int, nex: int,
             V = _update_cols(V, Yw, jnp.int32(start_f))
             f_executed = w_pad_f * int(deg_win.max())
         else:
-            V, f_executed = _filter_windowed(
+            filter_fn = (_filter_windowed if rcfg.folded_filter
+                         else _filter_windowed_unfolded)
+            V, f_executed = filter_fn(
                 H_f, V, degrees[act], locked, nevex, B, lam_filter, lowerb,
                 upperb, op.real_dtype, f_precision)
         if perf is not None:

@@ -252,3 +252,20 @@ def test_refine_seg_bf16_carry_matches_unfolded():
         jnp.asarray(deg_win), a1e, al, be, inj, pf,
         (up + lo) / 2.0, int(deg_win.max()), precision="default")
     _percol_close(np.asarray(Vg)[:, start:start + w_pad], want, tol=1e-6)
+
+
+def test_solve_folded_toggle_parity():
+    """config.folded_filter=False (round-4 multi-dispatch A/B control)
+    converges to the same eigenpairs as the folded default."""
+    import chase_tpu
+    from chase_tpu.models import clement
+
+    H = np.asarray(clement(128), np.float64)
+    nev, nex = 16, 8
+    r_fold = chase_tpu.eigsh(H, nev, nex, tol=1e-10,
+                             config=chase_tpu.ChaseConfig(folded_filter=True))
+    r_unf = chase_tpu.eigsh(H, nev, nex, tol=1e-10,
+                            config=chase_tpu.ChaseConfig(folded_filter=False))
+    assert r_fold.converged and r_unf.converged
+    np.testing.assert_allclose(np.asarray(r_unf.ritzv),
+                               np.asarray(r_fold.ritzv), atol=1e-9)
