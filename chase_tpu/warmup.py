@@ -49,6 +49,28 @@ from . import solver as _solver
 __all__ = ["warmup"]
 
 
+def _mem_capped_workers(max_workers: int, op, K: int, max_w: int) -> int:
+    """Concurrency cap so concurrent warmup-job transients fit HBM.
+
+    Each job executes once with real operands: the filter jobs hold ~3
+    carries of N×w plus a donated V copy of N×K, so 8 concurrent jobs at
+    the north-star shape (N=30000, w=3000) are ~14 GB of transients on
+    top of the ~5 GB resident operator — measured RESOURCE_EXHAUSTED
+    cascade that wedges the device for the solve that follows (round-5
+    northstar --warmup).  Budget 70% of device memory minus the resident
+    operator state across however many jobs fit."""
+    N = op.N
+    G = 1 if op.grid is None else op.grid.nprocs
+    itemsize = np.dtype(op.dtype).itemsize
+    resident = (itemsize + 2) * float(N) * N / G   # problem buffer + low rung
+    if getattr(op, "_H_wide", None) is not None or itemsize >= 8:
+        resident = max(resident, 12.0 * float(N) * N / G)  # slices + shadow
+    per_job = (3.0 * max_w + K) * N * itemsize / G
+    budget = 0.7 * _solver._device_memory_bytes() - resident
+    fit = int(budget // max(per_job, 1.0))
+    return max(1, min(max_workers, fit))
+
+
 def _warmup_pseudo(op, nev, nex, rcfg, max_workers):
     """Pseudo-Hermitian (BSE) phase-program warmup: H² filter width
     buckets (ring-aware), the S-aware QR, the pencil RR and the S-metric
@@ -223,6 +245,8 @@ def _warmup_pseudo(op, nev, nex, rcfg, max_workers):
     jobs += [("pencil-rr", rr_job),
              ("s-lanczos", lanczos_job), ("aux", aux_job)]
     failed = 0
+    max_workers = _mem_capped_workers(max_workers, op, K2,
+                                      max(widths) if widths else K2)
     with ThreadPoolExecutor(max_workers=max_workers) as ex:
         futs = {ex.submit(fn): name for name, fn in jobs}
         for fut, name in futs.items():
@@ -492,6 +516,8 @@ def warmup(H, nev: int, nex: Optional[int] = None, *, config=None,
         jobs.append(("fused-warm", lambda: fused_job(True)))
 
     failed = 0
+    max_workers = _mem_capped_workers(max_workers, op, nevex,
+                                      max(widths) if widths else nevex)
     with ThreadPoolExecutor(max_workers=max_workers) as ex:
         futs = {ex.submit(fn): name for name, fn in jobs}
         for fut, name in futs.items():

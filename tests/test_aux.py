@@ -178,6 +178,31 @@ def test_warmup_precompiles_and_solve_matches():
                                atol=1e-7)
 
 
+def test_warmup_memory_capped_workers():
+    """The warmup pool shrinks with problem size so concurrent job
+    transients fit HBM (the N=30000 --warmup RESOURCE_EXHAUSTED cascade):
+    full width for small problems, 1 for wide/DP north-star-scale state."""
+    import numpy as np
+    import chase_tpu
+    from chase_tpu.warmup import _mem_capped_workers
+
+    op = chase_tpu.DenseOperator(np.eye(64, dtype=np.float32))
+    assert _mem_capped_workers(8, op, 24, 16) == 8
+
+    class FakeOp:
+        N = 30000
+        grid = None
+        dtype = np.float32
+        _H_wide = None
+
+    assert _mem_capped_workers(8, FakeOp(), 3000, 3000) < 8
+
+    class FakeWide(FakeOp):
+        _H_wide = object()
+
+    assert _mem_capped_workers(8, FakeWide(), 3000, 3000) == 1
+
+
 def test_warmup_mixed_precision_paths():
     """warmup with the DP mixed-precision ladder warms the low/refine
     programs too, without failures."""
