@@ -31,30 +31,41 @@ from jax.sharding import PartitionSpec as P
 __all__ = ["pallas_ring_hemm", "make_hemm_local"]
 
 
-def _ring_kernel(p, axis, h_ref, v_ref, o_ref, h_buf, v_buf, h_sem,
+def _ring_kernel(p, axis, mt, h_ref, v_ref, o_ref, h_buf, v_buf, h_sem,
                  send_sem, recv_sem):
     me = jax.lax.axis_index(axis).astype(jnp.int32)
     p32 = jnp.int32(p)
     right = jax.lax.rem(me + 1, p32)
     left = jax.lax.rem(me - 1 + p32, p32)
     b = v_ref.shape[0]
+    m = o_ref.shape[0]
+    nmt = m // mt          # static row-tile count
+    total = p * nmt        # static global H-tile count
 
     v_buf[0] = v_ref[...]
 
-    def h_dma(slot, step):
-        # chunks travel rightward: after `step` hops we hold chunk (me-step)
-        src = jax.lax.rem(me - jnp.int32(step) + p32, p32)
+    def h_dma(slot, t):
+        # Global tile index t = s*nmt + i: ring step s picks the H column
+        # block (chunks travel rightward, so at step s we hold chunk
+        # me-s), row tile i picks the mt-row stripe.  H stays in HBM
+        # (memory_space=ANY) and streams through a (2, mt, b) VMEM double
+        # buffer — the whole (m, b) block would blow the ~128 MB VMEM
+        # (measured RESOURCE_EXHAUSTED on the v5e at m=b=4096).
+        s = t // jnp.int32(nmt)
+        i = t - s * jnp.int32(nmt)
+        src = jax.lax.rem(me - s + p32, p32)
         return pltpu.make_async_copy(
-            h_ref.at[:, pl.ds(src * b, b)], h_buf.at[slot], h_sem.at[slot])
+            h_ref.at[pl.ds(i * mt, mt), pl.ds(src * b, b)],
+            h_buf.at[slot], h_sem.at[slot])
 
-    h_dma(0, 0).start()
+    h_dma(0, jnp.int32(0)).start()
 
     def step_fn(s, _):
-        slot = jax.lax.rem(s, jnp.int32(2))
-        nslot = 1 - slot
+        vslot = jax.lax.rem(s, jnp.int32(2))
+        nvslot = 1 - vslot
 
         # neighbor barrier: everyone finished step s-1 before we overwrite
-        # the buffers they might still be reading
+        # the V buffers they might still be reading
         @pl.when(s > 0)
         def _():
             bar = pltpu.get_barrier_semaphore()
@@ -66,30 +77,39 @@ def _ring_kernel(p, axis, h_ref, v_ref, o_ref, h_buf, v_buf, h_sem,
 
         # pass the current chunk onward while we compute with it
         rdma = pltpu.make_async_remote_copy(
-            src_ref=v_buf.at[slot], dst_ref=v_buf.at[nslot],
-            send_sem=send_sem.at[slot], recv_sem=recv_sem.at[nslot],
+            src_ref=v_buf.at[vslot], dst_ref=v_buf.at[nvslot],
+            send_sem=send_sem.at[vslot], recv_sem=recv_sem.at[nvslot],
             device_id=right, device_id_type=pltpu.DeviceIdType.LOGICAL)
 
         @pl.when(s + 1 < p)
         def _():
             rdma.start()
 
-        h_dma(slot, s).wait()
+        def tile_fn(i, _):
+            t = s * jnp.int32(nmt) + i
+            tslot = jax.lax.rem(t, jnp.int32(2))
+            h_dma(tslot, t).wait()
 
-        @pl.when(s + 1 < p)
-        def _():
-            h_dma(nslot, s + 1).start()
+            @pl.when(t + 1 < total)
+            def _():
+                h_dma(1 - tslot, t + 1).start()
 
-        acc = jnp.dot(h_buf[slot], v_buf[slot],
-                      preferred_element_type=jnp.float32)
+            acc = jnp.dot(h_buf[tslot], v_buf[vslot],
+                          preferred_element_type=jnp.float32)
+            rows = pl.ds(i * mt, mt)
 
-        @pl.when(s == 0)
-        def _():
-            o_ref[...] = acc.astype(o_ref.dtype)
+            @pl.when(s == 0)
+            def _():
+                o_ref[rows, :] = acc.astype(o_ref.dtype)
 
-        @pl.when(s > 0)
-        def _():
-            o_ref[...] = o_ref[...] + acc.astype(o_ref.dtype)
+            @pl.when(s > 0)
+            def _():
+                o_ref[rows, :] = o_ref[rows, :] + acc.astype(o_ref.dtype)
+
+            return jnp.int32(0)
+
+        jax.lax.fori_loop(jnp.int32(0), jnp.int32(nmt), tile_fn,
+                          jnp.int32(0))
 
         @pl.when(s + 1 < p)
         def _():
@@ -98,6 +118,18 @@ def _ring_kernel(p, axis, h_ref, v_ref, o_ref, h_buf, v_buf, h_sem,
         return jnp.int32(0)
 
     jax.lax.fori_loop(jnp.int32(0), jnp.int32(p), step_fn, jnp.int32(0))
+
+
+def _pick_row_tile(m, budget_rows=512):
+    """Largest divisor of m that is <= budget_rows, preferring sublane
+    (x8) alignment; m itself when m <= budget_rows."""
+    if m <= budget_rows:
+        return m
+    for mult in (8, 1):
+        for mt in range(budget_rows, 0, -1):
+            if m % mt == 0 and mt % mult == 0:
+                return mt
+    return m
 
 
 def make_hemm_local(p, axis, m, b, k, h_dtype, v_dtype, *,
@@ -113,7 +145,18 @@ def make_hemm_local(p, axis, m, b, k, h_dtype, v_dtype, *,
     barrier/DMA semaphores this kernel uses."""
     if interpret is True:
         interpret = pltpu.InterpretParams()
-    kernel = functools.partial(_ring_kernel, p, axis)
+    mt = _pick_row_tile(m)
+    kernel = functools.partial(_ring_kernel, p, axis, mt)
+
+    # resident VMEM: H double buffer + V double buffer + V input + output
+    isz_h = jnp.dtype(h_dtype).itemsize
+    isz_v = jnp.dtype(v_dtype).itemsize
+    vmem = 2 * mt * b * isz_h + 3 * b * k * isz_v + m * k * isz_v
+    if not interpret and vmem > 100 * 2**20:
+        raise ValueError(
+            f"pallas ring HEMM VMEM footprint {vmem / 2**20:.0f} MB "
+            f"(m={m}, b={b}, k={k}, mt={mt}) exceeds the ~100 MB budget; "
+            "shrink k (filter in column windows) or grow the ring")
 
     def local(h, v):
         return pl.pallas_call(
@@ -123,7 +166,7 @@ def make_hemm_local(p, axis, m, b, k, h_dtype, v_dtype, *,
                       pl.BlockSpec(memory_space=pltpu.VMEM)],
             out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
             scratch_shapes=[
-                pltpu.VMEM((2, m, b), h_dtype),
+                pltpu.VMEM((2, mt, b), h_dtype),
                 pltpu.VMEM((2, b, k), v_dtype),
                 pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA((2,)),
