@@ -93,12 +93,18 @@ def main():
               f"{np.abs(lam - exact).max():.3e}", flush=True)
 
     if args.repeat:
+        # serving-warm: programs AND the resident (sliced) operator reused
+        t0 = time.perf_counter()
+        res2 = solve_fn(op, args.nev, args.nex, tol=args.tol, config=cfg)
+        print(f"[warm same-op] wall={time.perf_counter()-t0:.1f}s "
+              f"iters={res2.iterations}", flush=True)
+        # new-matrix warm: programs reused, operator re-sliced/re-placed
         op2 = DenseOperator(H)
         t0 = time.perf_counter()
-        res2 = solve_fn(op2, args.nev, args.nex, tol=args.tol,
+        res3 = solve_fn(op2, args.nev, args.nex, tol=args.tol,
                         config=cfg)
-        print(f"[warm] wall={time.perf_counter()-t0:.1f}s "
-              f"iters={res2.iterations}", flush=True)
+        print(f"[warm new-op] wall={time.perf_counter()-t0:.1f}s "
+              f"iters={res3.iterations}", flush=True)
 
 
 if __name__ == "__main__":
