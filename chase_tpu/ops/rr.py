@@ -280,6 +280,79 @@ def _rr_project_wide(a_slices, sa, V, locked, *, s, L, precision="highest"):
     return Q, W, A, big
 
 
+@partial(jax.jit, static_argnames=("s", "L"))
+def _rr_wide_qslice(V, locked, *, s, L):
+    """Low-mem wide RR stage 1: mask+renormalize, slice Q once."""
+    from .wide import slice_f64_i8
+    k = V.shape[1]
+    rt = real_dtype(V.dtype)
+    active = jnp.arange(k) >= locked
+    Q = jnp.where(active[None, :], V, jnp.zeros((), V.dtype))
+    nrm = jnp.linalg.norm(Q, axis=0).real.astype(rt)
+    Q = Q / jnp.where(nrm > 0, nrm, jnp.ones((), rt))[None, :].astype(Q.dtype)
+    q_sl, q_sc = slice_f64_i8(Q, s, L, axis=0)
+    return Q, jnp.stack(q_sl), q_sc
+
+
+@partial(jax.jit, static_argnames=("s", "L"))
+def _rr_wide_w(a_slices, sa, qst, q_sc, *, s, L):
+    """Low-mem wide RR stage 2: W = H·Q from the slice stacks only."""
+    from .wide import _pair_products_i8
+    return _pair_products_i8(a_slices, qst, L - 1, s) * sa * q_sc
+
+
+@partial(jax.jit, static_argnames=("s", "L"))
+def _rr_wide_a(qst, q_sc, W, locked, *, s, L):
+    """Low-mem wide RR stage 3: A = QᵀW pinned."""
+    from .wide import slice_f64_i8, _pair_products_i8
+    k = W.shape[1]
+    rt = real_dtype(W.dtype)
+    active = jnp.arange(k) >= locked
+    w_sl, w_sc = slice_f64_i8(W, s, L, axis=0)
+    A = _pair_products_i8([qst[l].T for l in range(L)],
+                          jnp.stack(w_sl), L - 1, s) * q_sc.T * w_sc
+    A, _ = _pin_locked(A, active, rt)
+    return A
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def _rr_wide_rot(X, Z):
+    """Low-mem wide RR stage 4 (×2): rotate one basis, donating it."""
+    from .wide import wide_matmul
+    return wide_matmul(X, Z)
+
+
+@partial(jax.jit, static_argnames=("want_vectors",), donate_argnums=(1,))
+def _rr_wide_merge(V, Wrot, Vrot, ritz, locked, *, want_vectors=False):
+    """Low-mem wide RR stage 5: residuals + roll + merge (Wrot donated
+    into the residual vectors)."""
+    k = V.shape[1]
+    rt = real_dtype(V.dtype)
+    active = jnp.arange(k) >= locked
+    R = Wrot - Vrot * ritz[None, :].astype(V.dtype)
+    resid = jnp.linalg.norm(R, axis=0).real.astype(rt)
+    Vrot = jnp.roll(Vrot, locked, axis=1)
+    ritz = jnp.roll(ritz, locked)
+    resid = jnp.roll(resid, locked)
+    V_out = jnp.where(active[None, :], Vrot, V)
+    if want_vectors:
+        return V_out, ritz, resid, jnp.roll(R, locked, axis=1)
+    return V_out, ritz, resid
+
+
+def _wide_rr_lowmem(N, k, L):
+    """Engage the split/donating wide-RR program chain when the fused
+    single-program path's peak (resident slice stack + ~8 N·k f64 live
+    blocks) would crowd the device — measured OOM at the N=30000 nev=2250
+    DP north star (BENCH_NOTES round 5)."""
+    try:
+        from ..solver import _device_memory_bytes
+        mem = _device_memory_bytes()
+    except Exception:  # noqa: BLE001
+        return False
+    return L * N * N + 6 * 8 * N * k > 0.6 * mem
+
+
 def rayleigh_ritz_residuals(H, V, locked, *, precision="highest",
                             small_dense="device", want_vectors=False,
                             polish=2, H_wide=None):
@@ -312,6 +385,22 @@ def rayleigh_ritz_residuals(H, V, locked, *, precision="highest",
     if H_wide is not None:
         rt = real_dtype(V.dtype)
         a_slices, sa, s, L = H_wide
+        if a_slices[0].dtype == jnp.int8 and \
+                _wide_rr_lowmem(V.shape[0], V.shape[1], L):
+            # split/donating program chain: intermediates die at program
+            # boundaries, the rotations reuse Q/W's buffers — the fused
+            # single program peaks past the HBM ceiling at the N=30000
+            # DP north star (BENCH_NOTES round 5)
+            Q, qst, q_sc = _rr_wide_qslice(V, locked, s=s, L=L)
+            W = _rr_wide_w(a_slices, sa, qst, q_sc, s=s, L=L)
+            A = _rr_wide_a(qst, q_sc, W, locked, s=s, L=L)
+            del qst
+            w, Z = host_eigh_f64(np.asarray(A), rt)      # k×k device→host
+            Zd = jnp.asarray(Z)
+            Vrot = _rr_wide_rot(Q, Zd)
+            Wrot = _rr_wide_rot(W, Zd)
+            return _rr_wide_merge(V, Wrot, Vrot, jnp.asarray(w), locked,
+                                  want_vectors=want_vectors)
         Q, W, A, _ = _rr_project_wide(a_slices, sa, V, locked, s=s, L=L,
                                       precision=precision)
         w, Z = host_eigh_f64(np.asarray(A), rt)          # k×k device→host

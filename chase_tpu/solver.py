@@ -697,6 +697,13 @@ def solve(op: DenseOperator, nev: int, nex: int,
         theta, _, _ = lz.lanczos_tridiag_host(a_np, b_np, want_vectors=False)
         upperb = lz.upper_bound(theta, b_np[-1])
         ritzv = np.asarray(ritzv0, np.float64).copy()
+    # Release the Lanczos locals: on memory-tight transient-shadow wide
+    # solves the H_lz reference alone pins the 4·N² f32 shadow through
+    # every later QR/RR (measured OOM at the N=30000 DP north star —
+    # BENCH_NOTES round 5); basis is another m·numvec·N block.
+    H_lz = basis = probes = probe = Vd = None
+    op.drop_shadow()
+
     # sign-aware scaling (reference applies this in the pseudo path,
     # algorithm.inc:1920-1927; extended to the Hermitian driver here):
     # scaling must push a negative upperb toward zero-crossing correctly
@@ -876,9 +883,11 @@ def solve(op: DenseOperator, nev: int, nex: int,
                                    executed=f_executed)
             perf.add_iter_blocksize(unconverged)
         t0 = toc("Filter", t0, V)
-        # transient-shadow mode (large-N wide): free the f32 shadow so the
-        # wide QR/RR slicing transients have HBM headroom; next iteration's
-        # filter rebuilds it from the slice stack (operator.drop_shadow)
+        # transient-shadow mode (large-N wide): free the f32 shadow AND the
+        # local H_f reference (it pins the 2·N² bf16 rebuild otherwise) so
+        # the wide QR/RR slicing transients have HBM headroom; next
+        # iteration's filter rebuilds from the slice stack
+        H_f = None
         op.drop_shadow()
 
         # -- condition estimate for QR selection (algorithm.inc:1549-1565) --

@@ -505,6 +505,11 @@ def solve_pseudo(op: DenseOperator, nev: int, nex: int,
             ritzv[i], ritzv[j] = ritzv[j], ritzv[i]
         V = permute_cols(V, jnp.asarray(perm))
 
+    # Release the Lanczos locals (H_lz pins the f32 shadow through later
+    # QR/RR on transient-shadow wide solves — solver.py analogue, r5)
+    H_lz = basis = probes = Vd = None
+    op.drop_shadow()
+
     mu_1 = float(np.min(ritzv[:nevex - 1])) if nevex > 1 else float(ritzv[0])
     mu_nevnex = float(ritzv[nevex - 1])
     upperb = upperb * rcfg.upperb_scale if upperb > 0 \
@@ -704,6 +709,7 @@ def solve_pseudo(op: DenseOperator, nev: int, nex: int,
                                    executed=2 * f_executed)
             perf.add_iter_blocksize(u)
         t0 = toc("Filter", t0, V)
+        H_f = None           # drop the local bf16-rebuild reference too
         op.drop_shadow()     # transient-shadow headroom for wide QR/RR
 
         # -- K-conjugation: mirror [locked, locked+u) → right of active --

@@ -359,3 +359,45 @@ def test_wide_i8_end_to_end_dp_solve():
     np.testing.assert_allclose(res.ritzv, exact, atol=1e-8)
     V = np.asarray(res.V)[:, :nev]
     assert np.linalg.norm(H @ V - V * res.ritzv, axis=0).max() < 1e-9
+
+
+@pytest.mark.quick
+def test_rr_wide_lowmem_parity(monkeypatch):
+    """The split/donating low-mem wide RR chain (engaged at the N=30000 DP
+    north star, where the fused program OOMs — BENCH_NOTES r5) must match
+    the fused wide path bit-for-... well, to f64 roundoff."""
+    import jax.numpy as jnp
+    from chase_tpu.ops import rr as rrops
+    from chase_tpu.ops import wide
+
+    rng = np.random.default_rng(7)
+    N, k, locked = 300, 24, 5
+    H = rng.standard_normal((N, N))
+    H = (H + H.T) / 2
+    V, _ = np.linalg.qr(rng.standard_normal((N, k)))
+    sl = wide.presplit(jnp.asarray(H), scheme="i8")
+    slices, sa, s, L = sl
+    Vd = jnp.asarray(V)
+
+    monkeypatch.setattr(rrops, "_wide_rr_lowmem", lambda *a: False)
+    out_f = rrops.rayleigh_ritz_residuals(
+        None, Vd, jnp.int32(locked), want_vectors=True, H_wide=sl)
+    monkeypatch.setattr(rrops, "_wide_rr_lowmem", lambda *a: True)
+    out_l = rrops.rayleigh_ritz_residuals(
+        None, Vd, jnp.int32(locked), want_vectors=True, H_wide=sl)
+
+    act = np.arange(k) >= locked
+    for a, b, name in zip(out_f, out_l, ("V", "ritz", "resid", "R")):
+        a, b = np.asarray(a), np.asarray(b)
+        if a.ndim == 1:
+            np.testing.assert_allclose(a[act], b[act], rtol=0, atol=1e-10,
+                                       err_msg=name)
+        else:
+            np.testing.assert_allclose(a[:, act], b[:, act], rtol=0,
+                                       atol=1e-10, err_msg=name)
+    # and against a dense f64 reference RR on the active columns
+    ritz_l = np.asarray(out_l[1])[locked:]
+    Q = V[:, act]
+    Aref = Q.T @ H @ Q
+    w = np.linalg.eigvalsh(Aref)
+    np.testing.assert_allclose(ritz_l, w, atol=1e-9)
