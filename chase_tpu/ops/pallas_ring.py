@@ -174,7 +174,12 @@ def make_hemm_local(p, axis, m, b, k, h_dtype, v_dtype, *,
             ],
             interpret=interpret,
             compiler_params=pltpu.CompilerParams(
-                collective_id=collective_id, has_side_effects=True),
+                collective_id=collective_id, has_side_effects=True,
+                # the dot's operand reads from the scratch refs spill to
+                # the kernel stack (~2(mt·b + b·k) f32); the default 16 MB
+                # scoped-vmem limit rejects that at mt=b... tiles
+                # (measured on the v5e — BENCH_NOTES round 5)
+                vmem_limit_bytes=100 * 2**20),
         )(h, v)
 
     return local
